@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a count() so the full plan executes (no
+collect of payload rows — the driver measures engine time, not
+driver-side materialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from healthcare_oltp_to_olap_gcp_spark.api import QUERIES  # noqa: E402
+from healthcare_oltp_to_olap_gcp_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = (
+    "fact_events_star",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_revenue_by_nation",
+    "mon_daily_summary",
+    "events_hourly",
+    "sessionize",
+    "dedup_exact",
+    "minhash_lsh_dup_pairs",
+    "simhash_dup_pairs",
+    "docs_quality",
+    "ann_topk",
+    "embedding_neardup_pairs",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/catalyst paths once so per-query numbers measure the
+    # plan, not first-run classloading.
+    QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        start = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Public query registry — the driver contract surface.
+
+Every operator from SURVEY.md §2 is exposed as a named query
+``(spark, sf_dir) -> DataFrame``; ``oracles.ORACLE_SQL`` holds the
+equivalent DuckDB SQL keyed identically. Column names/types are aligned
+pairwise (see SURVEY §3 typing rules).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import table
+from .operators import dedup, multimodal, sessionize, similarity, textquality
+from .plans import analytics, monitoring, star
+
+
+def _fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return star.fact_events(table(spark, sf_dir, "events"))
+
+
+def _star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return star.fact_events_star(_fact(spark, sf_dir))
+
+
+def _sanity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = _fact(spark, sf_dir)
+    return star.sanity_row_counts(fact, star.fact_events_star(fact))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- star-schema ETL (reference parity) ---
+    "fact_events": _fact,
+    "dim_time": lambda s, d: star.dim_time(_fact(s, d)),
+    "dim_user": lambda s, d: star.dim_user(_fact(s, d)),
+    "dim_event_type": lambda s, d: star.dim_event_type(_fact(s, d)),
+    "dim_band": lambda s, d: star.dim_band(_fact(s, d)),
+    "dim_source": lambda s, d: star.dim_source(_fact(s, d)),
+    "fact_events_star": _star,
+    "sanity_row_counts": _sanity_counts,
+    "sanity_missing_dims": lambda s, d: star.sanity_missing_dims(_fact(s, d)),
+    # --- monitoring views (reference parity) ---
+    "mon_executions": lambda s, d: monitoring.executions(table(s, d, "events")),
+    "mon_last_status": lambda s, d: monitoring.last_status(table(s, d, "events")),
+    "mon_daily_summary": lambda s, d: monitoring.daily_summary(table(s, d, "events")),
+    "mon_7d_summary": lambda s, d: monitoring.summary_7d(table(s, d, "events")),
+    "mon_errors": lambda s, d: monitoring.errors(table(s, d, "events")),
+    # --- warehouse analytics ---
+    "q1_pricing_summary": lambda s, d: analytics.q1_pricing_summary(
+        table(s, d, "lineitem")
+    ),
+    "q3_top_revenue_orders": lambda s, d: analytics.q3_top_revenue_orders(
+        table(s, d, "customer"), table(s, d, "orders"), table(s, d, "lineitem")
+    ),
+    "q5_revenue_by_nation": lambda s, d: analytics.q5_revenue_by_nation(
+        table(s, d, "region"),
+        table(s, d, "nation"),
+        table(s, d, "customer"),
+        table(s, d, "supplier"),
+        table(s, d, "orders"),
+        table(s, d, "lineitem"),
+    ),
+    "top_customers_per_nation": lambda s, d: analytics.top_customers_per_nation(
+        table(s, d, "customer"), table(s, d, "orders"), table(s, d, "nation")
+    ),
+    "events_hourly": lambda s, d: analytics.events_hourly(table(s, d, "events")),
+    "sessionize": lambda s, d: sessionize.sessionize(table(s, d, "events")),
+    # --- LLM-data-pipeline operators ---
+    "dedup_exact": lambda s, d: dedup.exact_dedup_stats(table(s, d, "documents")),
+    "docs_fingerprint": lambda s, d: textquality.fingerprints(table(s, d, "documents")),
+    "docs_token_stats": lambda s, d: textquality.token_stats(table(s, d, "documents")),
+    "docs_quality": lambda s, d: textquality.quality_scores(table(s, d, "documents")),
+    "docs_langid": lambda s, d: textquality.langid(table(s, d, "documents")),
+    "ngram_dup_pairs": lambda s, d: dedup.ngram_jaccard_pairs(table(s, d, "documents")),
+    "minhash_lsh_dup_pairs": lambda s, d: dedup.minhash_lsh_dup_pairs(
+        table(s, d, "documents")
+    ),
+    "simhash_dup_pairs": lambda s, d: dedup.simhash_dup_pairs(table(s, d, "documents")),
+    "embedding_neardup_pairs": lambda s, d: similarity.embedding_neardup_pairs(
+        table(s, d, "embeddings")
+    ),
+    "ann_topk": lambda s, d: similarity.ann_brute_topk(table(s, d, "embeddings")),
+    "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(table(s, d, "embeddings")),
+    "multimodal_meta": lambda s, d: multimodal.extract_meta(
+        multimodal.attach_payload(table(s, d, "documents"))
+    ),
+    "winnow_fingerprint": lambda s, d: textquality.winnow_fingerprints(
+        table(s, d, "documents")
+    ),
+}

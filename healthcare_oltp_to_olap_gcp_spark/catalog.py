@@ -1,0 +1,55 @@
+"""Table registry over the driver-provided parquet test data.
+
+At cluster scale these would be external tables (partitioned parquet /
+Iceberg); reads stay declarative (``spark.read.parquet``) so Catalyst
+gets predicate pushdown, column pruning, and partition pruning for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Timestamp columns stored as TIMESTAMP(NANOS) in the test parquet;
+# Spark reads them as epoch-nanos longs (legacy.parquet.nanosAsLong) and
+# we convert to micros timestamps here (truncation, matching DuckDB).
+TS_COLS = {
+    "events": ("ts",),
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in TS_COLS.get(name, ()):
+        if isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() use."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,209 @@
+"""Document deduplication family: exact, n-gram Jaccard (quadratic
+baseline), MinHash+LSH (the scale path), SimHash.
+
+Design (SURVEY §4):
+
+- exact: one hash-groupBy on md5(text) — one shuffle, no skew (hashes).
+- ngram_jaccard_pairs: exact quadratic baseline used to validate LSH on
+  small data and as the verified-correctness oracle. O(n²) — never run
+  this at 100 TB; it exists so the LSH path has ground truth.
+- minhash_lsh_dup_pairs: explode shingles → one shuffle for the 64-perm
+  signature, one for band buckets; only bucket-colliding candidates pay
+  the exact-Jaccard verification. With r=2 rows/band, b=32 bands a true
+  pair at j≥0.8 is caught with p = 1-(1-j²)^32 ≈ 1-6e-15, so verified
+  output equals the exact baseline on any realistic data while scaling
+  ~linearly. At 100 TB: run `exact` first so byte-identical copies don't
+  blow up LSH buckets.
+- simhash_dup_pairs: 64-bit SimHash from token hashes (all JVM-side bit
+  arithmetic), pigeonhole-blocked on 16-bit chunks: pairs within
+  hamming distance d≤3 must agree on ≥1 of 4 chunks.
+
+MinHash permutations come from ``xxhash64(seed_i, shingle)`` — fully
+deterministic, JVM-side, no Python RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, word_shingles
+
+NUM_HASHES = 64
+ROWS_PER_BAND = 2
+N_BANDS = NUM_HASHES // ROWS_PER_BAND
+SHINGLE_WORDS = 3
+
+
+def exact_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Exact dedup groups: content hash, group size, survivor doc_id."""
+    return (
+        docs.select(F.md5("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def doc_shingles(docs: DataFrame, n: int = SHINGLE_WORDS) -> DataFrame:
+    """(doc_id, shingles): distinct n-word shingles; docs shorter than n
+    tokens drop out (no shingles → not near-dup candidates)."""
+    # repartition: the test tables arrive as one parquet file -> one
+    # input partition; spread the (expensive) shingle/hash work across
+    # all cores. At cluster scale the source is already multi-split.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.repartition(par)
+        .select("doc_id", word_shingles(tokens("text"), n).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+
+
+def _jaccard(a: F.Column, b: F.Column) -> F.Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.round(inter / union, 6)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Exact all-pairs word-shingle Jaccard (quadratic baseline)."""
+    sh = doc_shingles(docs)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, h0..h{H-1}): min over shingles of xxhash64(i, shingle)."""
+    exploded = doc_shingles(docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def _band_buckets(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — one row per band."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.xxhash64(
+                    *[F.col(f"h{j * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                ).alias("band_hash"),
+            )
+            for j in range(N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")
+    )
+
+
+def minhash_lsh_dup_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard so the
+    output is (with the collision probability above) identical to
+    ``ngram_jaccard_pairs`` — but without the O(n²) pair join."""
+    sh = doc_shingles(docs)
+    buckets = _band_buckets(minhash_signatures(docs))
+    left = buckets.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
+    )
+    right = buckets.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
+    )
+    candidates = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+N_CHUNKS = 4
+CHUNK_BITS = 16
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash as 4x16-bit chunks (c0..c3), all JVM bit math.
+
+    Each token votes ±1 per bit position with weight 1; bit b of the
+    signature is 1 iff the vote sum is positive.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    tok = docs.repartition(par).select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tok = tok.withColumn("h", F.xxhash64("tok"))
+    bit_votes = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    votes = tok.groupBy("doc_id").agg(*bit_votes)
+    chunks = {
+        f"c{j}": sum(
+            (
+                F.when(F.col(f"s{j * CHUNK_BITS + i}") > 0, F.lit(1 << i)).otherwise(
+                    F.lit(0)
+                )
+                for i in range(CHUNK_BITS)
+            ),
+            F.lit(0),
+        ).cast("long")
+        for j in range(N_CHUNKS)
+    }
+    return votes.withColumns(chunks).select("doc_id", *chunks.keys())
+
+
+def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ max_hamming,
+    blocked by the pigeonhole principle on 16-bit chunks (d ≤ 3 < 4
+    chunks ⇒ at least one chunk matches exactly)."""
+    sig = simhash_signatures(docs)
+    chunk_arr = F.array(
+        *[
+            F.struct(F.lit(j).alias("chunk_idx"), F.col(f"c{j}").alias("chunk_val"))
+            for j in range(N_CHUNKS)
+        ]
+    )
+    blocked = sig.select("doc_id", "c0", "c1", "c2", "c3", F.explode(chunk_arr).alias("b")).select(
+        "doc_id", "c0", "c1", "c2", "c3",
+        F.col("b.chunk_idx").alias("chunk_idx"), F.col("b.chunk_val").alias("chunk_val"),
+    )
+    left = blocked.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"c{j}").alias(f"a{j}") for j in range(N_CHUNKS)],
+        "chunk_idx", "chunk_val",
+    )
+    right = blocked.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"c{j}").alias(f"b{j}") for j in range(N_CHUNKS)],
+        "chunk_idx", "chunk_val",
+    )
+    hamming = sum(
+        (F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}"))) for j in range(N_CHUNKS)),
+        F.lit(0),
+    ).cast("long")
+    return (
+        left.join(right, ["chunk_idx", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,44 @@
+"""Gap-based sessionization over the events stream (batch form).
+
+Pure window functions (lag → gap flag → running sum → groupBy), all
+JVM-side. One shuffle on user_id covers every window; the final
+per-session aggregation reuses the same partitioning, so at 100 TB this
+is a single repartition of the events table.
+
+Gap arithmetic uses integral epoch microseconds so the 30-minute
+boundary is exact in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.keys import money_sum
+
+DEFAULT_GAP_US = 30 * 60 * 1_000_000
+
+
+def sessionize(events: DataFrame, gap_us: int = DEFAULT_GAP_US) -> DataFrame:
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    ts_us = F.unix_micros("ts")
+    new_session = F.when(
+        F.lag(ts_us).over(w).isNull() | (ts_us - F.lag(ts_us).over(w) > gap_us), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        events.withColumn("session_idx", F.sum(new_session).over(run).cast("long"))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            money_sum(F.col("value")).alias("session_value"),
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias(
+                "duration_us"
+            ),
+        )
+    )

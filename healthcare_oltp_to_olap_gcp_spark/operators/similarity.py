@@ -1,0 +1,125 @@
+"""Embedding similarity search: brute-force cosine top-k (baseline),
+random-hyperplane LSH buckets (scale path), cosine near-dup pairs.
+
+Scale design (SURVEY §4): the brute-force path broadcasts the *query*
+set so the corpus side streams through without a shuffle — correct
+baseline at any corpus size, O(|Q|·n) compute. The LSH path buckets
+both sides on deterministic hyperplane sign bits so candidate
+generation is an equi-join on the bucket id; compute drops to
+O(n·k/2^bits) per query at some recall cost (measured in tests).
+
+Hyperplane weights are derived from md5 of (plane, dim) at plan-build
+time — deterministic across runs and engines, no RNG state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, dot, normalized
+
+DEFAULT_K = 10
+QUERY_MOD = 50  # vec_id % 50 == 0 → deterministic query subset
+# 4 planes → 16 buckets: sized so test-scale corpora keep ≥ k candidates
+# per bucket; a production deployment raises this with corpus size
+# (bits ≈ log2(n / target_bucket_size)).
+N_PLANES = 4
+
+
+def _par(df: DataFrame) -> int:
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
+def _queries(embeddings: DataFrame) -> DataFrame:
+    return embeddings.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), normalized(as_double("embedding")).alias("qv")
+    )
+
+
+def ann_brute_topk(embeddings: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+    """Exact top-k cosine neighbors for the deterministic query subset.
+    Query side broadcast; corpus never shuffles until the (tiny) top-k
+    window."""
+    corpus = embeddings.repartition(_par(embeddings)).select(
+        F.col("vec_id").alias("neighbor_id"), normalized(as_double("embedding")).alias("cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        corpus.join(F.broadcast(_queries(embeddings)), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(dot(F.col("qv"), F.col("cv")), 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-duplicate
+    detection). Quadratic baseline — the LSH bucketing below is the
+    scale path for the same predicate."""
+    a = embeddings.repartition(_par(embeddings)).select(
+        F.col("vec_id").alias("vec_a"), normalized(as_double("embedding")).alias("va")
+    )
+    b = embeddings.select(F.col("vec_id").alias("vec_b"), normalized(as_double("embedding")).alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", F.round(dot(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "sim")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int = N_PLANES) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1)^dim from md5."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane:{p}:{d}".encode()).digest()
+            row.append(int.from_bytes(h[:8], "big") / 2**63 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def _bucket(vec: F.Column, planes: list[list[float]]) -> F.Column:
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(w) for w in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i, plane in enumerate(planes)
+    ]
+    return sum(bits, F.lit(0)).cast("long")
+
+
+def ann_lsh_topk(embeddings: DataFrame, k: int = DEFAULT_K, dim: int = 64) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's
+    hyperplane-sign bucket, exact cosine rerank within it."""
+    planes = _hyperplanes(dim)
+    corpus = embeddings.repartition(_par(embeddings)).select(
+        F.col("vec_id").alias("neighbor_id"), normalized(as_double("embedding")).alias("cv")
+    ).withColumn("bucket", _bucket(F.col("cv"), planes))
+    qs = _queries(embeddings).withColumn("bucket", _bucket(F.col("qv"), planes))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        corpus.join(F.broadcast(qs), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(dot(F.col("qv"), F.col("cv")), 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -1,0 +1,140 @@
+"""Text analysis over the documents table: token stats, quality
+scoring, language-ID heuristic, fingerprints.
+
+Everything JVM-side via higher-order functions (SURVEY §4) except the
+winnowing fingerprint, which is an Arrow-batched Pandas UDF (rolling
+hashes are genuinely imperative).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..functions.text import (
+    DE_STOP,
+    EN_STOP,
+    ES_STOP,
+    FR_STOP,
+    cjk_count,
+    normalized,
+    punct_count,
+    stop_hits,
+    token_count,
+    tokens,
+)
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + char count per document."""
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.char_length("text").cast("long").alias("n_chars"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword-density quality signals."""
+    toks = tokens("text")
+    n_tok = F.size(toks).cast("long")
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.char_length(t)), F.lit(0), lambda a, v: a + v
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.char_length("text").cast("long").alias("n_chars"),
+        F.round(punct_count("text") / F.char_length("text").cast("double"), 6).alias(
+            "punct_ratio"
+        ),
+        F.round(stop_hits(toks, EN_STOP) / n_tok.cast("double"), 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(tok_chars / n_tok.cast("double"), 6).alias("avg_token_len"),
+    )
+
+
+def langid(docs: DataFrame) -> DataFrame:
+    """Deterministic language-ID heuristic: CJK char presence → zh,
+    otherwise argmax of per-language stopword hits (cascade order
+    en→de→fr→es breaks ties), else 'unknown'."""
+    toks = tokens("text")
+    hits = {
+        "en": stop_hits(toks, EN_STOP),
+        "de": stop_hits(toks, DE_STOP),
+        "fr": stop_hits(toks, FR_STOP),
+        "es": stop_hits(toks, ES_STOP),
+    }
+    d = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        cjk_count("text").alias("_cjk"),
+        *[v.alias(f"_h_{k}") for k, v in hits.items()],
+    )
+    h = {k: F.col(f"_h_{k}") for k in hits}
+    pred = (
+        F.when(F.col("_cjk") > 0, F.lit("zh"))
+        .when((h["en"] >= h["de"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["es"]) & (h["en"] > 0), F.lit("en"))
+        .when((h["de"] >= h["fr"]) & (h["de"] >= h["es"]) & (h["de"] > 0), F.lit("de"))
+        .when((h["fr"] >= h["es"]) & (h["fr"] > 0), F.lit("fr"))
+        .when(h["es"] > 0, F.lit("es"))
+        .otherwise(F.lit("unknown"))
+    )
+    return d.select("doc_id", "labeled_lang", pred.alias("pred_lang"))
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Normalized-content fingerprint: md5 of the canonical text form.
+    Catches dups that differ only in case/punctuation/whitespace."""
+    return docs.select(
+        "doc_id", F.md5(normalized("text")).alias("fp")
+    )
+
+
+WINNOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_grams", LongType()),
+        StructField("min_gram_hash", LongType()),
+    ]
+)
+
+_WINNOW_WINDOW = 4
+_GRAM = 5
+_MOD = (1 << 61) - 1
+_BASE = 257
+
+
+def _winnow_pdf(batches):
+    """Rolling-hash winnowing (Schleimer et al. 2003 style): k-gram
+    rolling hashes, min per sliding window → document sketch summary."""
+    for pdf in batches:
+        out = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            s = [ord(c) for c in str(text).lower()]
+            hashes = []
+            if len(s) >= _GRAM:
+                h = 0
+                power = pow(_BASE, _GRAM - 1, _MOD)
+                for i, c in enumerate(s):
+                    h = (h * _BASE + c) % _MOD
+                    if i >= _GRAM:
+                        h = (h - s[i - _GRAM] * power * _BASE) % _MOD
+                    if i >= _GRAM - 1:
+                        hashes.append(h)
+            sketch = [
+                min(hashes[i : i + _WINNOW_WINDOW])
+                for i in range(0, max(len(hashes) - _WINNOW_WINDOW + 1, 0))
+            ]
+            out.append(
+                (doc_id, len(sketch), min(sketch) if sketch else 0)
+            )
+        yield pd.DataFrame(out, columns=["doc_id", "n_grams", "min_gram_hash"])
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """Arrow-batched winnowing sketch summary per document."""
+    return docs.select("doc_id", "text").mapInPandas(_winnow_pdf, WINNOW_SCHEMA)

@@ -1,0 +1,348 @@
+"""DuckDB oracle SQL for every SQL-expressible query in api.QUERIES.
+
+The SQL is generated from the same constants (stopword lists,
+thresholds, cutoff dates) the Spark operators use, so the two sides
+cannot drift. Engine-semantics deltas that ARE accounted for:
+
+- DuckDB ``dayofweek`` is 0=Sunday, Spark is 1=Sunday → ``+1``;
+- DuckDB ``generate_series`` over dates yields timestamps → cast;
+- DuckDB regexp_replace needs the 'g' flag to replace globally;
+- DuckDB integer SUM returns HUGEINT → explicit BIGINT casts;
+- money aggregates: identical per-row DECIMAL(18,8) cast then exact
+  decimal SUM, cast to DOUBLE on both sides (see functions/keys.money_sum);
+- cosine similarity: the oracle mirrors the Spark fold
+  (dot/(sqrt(dot aa)*sqrt(dot bb))) via list_dot_product.
+
+Non-SQL-expressible ops (simhash/xxhash-based LSH internals, winnowing,
+hyperplane ANN) are deliberately absent → the driver applies its
+rows-only check. ``minhash_lsh_dup_pairs`` IS included: its verified
+output provably equals the exact n-gram Jaccard baseline at the 0.8
+threshold (recall 1-(1-j²)^32 ≈ 1-6e-15; everything is deterministic,
+and tests assert the equality at sf0.001 and sf0.01).
+"""
+
+from __future__ import annotations
+
+from .functions.text import DE_STOP, EN_STOP, ES_STOP, FR_STOP
+from .plans.analytics import Q1_CUTOFF, Q3_DATE, Q5_HI, Q5_LO
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# Deduplicated fact with derived star natural keys (plans/star.py).
+FACT_CTE = """
+fact AS (
+  SELECT *,
+    TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k,
+    'src' || CAST(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) % 5 AS VARCHAR) AS src,
+    CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid' ELSE 'high' END AS band
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts DESC) = 1
+)
+"""
+
+# Lowercased whitespace tokens, empties dropped (functions/text.tokens).
+TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+# Distinct 3-word shingles (functions/text.word_shingles).
+SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+      THEN list_distinct(list_transform(range(1, len(t) - 1),
+           i -> list_aggregate(t[i:i+2], 'string_agg', ' ')))
+      ELSE [] END AS s
+  FROM toks
+),
+shf AS (SELECT * FROM sh WHERE len(s) > 0)
+"""
+
+_DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(18,8))) AS DOUBLE)"
+
+
+def _dsum(expr: str) -> str:
+    return _DSUM.format(expr=expr)
+
+
+_JACCARD_PAIRS = f"""
+WITH {SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    ROUND(len(list_intersect(a.s, b.s)) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+  FROM shf a JOIN shf b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
+"""
+
+# Mirrors functions/vectors.normalized + dot: element-wise divide by the
+# vector norm once, then a single sequential-fold dot per pair.
+_NORM_CTE = """
+e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv FROM e0)
+"""
+
+_MON_BASE = """
+base AS (
+  SELECT ts, event_type AS job_name, value AS status_value,
+         event_type <> 'error' AS is_success, user_id, event_id
+  FROM events, (SELECT max(ts) AS m FROM events)
+  WHERE ts >= m - INTERVAL 7 DAY
+)
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    # --- star-schema ETL ---
+    "fact_events": f"WITH {FACT_CTE} SELECT event_id, ts, user_id, event_type, value, props, k, src, band FROM fact",
+    "dim_time": f"""
+WITH {FACT_CTE},
+bounds AS (SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM fact),
+days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS date_key FROM bounds)
+SELECT date_key,
+  CAST(strftime(date_key, '%Y%m%d') AS BIGINT) AS date_id,
+  CAST(EXTRACT(YEAR FROM date_key) AS BIGINT) AS year,
+  CAST(EXTRACT(QUARTER FROM date_key) AS BIGINT) AS quarter,
+  CAST(EXTRACT(MONTH FROM date_key) AS BIGINT) AS month,
+  monthname(date_key) AS month_name,
+  CAST(weekofyear(date_key) AS BIGINT) AS iso_week,
+  CAST(EXTRACT(DAY FROM date_key) AS BIGINT) AS day_of_month,
+  CAST(dayofweek(date_key) + 1 AS BIGINT) AS day_of_week,
+  dayname(date_key) AS day_name,
+  dayofweek(date_key) IN (0, 6) AS is_weekend
+FROM days
+""",
+    "dim_user": f"""
+WITH {FACT_CTE}
+SELECT sha256(CAST(user_id AS VARCHAR)) AS user_key, user_id,
+  MIN(CAST(ts AS DATE)) AS first_seen_date,
+  MAX(CAST(ts AS DATE)) AS last_seen_date,
+  CAST(COUNT(*) AS BIGINT) AS measurement_count
+FROM fact GROUP BY user_id
+""",
+    "dim_event_type": f"""
+WITH {FACT_CTE}
+SELECT sha256(event_type) AS event_type_key, event_type,
+  UPPER(LEFT(event_type, 1)) || SUBSTRING(event_type, 2) AS event_type_display
+FROM (SELECT DISTINCT event_type FROM fact)
+""",
+    "dim_band": f"WITH {FACT_CTE} SELECT sha256(band) AS band_key, band FROM (SELECT DISTINCT band FROM fact)",
+    "dim_source": f"WITH {FACT_CTE} SELECT sha256(src) AS source_key, src AS source FROM (SELECT DISTINCT src FROM fact)",
+    "fact_events_star": f"""
+WITH {FACT_CTE}
+SELECT sha256(CAST(user_id AS VARCHAR)) AS user_key,
+  sha256(event_type) AS event_type_key,
+  sha256(band) AS band_key,
+  sha256(src) AS source_key,
+  CAST(ts AS DATE) AS date_key,
+  event_id,
+  value AS measure_value,
+  ts
+FROM fact
+""",
+    "sanity_row_counts": f"""
+WITH {FACT_CTE}
+SELECT CAST((SELECT COUNT(*) FROM fact) AS BIGINT) AS fact_rows,
+       CAST((SELECT COUNT(*) FROM fact) AS BIGINT) AS star_rows
+""",
+    "sanity_missing_dims": f"""
+WITH {FACT_CTE},
+du AS (SELECT DISTINCT user_id, sha256(CAST(user_id AS VARCHAR)) AS user_key FROM fact),
+de AS (SELECT DISTINCT event_type, sha256(event_type) AS event_type_key FROM fact),
+db AS (SELECT DISTINCT band, sha256(band) AS band_key FROM fact),
+ds AS (SELECT DISTINCT src, sha256(src) AS source_key FROM fact)
+SELECT CAST(COUNT(*) AS BIGINT) AS rows_missing_any_dimension
+FROM fact
+LEFT JOIN du USING (user_id)
+LEFT JOIN de USING (event_type)
+LEFT JOIN db USING (band)
+LEFT JOIN ds USING (src)
+WHERE du.user_key IS NULL OR de.event_type_key IS NULL
+   OR db.band_key IS NULL OR ds.source_key IS NULL
+""",
+    # --- monitoring ---
+    "mon_executions": f"WITH {_MON_BASE} SELECT ts, job_name, status_value, is_success, user_id, event_id FROM base",
+    "mon_last_status": f"""
+WITH {_MON_BASE}
+SELECT ts AS last_event_ts, job_name, status_value AS last_status_value,
+       is_success AS last_is_success
+FROM base
+QUALIFY row_number() OVER (PARTITION BY job_name ORDER BY ts DESC, event_id DESC) = 1
+""",
+    "mon_daily_summary": f"""
+WITH {_MON_BASE}
+SELECT CAST(ts AS DATE) AS event_date, job_name,
+  CAST(COUNT(*) AS BIGINT) AS total_runs,
+  CAST(SUM(CASE WHEN is_success THEN 1 ELSE 0 END) AS BIGINT) AS success_runs,
+  CAST(SUM(CASE WHEN NOT is_success THEN 1 ELSE 0 END) AS BIGINT) AS failed_runs,
+  ROUND(SUM(CASE WHEN is_success THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS success_rate
+FROM base GROUP BY 1, 2
+""",
+    "mon_7d_summary": f"""
+WITH {_MON_BASE}
+SELECT job_name,
+  CAST(COUNT(*) AS BIGINT) AS runs_7d,
+  CAST(SUM(CASE WHEN is_success THEN 1 ELSE 0 END) AS BIGINT) AS success_7d,
+  ROUND(SUM(CASE WHEN is_success THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS success_rate_7d
+FROM base GROUP BY 1
+""",
+    "mon_errors": f"WITH {_MON_BASE} SELECT ts, job_name, status_value, user_id, event_id FROM base WHERE NOT is_success",
+    # --- warehouse analytics ---
+    "q1_pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+  {_dsum('l_quantity')} AS sum_qty,
+  {_dsum('l_extendedprice')} AS sum_base_price,
+  {_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "q3_top_revenue_orders": f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    "q5_revenue_by_nation": f"""
+SELECT n_name, {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '{Q5_LO} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{Q5_HI} 00:00:00'
+GROUP BY n_name
+""",
+    "top_customers_per_nation": f"""
+WITH spend AS (
+  SELECT o_custkey, {_dsum('o_totalprice')} AS spend FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT n_name, c_custkey, c_name, spend,
+    row_number() OVER (PARTITION BY n_name ORDER BY spend DESC, c_custkey) AS rn
+  FROM customer
+  JOIN spend ON c_custkey = o_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name, c_custkey, c_name, spend, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 3
+""",
+    "events_hourly": f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  {_dsum('value')} AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    "sessionize": f"""
+WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us FROM events),
+s AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+t AS (
+  SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM s
+)
+SELECT user_id, session_idx,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  MIN(ts) AS session_start,
+  MAX(ts) AS session_end,
+  {_dsum('value')} AS session_value,
+  CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+FROM t GROUP BY user_id, session_idx
+""",
+    # --- LLM-data-pipeline operators ---
+    "dedup_exact": """
+SELECT md5(text) AS fp, CAST(COUNT(*) AS BIGINT) AS dup_count,
+       MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1
+""",
+    "docs_fingerprint": """
+SELECT doc_id,
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+""",
+    "docs_token_stats": f"""
+SELECT doc_id,
+  CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+    "docs_quality": f"""
+WITH d AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  ROUND(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+  ROUND(len(list_filter(toks, x -> list_contains({_sql_list(EN_STOP)}, x))) / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+  ROUND(list_aggregate(list_transform(toks, x -> length(x)), 'sum') / CAST(len(toks) AS DOUBLE), 6) AS avg_token_len
+FROM d
+""",
+    "docs_langid": f"""
+WITH d AS (
+  SELECT doc_id, lang AS labeled_lang,
+    length(text) - length(regexp_replace(text, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS cjk,
+    len(list_filter({TOKS}, x -> list_contains({_sql_list(EN_STOP)}, x))) AS h_en,
+    len(list_filter({TOKS}, x -> list_contains({_sql_list(DE_STOP)}, x))) AS h_de,
+    len(list_filter({TOKS}, x -> list_contains({_sql_list(FR_STOP)}, x))) AS h_fr,
+    len(list_filter({TOKS}, x -> list_contains({_sql_list(ES_STOP)}, x))) AS h_es
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+  CASE WHEN cjk > 0 THEN 'zh'
+       WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en > 0 THEN 'en'
+       WHEN h_de >= h_fr AND h_de >= h_es AND h_de > 0 THEN 'de'
+       WHEN h_fr >= h_es AND h_fr > 0 THEN 'fr'
+       WHEN h_es > 0 THEN 'es'
+       ELSE 'unknown' END AS pred_lang
+FROM d
+""",
+    "ngram_dup_pairs": _JACCARD_PAIRS,
+    # LSH output is verified with exact Jaccard → equals the baseline
+    # (deterministic; recall deficit ≈ 6e-15, asserted in tests).
+    "minhash_lsh_dup_pairs": _JACCARD_PAIRS,
+    "embedding_neardup_pairs": f"""
+WITH {_NORM_CTE},
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(list_dot_product(a.nv, b.nv), 6) AS sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.95
+""",
+    "ann_topk": f"""
+WITH {_NORM_CTE},
+q AS (SELECT vec_id, nv FROM e WHERE vec_id % 50 = 0),
+s AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.nv, e.nv), 6) AS sim
+  FROM q JOIN e ON e.vec_id <> q.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+  FROM s
+)
+SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 10
+""",
+    "multimodal_meta": """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  lower(LEFT(hex(encode(text)), 8)) AS header_hex
+FROM documents
+""",
+}

@@ -1,0 +1,120 @@
+"""Warehouse analytics — the OLAP query surface the star schema serves.
+
+The reference's warehouse exists to answer analytical queries over the
+star (BigQuery + Looker, README "Views Hooked to Looker Studio"); these
+are the equivalent headline queries over the driver's TPC-H-ish tables,
+each chosen to exercise one physical pattern that matters at 100 TB:
+
+- q1: full-scan aggregation with predicate pushdown + partial agg
+- q3: selective dim filter → fact join → top-k
+- q5: 6-way snowflake join with broadcast dims
+- top_customers_per_nation: window rank per group
+- events_hourly: tumbling-window aggregation (batch form)
+
+Money aggregates use exact DECIMAL sums (functions/keys.money_sum) so
+results are independent of partitioning and order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.keys import money_sum
+
+Q1_CUTOFF = "2001-09-02"
+Q3_DATE = "1998-06-01"
+Q5_LO, Q5_HI = "1996-01-01", "1997-01-01"
+
+
+def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """Pricing summary (TPC-H Q1 shape). The shipdate filter reaches the
+    parquet scan as a pushed filter; aggregation is map-side partial."""
+    li = lineitem.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum(F.col("l_quantity")).alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(charge).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_top_revenue_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Top unshipped-revenue orders (Q3 shape): selective dimension
+    filter broadcast against the fact; deterministic top-10."""
+    cust = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ords = orders.filter(F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp"))
+    li = lineitem.filter(F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+        .join(F.broadcast(cust), ords["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money_sum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_revenue_by_nation(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Local-supplier revenue per nation (Q5 shape). Every dimension is
+    broadcast; the only shuffle is the lineitem⋈orders join + final agg."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dims = (
+        customer.join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              nation["n_regionkey"] == region["r_regionkey"])
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(Q5_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_HI).cast("timestamp"))
+    )
+    return (
+        lineitem.join(ords, lineitem["l_orderkey"] == ords["o_orderkey"])
+        .join(F.broadcast(dims), ords["o_custkey"] == dims["c_custkey"])
+        .join(
+            F.broadcast(supplier),
+            (lineitem["l_suppkey"] == supplier["s_suppkey"])
+            & (supplier["s_nationkey"] == dims["c_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(money_sum(revenue).alias("revenue"))
+    )
+
+
+def top_customers_per_nation(customer: DataFrame, orders: DataFrame, nation: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k customers by order spend within each nation (window rank)."""
+    spend = orders.groupBy("o_custkey").agg(money_sum(F.col("o_totalprice")).alias("spend"))
+    w = Window.partitionBy("n_name").orderBy(F.col("spend").desc(), F.col("c_custkey"))
+    return (
+        customer.join(spend, customer["c_custkey"] == spend["o_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .select("n_name", "c_custkey", "c_name", "spend")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def events_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour aggregation (batch form of the streaming window;
+    see streaming/pipeline.py for the readStream form)."""
+    return events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        money_sum(F.col("value")).alias("sum_value"),
+    )

@@ -1,0 +1,40 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32); on a
+real cluster the same confs apply, with ``spark.sql.shuffle.partitions``
+raised to ~2-3x total executor cores. AQE is on so shuffle partition
+counts and skew handling re-plan at runtime, which is what makes the
+same code hold from sf0.001 up to 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "hc-olap-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = shuffle_partitions or cpus
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: runtime coalescing, skew-join splitting, join-strategy swap.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        # Arrow for the few Pandas-UDF operators (multimodal, winnowing).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic date/timestamp math across engines (DuckDB oracle
+        # works on naive timestamps).
+        .config("spark.sql.session.timeZone", "UTC")
+        # The driver test data stores TIMESTAMP(NANOS) parquet, which the
+        # vectorized reader rejects; read as epoch-nanos longs and convert
+        # in catalog.table (truncation to micros — same as DuckDB).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

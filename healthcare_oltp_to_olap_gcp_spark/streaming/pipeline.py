@@ -1,0 +1,84 @@
+"""Structured Streaming form of the ingest → dedup → windowed-agg
+pipeline.
+
+The reference drips one row per minute via FastAPI + Cloud Scheduler
+and batch-replicates on a cadence. The Spark-native stream treats the
+events parquet directory as a file source (``readStream`` with
+``availableNow`` in tests; continuous micro-batches in production),
+watermarks on event time, drops replication duplicates inside the
+watermark, and maintains the tumbling hourly aggregate incrementally —
+the streaming twin of plans/analytics.events_hourly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over an events parquet directory (streams must
+    declare their schema up front)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(events_dir)
+    )
+
+
+def hourly_agg_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked, dedup'd tumbling hourly aggregate.
+
+    - watermark bounds state for late data;
+    - dropDuplicates on event_id inside the watermark = the streaming
+      form of the reference's overlap-dedup (bq_fact_vitals.sql);
+    - window() agg maintains per-hour partial state incrementally.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicates(["event_id"])
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,8)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(agg: DataFrame, query_name: str = "hourly_agg") -> DataFrame:
+    """Drain everything currently available into a memory sink and
+    return the result as a batch DataFrame (test/verification mode)."""
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q.sparkSession.table(query_name)

@@ -1,0 +1,37 @@
+"""The main correctness gate: every oracle-backed query hash-matches
+its DuckDB oracle (mirrors the driver's CORRECTNESS check)."""
+
+from __future__ import annotations
+
+import pytest
+
+from healthcare_oltp_to_olap_gcp_spark.oracles import ORACLE_SQL
+
+from .conftest import SF001, SF01
+from .helpers import assert_parity
+
+ALL = sorted(ORACLE_SQL)
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_parity_sf001(spark, name):
+    assert_parity(spark, name, SF001)
+
+
+# The driver gate runs at sf0.01 — spot-check the queries whose
+# semantics could diverge with more data (LSH recall, windows, topk).
+SF01_KEYS = [
+    "minhash_lsh_dup_pairs",
+    "ngram_dup_pairs",
+    "ann_topk",
+    "sessionize",
+    "dim_time",
+    "mon_daily_summary",
+    "q1_pricing_summary",
+]
+
+
+@pytest.mark.sf01
+@pytest.mark.parametrize("name", SF01_KEYS)
+def test_parity_sf01(spark, name):
+    assert_parity(spark, name, SF01)
