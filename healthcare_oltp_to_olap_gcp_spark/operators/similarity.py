@@ -107,13 +107,21 @@ def _bucket(vec: F.Column, planes: list[list[float]]) -> F.Column:
 
 
 def ann_lsh_topk(embeddings: DataFrame, k: int = DEFAULT_K, dim: int = 64) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's
-    hyperplane-sign bucket, exact cosine rerank within it."""
+    """Approximate top-k with multi-probe LSH: each query probes its own
+    hyperplane-sign bucket plus every 1-bit-flip neighbor bucket (the
+    planes a near neighbor most likely disagrees on), then exact cosine
+    rerank within the candidate set. Probing multiplies query-side rows
+    by (1 + n_planes) — cheap, since queries are the broadcast side —
+    while recall jumps vs single-bucket LSH."""
     planes = _hyperplanes(dim)
     corpus = embeddings.repartition(_par(embeddings)).select(
         F.col("vec_id").alias("neighbor_id"), normalized(as_double("embedding")).alias("cv")
     ).withColumn("bucket", _bucket(F.col("cv"), planes))
-    qs = _queries(embeddings).withColumn("bucket", _bucket(F.col("qv"), planes))
+    base = _queries(embeddings).withColumn("bucket", _bucket(F.col("qv"), planes))
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(len(planes))]
+    )
+    qs = base.select("query_id", "qv", F.explode(probes).alias("bucket"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         corpus.join(F.broadcast(qs), "bucket")

@@ -73,6 +73,7 @@ def hourly_agg_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFram
 def run_available_now(agg: DataFrame, query_name: str = "hourly_agg") -> DataFrame:
     """Drain everything currently available into a memory sink and
     return the result as a batch DataFrame (test/verification mode)."""
+    session = agg.sparkSession
     q = (
         agg.writeStream.format("memory")
         .queryName(query_name)
@@ -81,4 +82,4 @@ def run_available_now(agg: DataFrame, query_name: str = "hourly_agg") -> DataFra
         .start()
     )
     q.awaitTermination()
-    return q.sparkSession.table(query_name)
+    return session.table(query_name)
