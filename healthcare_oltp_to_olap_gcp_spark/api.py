@@ -13,7 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import table
-from .operators import dedup, multimodal, sessionize, similarity, textquality
+from .operators import asof, dedup, multimodal, sessionize, similarity, textquality
 from .plans import analytics, monitoring, star
 
 
@@ -66,7 +66,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         table(s, d, "customer"), table(s, d, "orders"), table(s, d, "nation")
     ),
     "events_hourly": lambda s, d: analytics.events_hourly(table(s, d, "events")),
+    "events_rollup": lambda s, d: analytics.events_rollup(table(s, d, "events")),
+    "events_pivot": lambda s, d: analytics.events_pivot(table(s, d, "events")),
+    "distinct_users_by_type": lambda s, d: analytics.distinct_users_by_type(
+        table(s, d, "events")
+    ),
+    "approx_distinct_users": lambda s, d: analytics.approx_distinct_users(
+        table(s, d, "events")
+    ),
+    "value_percentiles": lambda s, d: analytics.value_percentiles(
+        table(s, d, "events")
+    ),
     "sessionize": lambda s, d: sessionize.sessionize(table(s, d, "events")),
+    "asof_last_view_before_purchase": lambda s, d: asof.asof_last_view_before_purchase(
+        table(s, d, "events")
+    ),
+    "scd2_user_band": lambda s, d: asof.scd2_user_band(table(s, d, "events")),
     # --- LLM-data-pipeline operators ---
     "dedup_exact": lambda s, d: dedup.exact_dedup_stats(table(s, d, "documents")),
     "docs_fingerprint": lambda s, d: textquality.fingerprints(table(s, d, "documents")),
@@ -87,6 +102,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         multimodal.attach_payload(table(s, d, "documents"))
     ),
     "winnow_fingerprint": lambda s, d: textquality.winnow_fingerprints(
+        table(s, d, "documents")
+    ),
+    "token_freq": lambda s, d: textquality.token_freq(table(s, d, "documents")),
+    "tfidf_top_terms": lambda s, d: textquality.tfidf_top_terms(
         table(s, d, "documents")
     ),
 }

@@ -94,6 +94,50 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+def token_freq(docs: DataFrame) -> DataFrame:
+    """Corpus-wide token frequency table (the wordcount of LLM-data
+    pipelines): total occurrences + document frequency per token.
+    One explode + one shuffle; partial aggregation does the heavy
+    lifting map-side."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    tok = docs.repartition(par).select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    return tok.groupBy("term").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf * ln((N+1)/(df+1)),
+    deterministic tiebreak on the term."""
+    from pyspark.sql import Window
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    tok = docs.repartition(par).select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1).cast("double")),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", F.col("tf").cast("long").alias("tf"), "score", "rank")
+    )
+
+
 WINNOW_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

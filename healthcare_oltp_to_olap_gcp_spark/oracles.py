@@ -246,6 +246,59 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
   {_dsum('value')} AS sum_value
 FROM events GROUP BY 1, 2
 """,
+    "events_rollup": f"""
+SELECT CAST(ts AS DATE) AS event_date, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  {_dsum('value')} AS sum_value
+FROM events GROUP BY ROLLUP(CAST(ts AS DATE), event_type)
+""",
+    "events_pivot": """
+SELECT CAST(ts AS DATE) AS event_date,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY 1
+""",
+    "distinct_users_by_type": """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""",
+    "value_percentiles": """
+SELECT event_type,
+  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+  ROUND(quantile_cont(value, 0.9), 4) AS p90,
+  ROUND(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+""",
+    "asof_last_view_before_purchase": """
+WITH e AS (
+  SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS us,
+    MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) AS last_view_us
+  FROM events
+)
+SELECT event_id, user_id, ts, last_view_us FROM e WHERE event_type = 'purchase'
+""",
+    "scd2_user_band": """
+WITH t AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+    CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid' ELSE 'high' END AS band
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(band) OVER w IS NULL OR lag(band) OVER w <> band
+                 THEN 1 ELSE 0 END AS changed
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+runs AS (SELECT * FROM flagged WHERE changed = 1)
+SELECT user_id, band, ts AS valid_from,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to
+FROM runs
+""",
     "sessionize": f"""
 WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us FROM events),
 s AS (
@@ -338,6 +391,28 @@ r AS (
   FROM s
 )
 SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 10
+""",
+    "token_freq": f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM tok GROUP BY term
+""",
+    "tfidf_top_terms": f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+    ROUND(tf.tf * ln((n.n_docs + 1) / CAST(df.df + 1 AS DOUBLE)), 6) AS score
+  FROM tf JOIN df USING (term), n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, score, CAST(rn AS BIGINT) AS rank FROM ranked WHERE rn <= 3
 """,
     "multimodal_meta": """
 SELECT doc_id,

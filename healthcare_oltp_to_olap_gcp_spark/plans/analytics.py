@@ -109,6 +109,65 @@ def top_customers_per_nation(customer: DataFrame, orders: DataFrame, nation: Dat
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_rollup(events: DataFrame) -> DataFrame:
+    """ROLLUP aggregation: per (day, type), per day, and grand total in
+    one pass (partial aggregation handles all grouping sets)."""
+    return events.rollup(
+        F.to_date("ts").alias("event_date"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n_events"),
+        money_sum(F.col("value")).alias("sum_value"),
+    )
+
+
+def events_pivot(events: DataFrame) -> DataFrame:
+    """Pivot event types into columns (wide daily activity matrix)."""
+    p = (
+        events.groupBy(F.to_date("ts").alias("event_date"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    return p.select(
+        "event_date",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+def distinct_users_by_type(events: DataFrame) -> DataFrame:
+    """Exact distinct-user counts per event type (the exact twin of
+    ``approx_distinct_users``)."""
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+def approx_distinct_users(events: DataFrame) -> DataFrame:
+    """HyperLogLog++ distinct counts — the 100 TB path, where exact
+    COUNT(DISTINCT) would shuffle every key. No SQL oracle (sketch
+    algorithms differ per engine); correctness is bounded-error vs the
+    exact twin, asserted in tests."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact p50/p90/p99 of value per event type. Exact percentile
+    sorts within each group — fine for low-cardinality groups; at
+    100 TB swap in approx_percentile (t-digest) for one-pass behavior."""
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
 def events_hourly(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour aggregation (batch form of the streaming window;
     see streaming/pipeline.py for the readStream form)."""

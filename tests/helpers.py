@@ -23,7 +23,7 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 
 
 def _canon(v) -> str:
-    if v is None:
+    if v is None or v is pd.NaT:
         return "NULL"
     if isinstance(v, (float, np.floating)):
         if math.isnan(v):

@@ -80,3 +80,13 @@ def test_winnow_deterministic_nonempty(spark):
     assert a == b
     # normalize() sorts columns by name: (doc_id, min_gram_hash, n_grams)
     assert all(int(n) > 0 for _, _, n in a)  # docs ≥ 44 chars → non-empty sketch
+
+
+def test_approx_distinct_within_error(spark):
+    from healthcare_oltp_to_olap_gcp_spark.plans import analytics
+
+    events = table(spark, SF001, "events")
+    exact = {r.event_type: r.n_users for r in analytics.distinct_users_by_type(events).collect()}
+    approx = {r.event_type: r.approx_users for r in analytics.approx_distinct_users(events).collect()}
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(2, 0.05 * n), (t, approx[t], n)
