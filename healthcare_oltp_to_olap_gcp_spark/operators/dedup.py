@@ -7,19 +7,20 @@ Design (SURVEY §4):
 - ngram_jaccard_pairs: exact quadratic baseline used to validate LSH on
   small data and as the verified-correctness oracle. O(n²) — never run
   this at 100 TB; it exists so the LSH path has ground truth.
-- minhash_lsh_dup_pairs: explode shingles → one shuffle for the 64-perm
+- minhash_lsh_dup_pairs: explode shingles → one shuffle for the 32-perm
   signature, one for band buckets; only bucket-colliding candidates pay
-  the exact-Jaccard verification. With r=2 rows/band, b=32 bands a true
-  pair at j≥0.8 is caught with p = 1-(1-j²)^32 ≈ 1-6e-15, so verified
+  the exact-Jaccard verification. With r=2 rows/band, b=16 bands a true
+  pair at j≥0.8 is caught with p = 1-(1-j²)^16 ≈ 1-8e-8, so verified
   output equals the exact baseline on any realistic data while scaling
-  ~linearly. At 100 TB: run `exact` first so byte-identical copies don't
+  ~linearly (asserted deterministically by tests at both test SFs). At 100 TB: run `exact` first so byte-identical copies don't
   blow up LSH buckets.
 - simhash_dup_pairs: 64-bit SimHash from token hashes (all JVM-side bit
   arithmetic), pigeonhole-blocked on 16-bit chunks: pairs within
   hamming distance d≤3 must agree on ≥1 of 4 chunks.
 
-MinHash permutations come from ``xxhash64(seed_i, shingle)`` — fully
-deterministic, JVM-side, no Python RNG.
+MinHash permutations come from one base ``xxhash64(shingle)`` composed
+with md5-derived affine transforms mod 2^31-1 — fully deterministic,
+JVM-side, no Python RNG.
 """
 
 from __future__ import annotations
@@ -29,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens, word_shingles
 
-NUM_HASHES = 64
+NUM_HASHES = 32
 ROWS_PER_BAND = 2
 N_BANDS = NUM_HASHES // ROWS_PER_BAND
 SHINGLE_WORDS = 3
@@ -48,13 +49,19 @@ def doc_shingles(docs: DataFrame, n: int = SHINGLE_WORDS) -> DataFrame:
     """(doc_id, shingles): distinct n-word shingles; docs shorter than n
     tokens drop out (no shingles → not near-dup candidates)."""
     # repartition: the test tables arrive as one parquet file -> one
-    # input partition; spread the (expensive) shingle/hash work across
-    # all cores. At cluster scale the source is already multi-split.
+    # input partition; spread the (expensive) shingle work across all
+    # cores. At cluster scale the source is already multi-split.
+    #
+    # The short-doc filter must use the cheap token-count predicate, not
+    # size(shingles): a predicate over the shingle column gets pushed
+    # below the repartition by Catalyst, dragging the whole shingle
+    # computation into the single-task scan stage.
     par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = tokens("text")
     return (
-        docs.repartition(par)
-        .select("doc_id", word_shingles(tokens("text"), n).alias("shingles"))
-        .filter(F.size("shingles") > 0)
+        docs.filter(F.size(toks) >= n)
+        .repartition(par)
+        .select("doc_id", word_shingles(toks, n).alias("shingles"))
     )
 
 
@@ -77,14 +84,45 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
-    """(doc_id, h0..h{H-1}): min over shingles of xxhash64(i, shingle)."""
-    exploded = doc_shingles(docs).select(
-        "doc_id", F.explode("shingles").alias("shingle")
+MERSENNE_31 = (1 << 31) - 1
+
+
+def _affine_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash family
+    h_i(x) = (a_i * x + b_i) mod p — derived from md5, no RNG state."""
+    import hashlib
+
+    coeffs = []
+    for i in range(num_hashes):
+        da = hashlib.md5(f"minhash:a:{i}".encode()).digest()
+        db = hashlib.md5(f"minhash:b:{i}".encode()).digest()
+        a = int.from_bytes(da[:4], "big") % (MERSENNE_31 - 1) + 1
+        b = int.from_bytes(db[:4], "big") % MERSENNE_31
+        coeffs.append((a, b))
+    return coeffs
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = NUM_HASHES, shingles: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, h0..h{H-1}): min over shingles of the i-th universal
+    hash applied to ONE base xxhash64 per shingle — hashing the string
+    once and permuting with cheap affine transforms mod 2^31-1 instead
+    of running num_hashes string hashes per shingle (products stay
+    < 2^62, so the arithmetic is overflow-safe under ANSI mode)."""
+    sh = shingles if shingles is not None else doc_shingles(docs)
+    exploded = (
+        sh.select("doc_id", F.explode("shingles").alias("shingle"))
+        .select(
+            "doc_id",
+            F.pmod(F.xxhash64(F.col("shingle")), F.lit(MERSENNE_31)).alias("h"),
+        )
     )
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_31))).alias(
+            f"h{i}"
+        )
+        for i, (a, b) in enumerate(_affine_coeffs(num_hashes))
     ]
     return exploded.groupBy("doc_id").agg(*aggs)
 
@@ -110,9 +148,13 @@ def _band_buckets(sig: DataFrame) -> DataFrame:
 def minhash_lsh_dup_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard so the
     output is (with the collision probability above) identical to
-    ``ngram_jaccard_pairs`` — but without the O(n²) pair join."""
-    sh = doc_shingles(docs)
-    buckets = _band_buckets(minhash_signatures(docs))
+    ``ngram_jaccard_pairs`` — but without the O(n²) pair join.
+
+    The shingle table feeds three consumers (signatures + both sides of
+    the verification join) — persist it so the scan/shingle work runs
+    once; MEMORY_AND_DISK default spills gracefully at scale."""
+    sh = doc_shingles(docs).persist()
+    buckets = _band_buckets(minhash_signatures(docs, shingles=sh))
     left = buckets.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
     )
