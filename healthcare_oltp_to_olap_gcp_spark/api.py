@@ -13,7 +13,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import table
-from .operators import asof, dedup, multimodal, sessionize, similarity, textquality
+from .operators import (
+    asof,
+    dedup,
+    merge,
+    multimodal,
+    sessionize,
+    similarity,
+    textquality,
+)
 from .plans import analytics, monitoring, star
 
 
@@ -62,6 +70,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         table(s, d, "orders"),
         table(s, d, "lineitem"),
     ),
+    "q4_order_priority": lambda s, d: analytics.q4_order_priority(
+        table(s, d, "orders"), table(s, d, "lineitem")
+    ),
+    "customers_without_orders": lambda s, d: analytics.customers_without_orders(
+        table(s, d, "customer"), table(s, d, "orders")
+    ),
+    "merge_upsert_events": lambda s, d: merge.merge_upsert_events(
+        table(s, d, "events")
+    ),
+    "validate_events": lambda s, d: merge.validate_events(table(s, d, "events")),
     "top_customers_per_nation": lambda s, d: analytics.top_customers_per_nation(
         table(s, d, "customer"), table(s, d, "orders"), table(s, d, "nation")
     ),
@@ -92,6 +110,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_dup_pairs": lambda s, d: dedup.minhash_lsh_dup_pairs(
         table(s, d, "documents")
     ),
+    "dedup_components": lambda s, d: dedup.dedup_components(table(s, d, "documents")),
     "simhash_dup_pairs": lambda s, d: dedup.simhash_dup_pairs(table(s, d, "documents")),
     "embedding_neardup_pairs": lambda s, d: similarity.embedding_neardup_pairs(
         table(s, d, "embeddings")

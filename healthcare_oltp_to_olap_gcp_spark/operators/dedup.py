@@ -178,6 +178,66 @@ def minhash_lsh_dup_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     )
 
 
+def dedup_components(docs: DataFrame, threshold: float = 0.8, max_iters: int = 20) -> DataFrame:
+    """Connected components of the near-duplicate graph: every document
+    labeled with the smallest doc_id reachable through verified
+    near-dup pairs (the canonical survivor of its duplicate cluster).
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds. Each round is one join + one groupBy
+    (both shuffling on doc_id); the driver only checks a scalar
+    convergence count — no data ever collects to the driver. Label
+    tables are persisted per round and the loop is capped.
+    """
+    pairs = minhash_lsh_dup_pairs(docs, threshold).select("doc_a", "doc_b")
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("doc_a").alias("doc_id")).distinct()
+    )
+    labels = nodes.withColumn("label", F.col("doc_id")).persist()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"), F.col("label").alias("nl")
+                ),
+                "doc_b",
+            )
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("nl").alias("neighbor_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("neighbor_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("component"))
+
+
 N_CHUNKS = 4
 CHUNK_BITS = 16
 

@@ -1,0 +1,75 @@
+"""CDC merge-upsert and data-validation operators.
+
+``merge_upsert`` is the engine's MERGE INTO: updates win over existing
+rows on the key, implemented as union + keyed row_number (one shuffle,
+no join fan-out) — the same plan a Delta/Iceberg MERGE lowers to for
+whole-row upserts. The reference achieves idempotent re-delivery the
+same way (newest created_at wins, sql/bq_fact_vitals.sql).
+
+``validate_events`` is the expectations gate a pipeline runs before
+publishing a batch: each rule is a conditional aggregate, all rules in
+one pass over the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(existing: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """Rows from ``updates`` replace same-key rows in ``existing``;
+    unmatched update rows insert. Columns must align."""
+    tagged = updates.withColumn("_prio", F.lit(0)).unionByName(
+        existing.withColumn("_prio", F.lit(1))
+    )
+    w = Window.partitionBy(key).orderBy("_prio")
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_prio", "_rn")
+    )
+
+
+def simulated_updates(events: DataFrame) -> DataFrame:
+    """Deterministic CDC batch for tests/oracles: every 10th event gets
+    its value bumped by 1000."""
+    return events.filter(F.col("event_id") % 10 == 0).withColumn(
+        "value", F.col("value") + 1000
+    )
+
+
+def merge_upsert_events(events: DataFrame) -> DataFrame:
+    return merge_upsert(events, simulated_updates(events), "event_id")
+
+
+# (rule name, boolean violation predicate) — single source for Spark and
+# the SQL oracle.
+EVENT_RULES = (
+    ("value_in_range", "value < 0 OR value > 10000 OR value IS NULL"),
+    ("ts_not_null", "ts IS NULL"),
+    (
+        "known_event_type",
+        "event_type NOT IN ('click','error','purchase','signup','view')",
+    ),
+    ("props_has_k", "props NOT LIKE '%\"k\":%'"),
+)
+
+
+def validate_events(events: DataFrame) -> DataFrame:
+    """One row per expectation rule with its violation count (all rules
+    evaluated in a single scan)."""
+    aggs = [
+        F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("long").alias(name)
+        for name, pred in EVENT_RULES
+    ]
+    wide = events.agg(*aggs)
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(name).alias("rule"), F.col(name).alias("n_violations"))
+                for name, _ in EVENT_RULES
+            ]
+        )
+    )
+    return wide.select(stacked.alias("r")).select("r.rule", "r.n_violations")

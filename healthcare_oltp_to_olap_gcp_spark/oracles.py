@@ -24,6 +24,7 @@ and tests assert the equality at sf0.001 and sf0.01).
 from __future__ import annotations
 
 from .functions.text import DE_STOP, EN_STOP, ES_STOP, FR_STOP
+from .operators.merge import EVENT_RULES
 from .plans.analytics import Q1_CUTOFF, Q3_DATE, Q5_HI, Q5_LO
 
 
@@ -226,6 +227,38 @@ WHERE r_name = 'ASIA'
   AND o_orderdate < TIMESTAMP '{Q5_HI} 00:00:00'
 GROUP BY n_name
 """,
+    "q4_order_priority": f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{Q5_LO} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{Q5_HI} 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+""",
+    "customers_without_orders": """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    "merge_upsert_events": """
+WITH updates AS (
+  SELECT event_id, ts, user_id, event_type, value + 1000 AS value, props
+  FROM events WHERE event_id % 10 = 0
+),
+tagged AS (
+  SELECT event_id, ts, user_id, event_type, value, props, 0 AS prio FROM updates
+  UNION ALL
+  SELECT event_id, ts, user_id, event_type, value, props, 1 AS prio FROM events
+)
+SELECT event_id, ts, user_id, event_type, value, props FROM tagged
+QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY prio) = 1
+""",
+    "validate_events": "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS rule, CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM events"
+        for name, pred in EVENT_RULES
+    ),
     "top_customers_per_nation": f"""
 WITH spend AS (
   SELECT o_custkey, {_dsum('o_totalprice')} AS spend FROM orders GROUP BY o_custkey
@@ -367,8 +400,25 @@ FROM d
 """,
     "ngram_dup_pairs": _JACCARD_PAIRS,
     # LSH output is verified with exact Jaccard → equals the baseline
-    # (deterministic; recall deficit ≈ 6e-15, asserted in tests).
+    # (deterministic; recall deficit ≈ 8e-8, asserted in tests).
     "minhash_lsh_dup_pairs": _JACCARD_PAIRS,
+    "dedup_components": f"""
+WITH RECURSIVE {SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    ROUND(len(list_intersect(a.s, b.s)) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+  FROM shf a JOIN shf b ON a.doc_id < b.doc_id
+),
+dup AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.8),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM dup UNION SELECT doc_b, doc_a FROM dup),
+nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+""",
     "embedding_neardup_pairs": f"""
 WITH {_NORM_CTE},
 p AS (

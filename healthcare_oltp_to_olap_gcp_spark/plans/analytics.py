@@ -109,6 +109,31 @@ def top_customers_per_nation(customer: DataFrame, orders: DataFrame, nation: Dat
     )
 
 
+def q4_order_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Order-priority counts for orders with at least one late-shipped
+    line (TPC-H Q4 shape): LEFT SEMI join — the fact is filtered by
+    existence, never widened, so no fan-out at scale."""
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(Q5_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_HI).cast("timestamp"))
+    )
+    cond = (F.col("o_orderkey") == F.col("l_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate")
+    )
+    return (
+        ords.join(lineitem, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Customers that never ordered: LEFT ANTI join (NOT EXISTS)."""
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 

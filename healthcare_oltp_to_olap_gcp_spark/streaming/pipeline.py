@@ -70,6 +70,61 @@ def hourly_agg_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFram
     )
 
 
+RUNNING_OUTPUT_SCHEMA = "user_id long, total_events long, total_value double"
+RUNNING_STATE_SCHEMA = "total_events long, total_value double"
+
+
+def _running_totals(key, pdf_iter, state):
+    """Custom stateful operator body: per-user running totals carried in
+    GroupState across micro-batches (Arrow-batched)."""
+    import pandas as pd
+
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "total_events": [n],
+            "total_value": [round(total, 4)],
+        }
+    )
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Arbitrary stateful processing (applyInPandasWithState): running
+    per-user event counts/values that survive across micro-batches —
+    the custom-stateful-operator escape hatch for semantics windowed
+    aggregation can't express."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _running_totals,
+        RUNNING_OUTPUT_SCHEMA,
+        RUNNING_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now_update(df: DataFrame, query_name: str) -> DataFrame:
+    """Drain to a memory sink in update mode (required for stateful
+    operators); returns every emitted update row."""
+    session = df.sparkSession
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return session.table(query_name)
+
+
 def run_available_now(agg: DataFrame, query_name: str = "hourly_agg") -> DataFrame:
     """Drain everything currently available into a memory sink and
     return the result as a batch DataFrame (test/verification mode)."""

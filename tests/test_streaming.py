@@ -62,3 +62,47 @@ def test_stream_dedups_replayed_file(spark, tmp_path):
     got = pipeline.run_available_now(pipeline.hourly_agg_stream(stream), "t_hourly2")
     want = events_hourly(table(spark, SF001, "events"))
     assert normalize(got.toPandas()) == normalize(want.toPandas())
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    # Two disjoint halves -> two micro-batches; state must carry totals
+    # across batches so the final update per user equals the batch agg.
+    import glob
+
+    from pyspark.sql import functions as F
+
+    events = table(spark, SF001, "events")
+    src = tmp_path / "events_state"
+    src.mkdir()
+    for i, half in enumerate(
+        (events.filter(F.col("event_id") < 500), events.filter(F.col("event_id") >= 500))
+    ):
+        out_dir = tmp_path / f"half{i}"
+        half.coalesce(1).write.parquet(str(out_dir))
+        shutil.copy(glob.glob(f"{out_dir}/part-*.parquet")[0], src / f"batch-{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(pipeline.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = pipeline.run_available_now_update(
+        pipeline.running_user_totals(stream), "t_state"
+    )
+    import pandas as pd
+
+    latest = (
+        out.toPandas()
+        .groupby("user_id")
+        .last()  # update mode appends; last row per user is final state
+    )
+    batch = (
+        table(spark, SF001, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    for uid, row in batch.iterrows():
+        assert latest.loc[uid, "total_events"] == row["n"]
+        assert abs(latest.loc[uid, "total_value"] - round(row["v"], 4)) < 0.01
