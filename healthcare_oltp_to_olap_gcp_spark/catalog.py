@@ -35,9 +35,22 @@ TS_COLS = {
 }
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """The driver may hand us an externally built SparkSession (no
+    session.get_spark confs). Both confs below are runtime-settable and
+    required for correct reads of the test data: nanos parquet support,
+    and UTC so date extraction matches the naive-timestamp oracle."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # locked-down conf: fall back to whatever the session has
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in TS_COLS.get(name, ()):
         if isinstance(df.schema[c].dataType, T.LongType):

@@ -1,0 +1,38 @@
+"""Simulate the driver exactly: a PLAIN SparkSession (none of our
+session.get_spark confs) running entry() and a sample of queries()."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+SCRIPT = """
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+import __spark_entry__ as e
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("driver-sim")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+rows = e.entry(spark).collect()
+assert len(rows) > 0, "entry returned no rows"
+qs = e.queries()
+osql = e.oracle_sql()
+assert set(osql) <= set(qs), "oracle keys not a subset of queries"
+for name in ("fact_events", "q1_pricing_summary", "sessionize", "dedup_exact"):
+    assert qs[name](spark, "/root/testdata/sf0.001").count() >= 0
+print("DRIVER_CONTRACT_OK", len(rows), len(qs), len(osql))
+spark.stop()
+"""
+
+
+def test_plain_session_driver_contract():
+    res = subprocess.run(
+        [sys.executable, "-c", SCRIPT], capture_output=True, text=True, timeout=420
+    )
+    assert "DRIVER_CONTRACT_OK" in res.stdout, res.stdout[-2000:] + res.stderr[-2000:]
