@@ -24,15 +24,21 @@ BENCH_QUERIES = (
     "fact_events_star",
     "q1_pricing_summary",
     "q3_top_revenue_orders",
+    "q4_order_priority",
     "q5_revenue_by_nation",
     "mon_daily_summary",
     "events_hourly",
     "sessionize",
+    "asof_last_view_before_purchase",
     "dedup_exact",
     "minhash_lsh_dup_pairs",
     "simhash_dup_pairs",
+    "dedup_components",
     "docs_quality",
+    "token_freq",
+    "tfidf_top_terms",
     "ann_topk",
+    "ann_lsh_topk",
     "embedding_neardup_pairs",
 )
 

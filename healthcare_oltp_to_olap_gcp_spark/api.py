@@ -38,6 +38,16 @@ def _sanity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return star.sanity_row_counts(fact, star.fact_events_star(fact))
 
 
+def _q1_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL surface: register temp views and run the exact same
+    ANSI SQL string the DuckDB oracle uses — one text, two engines."""
+    from .catalog import register_views
+    from .oracles import ORACLE_SQL
+
+    register_views(spark, sf_dir)
+    return spark.sql(ORACLE_SQL["q1_pricing_summary"])
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- star-schema ETL (reference parity) ---
     "fact_events": _fact,
@@ -59,6 +69,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": lambda s, d: analytics.q1_pricing_summary(
         table(s, d, "lineitem")
     ),
+    "q1_sql": _q1_sql,
     "q3_top_revenue_orders": lambda s, d: analytics.q3_top_revenue_orders(
         table(s, d, "customer"), table(s, d, "orders"), table(s, d, "lineitem")
     ),
@@ -84,6 +95,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         table(s, d, "customer"), table(s, d, "orders"), table(s, d, "nation")
     ),
     "events_hourly": lambda s, d: analytics.events_hourly(table(s, d, "events")),
+    "events_sliding_2h": lambda s, d: analytics.events_sliding_2h(
+        table(s, d, "events")
+    ),
+    "salted_event_type_counts": lambda s, d: analytics.salted_event_type_counts(
+        table(s, d, "events")
+    ),
     "events_rollup": lambda s, d: analytics.events_rollup(table(s, d, "events")),
     "events_pivot": lambda s, d: analytics.events_pivot(table(s, d, "events")),
     "distinct_users_by_type": lambda s, d: analytics.distinct_users_by_type(

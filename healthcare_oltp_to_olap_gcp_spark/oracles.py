@@ -10,14 +10,14 @@ cannot drift. Engine-semantics deltas that ARE accounted for:
 - DuckDB integer SUM returns HUGEINT → explicit BIGINT casts;
 - money aggregates: identical per-row DECIMAL(18,8) cast then exact
   decimal SUM, cast to DOUBLE on both sides (see functions/keys.money_sum);
-- cosine similarity: the oracle mirrors the Spark fold
-  (dot/(sqrt(dot aa)*sqrt(dot bb))) via list_dot_product.
+- cosine similarity: the oracle mirrors the Spark formulation exactly
+  (normalize each vector once, then one sequential-fold dot per pair).
 
 Non-SQL-expressible ops (simhash/xxhash-based LSH internals, winnowing,
 hyperplane ANN) are deliberately absent → the driver applies its
 rows-only check. ``minhash_lsh_dup_pairs`` IS included: its verified
 output provably equals the exact n-gram Jaccard baseline at the 0.8
-threshold (recall 1-(1-j²)^32 ≈ 1-6e-15; everything is deterministic,
+threshold (recall 1-(1-j²)^16 ≈ 1-8e-8; everything is deterministic,
 and tests assert the equality at sf0.001 and sf0.01).
 """
 
@@ -279,6 +279,22 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
   {_dsum('value')} AS sum_value
 FROM events GROUP BY 1, 2
 """,
+    "events_sliding_2h": f"""
+WITH expanded AS (
+  SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR, date_trunc('hour', ts)]) AS window_start,
+         event_type, value
+  FROM events
+)
+SELECT window_start, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  {_dsum('value')} AS sum_value
+FROM expanded GROUP BY 1, 2
+""",
+    "salted_event_type_counts": f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+  {_dsum('value')} AS sum_value
+FROM events GROUP BY event_type
+""",
     "events_rollup": f"""
 SELECT CAST(ts AS DATE) AS event_date, event_type,
   CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -471,3 +487,7 @@ SELECT doc_id,
 FROM documents
 """,
 }
+
+# q1 via the pure-SQL surface runs the IDENTICAL statement on Spark SQL
+# and DuckDB (api._q1_sql) — the oracle is the same text by definition.
+ORACLE_SQL["q1_sql"] = ORACLE_SQL["q1_pricing_summary"]

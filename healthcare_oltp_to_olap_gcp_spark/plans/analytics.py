@@ -202,3 +202,41 @@ def events_hourly(events: DataFrame) -> DataFrame:
         F.count("*").alias("n_events"),
         money_sum(F.col("value")).alias("sum_value"),
     )
+
+
+def events_sliding_2h(events: DataFrame) -> DataFrame:
+    """Sliding window (2-hour length, 1-hour slide): each event lands in
+    two windows; window() expands rows before one aggregation pass."""
+    return (
+        events.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def salted_event_type_counts(events: DataFrame, buckets: int = 8) -> DataFrame:
+    """Skew-mitigation pattern: two-stage aggregation through a salt.
+    event_type has only 5 values — at 100 TB a plain groupBy sends each
+    type's entire volume to one reducer; salting fans each hot key over
+    ``buckets`` partial aggregates, and the second (tiny) stage merges.
+    Result provably equals the direct aggregation (the SQL oracle IS the
+    unsalted query); decimal partials keep the sums exact."""
+    salted = events.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(buckets)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count("*").alias("pc"),
+        F.sum(F.col("value").cast("decimal(18,8)")).alias("pv"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pc").cast("long").alias("n_events"),
+        F.sum("pv").cast("double").alias("sum_value"),
+    )

@@ -128,7 +128,14 @@ def fact_events_star(fact: DataFrame) -> DataFrame:
 
     Dims are broadcast — the fact side never shuffles, which is the
     property that matters at 100 TB.
+
+    The fact is persisted: it feeds four dimension builds plus the
+    final join, and Spark reuses no exchanges across those subtrees
+    (measured: 5 scans / 15 window recomputes without the persist).
+    The production shape is refresh_model, which materializes the fact
+    to parquet and reads it back for the dims.
     """
+    fact = fact.persist()
     du = F.broadcast(dim_user(fact))
     de = F.broadcast(dim_event_type(fact))
     db = F.broadcast(dim_band(fact))
@@ -161,6 +168,7 @@ def sanity_row_counts(fact: DataFrame, star: DataFrame) -> DataFrame:
 def sanity_missing_dims(fact: DataFrame) -> DataFrame:
     """ref README 'No Missing Dimensions' — rows whose natural keys
     fail to resolve in any dimension (should be 0)."""
+    fact = fact.persist()
     du = F.broadcast(dim_user(fact))
     de = F.broadcast(dim_event_type(fact))
     db = F.broadcast(dim_band(fact))
