@@ -141,6 +141,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         table(s, d, "documents")
     ),
     "token_freq": lambda s, d: textquality.token_freq(table(s, d, "documents")),
+    "token_typo_pairs": lambda s, d: textquality.token_typo_pairs(
+        table(s, d, "documents")
+    ),
     "tfidf_top_terms": lambda s, d: textquality.tfidf_top_terms(
         table(s, d, "documents")
     ),

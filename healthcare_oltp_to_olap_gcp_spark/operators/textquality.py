@@ -138,6 +138,31 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def token_typo_pairs(docs: DataFrame, max_dist: int = 1) -> DataFrame:
+    """Fuzzy vocabulary matching: pairs of distinct corpus tokens within
+    ``max_dist`` Levenshtein edits (typo/variant detection). The
+    quadratic join runs over the *vocabulary* (tiny after distinct), not
+    the corpus — the standard trick that keeps edit-distance matching
+    feasible at any corpus size."""
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("term")).distinct()
+    )
+    a = vocab.select(F.col("term").alias("term_a"))
+    b = vocab.select(F.col("term").alias("term_b"))
+    return (
+        a.join(F.broadcast(b), F.col("term_a") < F.col("term_b"))
+        # cheap length-difference prune before the O(n*m) edit distance
+        .filter(
+            F.abs(F.char_length("term_a") - F.char_length("term_b")) <= max_dist
+        )
+        .withColumn(
+            "dist", F.levenshtein("term_a", "term_b").cast("long")
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("term_a", "term_b", "dist")
+    )
+
+
 WINNOW_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

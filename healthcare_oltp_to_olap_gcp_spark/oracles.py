@@ -464,6 +464,14 @@ SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
 FROM tok GROUP BY term
 """,
+    "token_typo_pairs": f"""
+WITH vocab AS (SELECT DISTINCT unnest({TOKS}) AS term FROM documents)
+SELECT a.term AS term_a, b.term AS term_b,
+  CAST(levenshtein(a.term, b.term) AS BIGINT) AS dist
+FROM vocab a JOIN vocab b ON a.term < b.term
+WHERE abs(length(a.term) - length(b.term)) <= 1
+  AND levenshtein(a.term, b.term) <= 1
+""",
     "tfidf_top_terms": f"""
 WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
 tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),

@@ -35,6 +35,11 @@ def get_spark(app_name: str = "hc-olap-spark", shuffle_partitions: int | None = 
         # in catalog.table (truncation to micros — same as DuckDB).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Warehouse for bucketed saveAsTable materializations (static conf).
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/hc_olap_warehouse"),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
