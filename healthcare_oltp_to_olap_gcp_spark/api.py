@@ -134,7 +134,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "ann_topk": lambda s, d: similarity.ann_brute_topk(table(s, d, "embeddings")),
     "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(table(s, d, "embeddings")),
+    "ivf_ann_topk": lambda s, d: similarity.ivf_ann_topk(table(s, d, "embeddings")),
     "multimodal_meta": lambda s, d: multimodal.extract_meta(
+        multimodal.attach_payload(table(s, d, "documents"))
+    ),
+    "multimodal_frames": lambda s, d: multimodal.frame_sample(
         multimodal.attach_payload(table(s, d, "documents"))
     ),
     "winnow_fingerprint": lambda s, d: textquality.winnow_fingerprints(

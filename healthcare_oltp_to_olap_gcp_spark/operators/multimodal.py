@@ -90,6 +90,42 @@ FRAME_SCHEMA = StructType(
 )
 
 
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame_header_hex", StringType()),
+    ]
+)
+
+
+def frame_sample(with_payload: DataFrame, chunk: int = 64, every: int = 4) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: split the binary
+    into fixed-size chunks ("frames"), keep every Nth — a ONE-TO-MANY
+    mapInPandas (each input row yields multiple frame rows), which is
+    the batch shape a real video sampler produces. The decode itself is
+    byte slicing (codecs stubbed per environment)."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                frames = [b[i : i + chunk] for i in range(0, len(b), chunk)]
+                for idx in range(0, len(frames), every):
+                    fb = frames[idx]
+                    out.append((doc_id, idx, len(fb), fb[:4].hex()))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "frame_idx", "frame_bytes", "frame_header_hex"],
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        gen, FRAME_SAMPLE_SCHEMA
+    )
+
+
 def decode_features(with_payload: DataFrame) -> DataFrame:
     """Feature-extraction plumbing over binary payloads (fake decoder)."""
 

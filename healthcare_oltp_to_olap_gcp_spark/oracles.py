@@ -488,6 +488,21 @@ ranked AS (
 )
 SELECT doc_id, term, tf, score, CAST(rn AS BIGINT) AS rank FROM ranked WHERE rn <= 3
 """,
+    "multimodal_frames": """
+WITH d AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+),
+f AS (
+  SELECT doc_id, hx, n,
+         unnest(range(0, CAST(ceil(n / 64.0) AS INT), 4)) AS frame_idx
+  FROM d
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+  CAST(least(64, n - frame_idx * 64) AS BIGINT) AS frame_bytes,
+  substr(hx, frame_idx * 128 + 1, 8) AS frame_header_hex
+FROM f
+""",
     "multimodal_meta": """
 SELECT doc_id,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

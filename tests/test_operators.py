@@ -90,3 +90,30 @@ def test_approx_distinct_within_error(spark):
     approx = {r.event_type: r.approx_users for r in analytics.approx_distinct_users(events).collect()}
     for t, n in exact.items():
         assert abs(approx[t] - n) <= max(2, 0.05 * n), (t, approx[t], n)
+
+
+def test_ivf_recall_and_exact_rerank(spark):
+    emb = table(spark, SF001, "embeddings")
+    brute = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in similarity.ann_brute_topk(emb, k=10).collect()
+    }
+    ivf = similarity.ivf_ann_topk(emb).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        got = brute.get((r.query_id, r.neighbor_id))
+        assert got is None or got == r.sim  # rerank sims are exact
+    recall = len(set(brute) & {(r.query_id, r.neighbor_id) for r in ivf}) / len(brute)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+
+def test_frame_sample_shapes(spark):
+    docs = table(spark, SF001, "documents")
+    frames = multimodal.frame_sample(multimodal.attach_payload(docs)).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        assert r.frame_idx % 4 == 0
+        assert 1 <= r.frame_bytes <= 64
+        assert len(r.frame_header_hex) <= 8
+    assert len(by_doc) == docs.count()
