@@ -95,6 +95,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         table(s, d, "customer"), table(s, d, "orders"), table(s, d, "nation")
     ),
     "events_hourly": lambda s, d: analytics.events_hourly(table(s, d, "events")),
+    "funnel_view_to_purchase": lambda s, d: analytics.funnel_view_to_purchase(
+        table(s, d, "events")
+    ),
+    "events_json_k": lambda s, d: analytics.events_json_k(table(s, d, "events")),
     "events_sliding_2h": lambda s, d: analytics.events_sliding_2h(
         table(s, d, "events")
     ),

@@ -279,6 +279,24 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
   {_dsum('value')} AS sum_value
 FROM events GROUP BY 1, 2
 """,
+    "funnel_view_to_purchase": """
+WITH per_user AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+    MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS last_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(first_view) AS BIGINT) AS n_users_view,
+  CAST(COUNT(last_purchase) AS BIGINT) AS n_users_purchase,
+  CAST(SUM(CASE WHEN first_view < last_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_users_converted
+FROM per_user
+""",
+    "events_json_k": f"""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  {_dsum('value')} AS sum_value
+FROM events GROUP BY 1
+""",
     "events_sliding_2h": f"""
 WITH expanded AS (
   SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR, date_trunc('hour', ts)]) AS window_start,

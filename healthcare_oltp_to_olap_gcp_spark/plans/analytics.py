@@ -193,6 +193,37 @@ def value_percentiles(events: DataFrame) -> DataFrame:
     )
 
 
+def funnel_view_to_purchase(events: DataFrame) -> DataFrame:
+    """Conversion funnel: users who viewed, users who purchased, and
+    users whose first view precedes their last purchase — one
+    conditional-aggregate pass per user, then one row of counts."""
+    us = F.unix_micros("ts")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("first_view"),
+        F.max(F.when(F.col("event_type") == "purchase", us)).alias("last_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.col("first_view")).alias("n_users_view"),
+        F.count(F.col("last_purchase")).alias("n_users_purchase"),
+        F.sum(
+            F.when(F.col("first_view") < F.col("last_purchase"), 1).otherwise(0)
+        ).cast("long").alias("n_users_converted"),
+    )
+
+
+def events_json_k(events: DataFrame) -> DataFrame:
+    """JSON column processing via the typed from_json path (the raw
+    ``props`` string parsed with an explicit schema — schema-checked
+    parsing, vs. the regexp fallback used for the star's src key)."""
+    parsed = events.withColumn(
+        "k", F.from_json("props", "k BIGINT").getField("k")
+    )
+    return parsed.groupBy("k").agg(
+        F.count("*").alias("n_events"),
+        money_sum(F.col("value")).alias("sum_value"),
+    )
+
+
 def events_hourly(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour aggregation (batch form of the streaming window;
     see streaming/pipeline.py for the readStream form)."""
