@@ -23,11 +23,18 @@ def test_parity_sf001(spark, name):
 SF01_KEYS = [
     "minhash_lsh_dup_pairs",
     "ngram_dup_pairs",
+    "dedup_components",
     "ann_topk",
+    "embedding_neardup_pairs",
     "sessionize",
     "dim_time",
     "mon_daily_summary",
     "q1_pricing_summary",
+    "tfidf_top_terms",
+    "token_typo_pairs",
+    "multimodal_frames",
+    "value_percentiles",
+    "scd2_user_band",
 ]
 
 
