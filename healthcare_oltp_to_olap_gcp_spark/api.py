@@ -59,6 +59,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fact_events_star": _star,
     "sanity_row_counts": _sanity_counts,
     "sanity_missing_dims": lambda s, d: star.sanity_missing_dims(_fact(s, d)),
+    "weekend_activity": lambda s, d: star.weekend_activity(_fact(s, d)),
     # --- monitoring views (reference parity) ---
     "mon_executions": lambda s, d: monitoring.executions(table(s, d, "events")),
     "mon_last_status": lambda s, d: monitoring.last_status(table(s, d, "events")),
@@ -106,6 +107,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         table(s, d, "events")
     ),
     "events_rollup": lambda s, d: analytics.events_rollup(table(s, d, "events")),
+    "events_cube": lambda s, d: analytics.events_cube(table(s, d, "events")),
     "events_pivot": lambda s, d: analytics.events_pivot(table(s, d, "events")),
     "distinct_users_by_type": lambda s, d: analytics.distinct_users_by_type(
         table(s, d, "events")

@@ -162,6 +162,13 @@ LEFT JOIN ds USING (src)
 WHERE du.user_key IS NULL OR de.event_type_key IS NULL
    OR db.band_key IS NULL OR ds.source_key IS NULL
 """,
+    "weekend_activity": f"""
+WITH {FACT_CTE}
+SELECT dayofweek(CAST(ts AS DATE)) IN (0, 6) AS is_weekend,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  {_dsum('value')} AS sum_value
+FROM fact GROUP BY 1
+""",
     # --- monitoring ---
     "mon_executions": f"WITH {_MON_BASE} SELECT ts, job_name, status_value, is_success, user_id, event_id FROM base",
     "mon_last_status": f"""
@@ -318,6 +325,12 @@ SELECT CAST(ts AS DATE) AS event_date, event_type,
   CAST(COUNT(*) AS BIGINT) AS n_events,
   {_dsum('value')} AS sum_value
 FROM events GROUP BY ROLLUP(CAST(ts AS DATE), event_type)
+""",
+    "events_cube": f"""
+SELECT CAST(ts AS DATE) AS event_date, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  {_dsum('value')} AS sum_value
+FROM events GROUP BY CUBE(CAST(ts AS DATE), event_type)
 """,
     "events_pivot": """
 SELECT CAST(ts AS DATE) AS event_date,

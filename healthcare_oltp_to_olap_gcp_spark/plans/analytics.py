@@ -148,6 +148,17 @@ def events_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def events_cube(events: DataFrame) -> DataFrame:
+    """CUBE aggregation: all grouping-set combinations of (day, type)
+    in one pass."""
+    return events.cube(
+        F.to_date("ts").alias("event_date"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n_events"),
+        money_sum(F.col("value")).alias("sum_value"),
+    )
+
+
 def events_pivot(events: DataFrame) -> DataFrame:
     """Pivot event types into columns (wide daily activity matrix)."""
     p = (

@@ -158,6 +158,20 @@ def fact_events_star(fact: DataFrame) -> DataFrame:
     )
 
 
+def weekend_activity(fact: DataFrame) -> DataFrame:
+    """The star in use: fact ⋈ dim_time on date_key (the join the
+    reference builds dim_time for — README 'Time dimension'), rolled up
+    by the precomputed is_weekend attribute."""
+    star = fact_events_star(fact)
+    dt = F.broadcast(dim_time(fact).select("date_key", "is_weekend"))
+    return star.join(dt, "date_key").groupBy("is_weekend").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("measure_value").cast("decimal(18,8)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
 def sanity_row_counts(fact: DataFrame, star: DataFrame) -> DataFrame:
     """ref README 'Counts Match' check — fact vs star row counts."""
     return fact.agg(F.count("*").alias("fact_rows")).crossJoin(
