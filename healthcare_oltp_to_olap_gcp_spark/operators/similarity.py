@@ -29,8 +29,38 @@ QUERY_MOD = 50  # vec_id % 50 == 0 → deterministic query subset
 N_PLANES = 4
 
 
+DIM = 64
+
+
 def _par(df: DataFrame) -> int:
     return df.sparkSession.sparkContext.defaultParallelism
+
+
+def _split(df: DataFrame, id_alias: str, prefix: str, dim: int = DIM) -> DataFrame:
+    """Unroll the normalized vector into ``dim`` scalar columns. The
+    pairwise dot then becomes a flat 64-term product-sum expression that
+    whole-stage codegen compiles, instead of an interpreted higher-order
+    fold per pair (~5x on the quadratic paths). Addition order is the
+    same left-to-right fold, so results stay bit-identical to the
+    array form and the DuckDB oracle."""
+    # Two projections on purpose: materialize the normalized array once,
+    # then index it — CollapseProject keeps them separate (non-cheap
+    # expression referenced 64x), so normalization runs once per row.
+    base = df.select(
+        F.col("vec_id").alias(id_alias),
+        normalized(as_double("embedding")).alias("_nv"),
+    )
+    return base.select(
+        id_alias, *[F.col("_nv")[i].alias(f"{prefix}{i}") for i in range(dim)]
+    )
+
+
+def _dot_cols(a: str, b: str, dim: int = DIM) -> F.Column:
+    terms = [F.col(f"{a}{i}") * F.col(f"{b}{i}") for i in range(dim)]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
 
 
 def _queries(embeddings: DataFrame) -> DataFrame:
@@ -39,19 +69,23 @@ def _queries(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def _query_cols(embeddings: DataFrame, dim: int = DIM) -> DataFrame:
+    return _split(
+        embeddings.filter(F.col("vec_id") % QUERY_MOD == 0), "query_id", "q", dim
+    )
+
+
 def ann_brute_topk(embeddings: DataFrame, k: int = DEFAULT_K) -> DataFrame:
     """Exact top-k cosine neighbors for the deterministic query subset.
     Query side broadcast; corpus never shuffles until the (tiny) top-k
     window."""
-    corpus = embeddings.repartition(_par(embeddings)).select(
-        F.col("vec_id").alias("neighbor_id"), normalized(as_double("embedding")).alias("cv")
-    )
+    corpus = _split(embeddings.repartition(_par(embeddings)), "neighbor_id", "c")
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )
     return (
-        corpus.join(F.broadcast(_queries(embeddings)), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(dot(F.col("qv"), F.col("cv")), 6))
+        corpus.join(F.broadcast(_query_cols(embeddings)), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(_dot_cols("q", "c"), 6))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
@@ -62,13 +96,11 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> D
     """All pairs with cosine ≥ threshold (embedding near-duplicate
     detection). Quadratic baseline — the LSH bucketing below is the
     scale path for the same predicate."""
-    a = embeddings.repartition(_par(embeddings)).select(
-        F.col("vec_id").alias("vec_a"), normalized(as_double("embedding")).alias("va")
-    )
-    b = embeddings.select(F.col("vec_id").alias("vec_b"), normalized(as_double("embedding")).alias("vb"))
+    a = _split(embeddings.repartition(_par(embeddings)), "vec_a", "x")
+    b = _split(embeddings, "vec_b", "y")
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .withColumn("sim", F.round(dot(F.col("va"), F.col("vb")), 6))
+        .withColumn("sim", F.round(_dot_cols("x", "y"), 6))
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "sim")
     )
