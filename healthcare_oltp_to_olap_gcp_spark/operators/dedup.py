@@ -204,6 +204,10 @@ def dedup_components(docs: DataFrame, threshold: float = 0.8, max_iters: int = 2
         edges.select(F.col("doc_a").alias("doc_id")).distinct()
     )
     labels = nodes.withColumn("label", F.col("doc_id")).persist()
+    # Min-propagation only ever lowers labels, so the label sum strictly
+    # decreases until the fixpoint — one scalar aggregate per round
+    # detects convergence (no per-row diff join needed).
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(
@@ -225,16 +229,12 @@ def dedup_components(docs: DataFrame, threshold: float = 0.8, max_iters: int = 2
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select("doc_id", F.col("label").alias("component"))
 
 
