@@ -134,6 +134,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         table(s, d, "documents")
     ),
     "dedup_components": lambda s, d: dedup.dedup_components(table(s, d, "documents")),
+    "clean_documents": lambda s, d: dedup.clean_documents(table(s, d, "documents")),
+    "sample_documents": lambda s, d: dedup.sample_documents(table(s, d, "documents")),
+    "stratified_sample_by_lang": lambda s, d: dedup.stratified_sample_by_lang(
+        table(s, d, "documents")
+    ),
     "simhash_dup_pairs": lambda s, d: dedup.simhash_dup_pairs(table(s, d, "documents")),
     "embedding_neardup_pairs": lambda s, d: similarity.embedding_neardup_pairs(
         table(s, d, "embeddings")

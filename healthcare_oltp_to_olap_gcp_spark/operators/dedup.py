@@ -238,6 +238,49 @@ def dedup_components(docs: DataFrame, threshold: float = 0.8, max_iters: int = 2
     return labels.select("doc_id", F.col("label").alias("component"))
 
 
+def clean_documents(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """The dedup pipeline's end product: the corpus with near-duplicate
+    clusters collapsed to one survivor each (the smallest doc_id of the
+    connected component). Non-clustered documents pass through
+    untouched; cluster members that aren't the canonical survivor are
+    anti-joined away."""
+    comps = dedup_components(docs, threshold)
+    drops = comps.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return docs.join(drops, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", F.char_length("text").cast("long").alias("n_chars")
+    )
+
+
+def sample_documents(docs: DataFrame, n: int = 100) -> DataFrame:
+    """Deterministic uniform-ish sample: rank by md5(doc_id) and take
+    the first n — reproducible across runs/engines/partitionings,
+    unlike rand()-based sampling, which is what a training-data
+    pipeline needs for auditable subset selection."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(n)
+        .select("doc_id", "h")
+    )
+
+
+def stratified_sample_by_lang(docs: DataFrame, per_stratum: int = 20) -> DataFrame:
+    """Deterministic stratified sample: the hash-first ``per_stratum``
+    documents of every language — the data-mixing primitive (equal
+    quotas per source/language when assembling a training blend)."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(F.col("h"), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", h.alias("h"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= per_stratum)
+        .select("doc_id", "lang", "rank")
+    )
+
+
 N_CHUNKS = 4
 CHUNK_BITS = 16
 

@@ -466,6 +466,38 @@ reach(src, dst) AS (
 )
 SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
 """,
+    "clean_documents": f"""
+WITH RECURSIVE {SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    ROUND(len(list_intersect(a.s, b.s)) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+  FROM shf a JOIN shf b ON a.doc_id < b.doc_id
+),
+dup AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.8),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM dup UNION SELECT doc_b, doc_a FROM dup),
+nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src),
+drops AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+SELECT d.doc_id, d.lang, d.source, CAST(length(d.text) AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+""",
+    "sample_documents": """
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+FROM documents ORDER BY h, doc_id LIMIT 100
+""",
+    "stratified_sample_by_lang": """
+WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+r AS (SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rank
+      FROM h)
+SELECT doc_id, lang, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 20
+""",
     "embedding_neardup_pairs": f"""
 WITH {_NORM_CTE},
 p AS (
