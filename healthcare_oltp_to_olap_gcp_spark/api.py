@@ -109,6 +109,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rollup": lambda s, d: analytics.events_rollup(table(s, d, "events")),
     "events_cube": lambda s, d: analytics.events_cube(table(s, d, "events")),
     "events_pivot": lambda s, d: analytics.events_pivot(table(s, d, "events")),
+    "events_unpivot": lambda s, d: analytics.events_unpivot(table(s, d, "events")),
     "distinct_users_by_type": lambda s, d: analytics.distinct_users_by_type(
         table(s, d, "events")
     ),

@@ -341,6 +341,18 @@ SELECT CAST(ts AS DATE) AS event_date,
   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
 FROM events GROUP BY 1
 """,
+    "events_unpivot": """
+WITH long AS (
+  SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT event_date FROM long),
+types AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type)
+SELECT d.event_date, t.event_type,
+  CAST(COALESCE(l.n, 0) AS BIGINT) AS n_events
+FROM days d CROSS JOIN types t
+LEFT JOIN long l ON l.event_date = d.event_date AND l.event_type = t.event_type
+""",
     "distinct_users_by_type": """
 SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type

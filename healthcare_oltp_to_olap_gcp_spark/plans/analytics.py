@@ -175,6 +175,17 @@ def events_pivot(events: DataFrame) -> DataFrame:
     )
 
 
+def events_unpivot(events: DataFrame) -> DataFrame:
+    """Unpivot (melt) the wide daily matrix back to long form via
+    stack() — the inverse of events_pivot."""
+    wide = events_pivot(events)
+    stack_expr = "stack({n}, {args}) as (event_type, n_events)".format(
+        n=len(EVENT_TYPES),
+        args=", ".join(f"'{t}', n_{t}" for t in EVENT_TYPES),
+    )
+    return wide.selectExpr("event_date", stack_expr)
+
+
 def distinct_users_by_type(events: DataFrame) -> DataFrame:
     """Exact distinct-user counts per event type (the exact twin of
     ``approx_distinct_users``)."""
