@@ -119,8 +119,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_percentiles": lambda s, d: analytics.value_percentiles(
         table(s, d, "events")
     ),
+    "approx_value_percentiles": lambda s, d: analytics.approx_value_percentiles(
+        table(s, d, "events")
+    ),
+    "value_range_join": lambda s, d: analytics.value_range_join(
+        table(s, d, "events")
+    ),
     "sessionize": lambda s, d: sessionize.sessionize(table(s, d, "events")),
     "asof_last_view_before_purchase": lambda s, d: asof.asof_last_view_before_purchase(
+        table(s, d, "events")
+    ),
+    "asof_pandas_last_view": lambda s, d: asof.asof_last_view_pandas(
         table(s, d, "events")
     ),
     "scd2_user_band": lambda s, d: asof.scd2_user_band(table(s, d, "events")),

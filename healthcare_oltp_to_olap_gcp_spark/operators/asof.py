@@ -36,6 +36,44 @@ def asof_last_view_before_purchase(events: DataFrame) -> DataFrame:
     )
 
 
+def asof_last_view_pandas(events: DataFrame) -> DataFrame:
+    """Same as-of semantics via grouped ``applyInPandas`` +
+    ``pd.merge_asof`` — the escape hatch when as-of logic outgrows
+    window expressions (tolerance bands, nearest-rather-than-backward,
+    multi-column asof). Output is identical to the window formulation
+    (asserted in tests), so the same SQL oracle applies."""
+    import pandas as pd
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["us", "event_id"]).reset_index(drop=True)
+        views = pdf[pdf["event_type"] == "view"][["us"]].rename(
+            columns={"us": "last_view_us"}
+        )
+        purchases = pdf[pdf["event_type"] == "purchase"].copy()
+        if views.empty:
+            purchases["last_view_us"] = pd.Series(dtype="float64")
+        else:
+            purchases = pd.merge_asof(
+                purchases.sort_values("us"),
+                views.assign(us=views["last_view_us"]).sort_values("us"),
+                on="us",
+                direction="backward",
+                allow_exact_matches=False,
+            )
+        out = purchases[["event_id", "user_id", "ts", "last_view_us"]].copy()
+        # real NULLs, not NaN: ANSI mode rejects NaN->long casts downstream
+        out["last_view_us"] = (
+            out["last_view_us"].astype(object).where(out["last_view_us"].notna(), None)
+        )
+        return out
+
+    us = F.unix_micros("ts")
+    prepared = events.select("event_id", "user_id", "ts", "event_type", us.alias("us"))
+    out_schema = "event_id long, user_id long, ts timestamp, last_view_us double"
+    result = prepared.groupBy("user_id").applyInPandas(per_user, out_schema)
+    return result.withColumn("last_view_us", F.col("last_view_us").cast("long"))
+
+
 def scd2_user_band(events: DataFrame) -> DataFrame:
     """SCD-2 style history of each user's value-band: one row per
     (user, band) run with [valid_from, valid_to) bounds; open runs have

@@ -364,6 +364,17 @@ SELECT event_type,
   ROUND(quantile_cont(value, 0.99), 4) AS p99
 FROM events GROUP BY event_type
 """,
+    "value_range_join": """
+SELECT a.event_id,
+  CAST(COUNT(*) AS BIGINT) AS n_collisions,
+  MIN(b.event_id) AS min_collision_id
+FROM events a
+JOIN events b
+  ON a.event_type = b.event_type
+ AND a.event_id <> b.event_id
+ AND abs(a.value - b.value) <= 0.5
+GROUP BY a.event_id
+""",
     "asof_last_view_before_purchase": """
 WITH e AS (
   SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS us,
@@ -375,6 +386,8 @@ WITH e AS (
 )
 SELECT event_id, user_id, ts, last_view_us FROM e WHERE event_type = 'purchase'
 """,
+    # identical semantics to the window formulation -> same oracle
+    "asof_pandas_last_view": None,  # placeholder replaced below
     "scd2_user_band": """
 WITH t AS (
   SELECT user_id, event_id, ts, epoch_us(ts) AS us,
@@ -589,3 +602,5 @@ FROM documents
 # q1 via the pure-SQL surface runs the IDENTICAL statement on Spark SQL
 # and DuckDB (api._q1_sql) — the oracle is the same text by definition.
 ORACLE_SQL["q1_sql"] = ORACLE_SQL["q1_pricing_summary"]
+
+ORACLE_SQL["asof_pandas_last_view"] = ORACLE_SQL["asof_last_view_before_purchase"]

@@ -246,6 +246,52 @@ def events_json_k(events: DataFrame) -> DataFrame:
     )
 
 
+def value_range_join(events: DataFrame) -> DataFrame:
+    """Range join via bucketization: for each event, count same-type
+    events whose value lies within ±0.5 (value-collision detection).
+    A naive inequality self-join is O(n²); bucketizing both sides by
+    floor(value/width) turns it into an equi-join on (type, bucket) —
+    each probe row explodes to its 3 candidate buckets — plus a residual
+    range filter, the scalable range-join pattern Spark lacks natively.
+    Bucket math only generates candidates; correctness comes from the
+    exact residual predicate, so the oracle is the naive join."""
+    width = 0.5
+    a = events.select(
+        F.col("event_id").alias("id_a"), "event_type", F.col("value").alias("va")
+    ).withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                *[
+                    (F.floor(F.col("va") / width) + i).cast("long")
+                    for i in (-1, 0, 1)
+                ]
+            )
+        ),
+    )
+    b = events.select(
+        F.col("event_id").alias("id_b"), "event_type", F.col("value").alias("vb")
+    ).withColumn("bucket", F.floor(F.col("vb") / width).cast("long"))
+    return (
+        a.join(b, ["event_type", "bucket"])
+        .filter((F.col("id_a") != F.col("id_b")) & (F.abs(F.col("va") - F.col("vb")) <= width))
+        .groupBy(F.col("id_a").alias("event_id"))
+        .agg(F.count("*").alias("n_collisions"), F.min("id_b").alias("min_collision_id"))
+    )
+
+
+def approx_value_percentiles(events: DataFrame) -> DataFrame:
+    """Sketch twin of value_percentiles: one-pass approx_percentile
+    (t-digest style) — the 100 TB default where exact percentile's
+    per-group sort is prohibitive. Bounded error vs the exact twin is
+    asserted in tests; no SQL oracle (sketches differ per engine)."""
+    return events.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.9, 10000).alias("p90"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99"),
+    )
+
+
 def events_hourly(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour aggregation (batch form of the streaming window;
     see streaming/pipeline.py for the readStream form)."""

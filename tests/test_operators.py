@@ -117,3 +117,30 @@ def test_frame_sample_shapes(spark):
         assert 1 <= r.frame_bytes <= 64
         assert len(r.frame_header_hex) <= 8
     assert len(by_doc) == docs.count()
+
+
+def test_asof_pandas_equals_window_formulation(spark):
+    from healthcare_oltp_to_olap_gcp_spark.operators import asof
+
+    events = table(spark, SF001, "events")
+    a = normalize(asof.asof_last_view_before_purchase(events).toPandas())
+    b = normalize(asof.asof_last_view_pandas(events).toPandas())
+    assert a == b
+
+
+def test_approx_percentiles_near_exact(spark):
+    from healthcare_oltp_to_olap_gcp_spark.plans import analytics
+
+    events = table(spark, SF001, "events")
+    vals = {}
+    for r in events.select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    approx = {r.event_type: (r.p50, r.p90, r.p99)
+              for r in analytics.approx_value_percentiles(events).collect()}
+    # the sketch guarantee is on RANK error, not value error (tail values
+    # can jump between adjacent order statistics on small groups)
+    for t, (a50, a90, a99) in approx.items():
+        n = len(vals[t])
+        for q, a in ((0.5, a50), (0.9, a90), (0.99, a99)):
+            frac = sum(1 for v in vals[t] if v <= a) / n
+            assert abs(frac - q) <= 0.03 + 1.0 / n, (t, q, a, frac)
