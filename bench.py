@@ -30,6 +30,8 @@ BENCH_QUERIES = (
     "events_hourly",
     "sessionize",
     "asof_last_view_before_purchase",
+    "value_range_join",
+    "weekend_activity",
     "dedup_exact",
     "minhash_lsh_dup_pairs",
     "simhash_dup_pairs",
