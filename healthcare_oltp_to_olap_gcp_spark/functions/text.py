@@ -23,6 +23,12 @@ ES_STOP = ("el", "los", "las", "una", "es", "por", "con", "para")
 # lives in oracles.py.
 CJK_PATTERN_JAVA = "[一-鿿]"
 
+# GPT-2-style pre-tokenizer shape: contractions, letter runs, digit
+# runs, punctuation runs (no lookarounds, so the same pattern parses in
+# Java regex and RE2). Token count under this pattern approximates BPE
+# pre-tokenization counts.
+BPE_PATTERN = "'(?:s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s']+"
+
 
 def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c

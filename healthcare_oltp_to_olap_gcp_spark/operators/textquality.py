@@ -28,10 +28,14 @@ from ..functions.text import (
 
 
 def token_stats(docs: DataFrame) -> DataFrame:
-    """Whitespace token count + char count per document."""
+    """Token counting per document: whitespace tokens AND a BPE-ish
+    regex pre-tokenizer count (GPT-2 pattern shape) + char count."""
+    from ..functions.text import BPE_PATTERN
+
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
+        F.regexp_count("text", F.lit(BPE_PATTERN)).cast("long").alias("n_tokens_bpe"),
         F.char_length("text").cast("long").alias("n_chars"),
     )
 

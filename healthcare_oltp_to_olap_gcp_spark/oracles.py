@@ -23,7 +23,10 @@ and tests assert the equality at sf0.001 and sf0.01).
 
 from __future__ import annotations
 
-from .functions.text import DE_STOP, EN_STOP, ES_STOP, FR_STOP
+from .functions.text import BPE_PATTERN, DE_STOP, EN_STOP, ES_STOP, FR_STOP
+
+# single quotes doubled for embedding in a SQL string literal
+BPE_PATTERN_SQL = BPE_PATTERN.replace("'", "''")
 from .operators.merge import EVENT_RULES
 from .plans.analytics import Q1_CUTOFF, Q3_DATE, Q5_HI, Q5_LO
 
@@ -438,6 +441,7 @@ FROM documents
     "docs_token_stats": f"""
 SELECT doc_id,
   CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '{BPE_PATTERN_SQL}')) AS BIGINT) AS n_tokens_bpe,
   CAST(length(text) AS BIGINT) AS n_chars
 FROM documents
 """,
