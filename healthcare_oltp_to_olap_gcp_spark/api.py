@@ -51,6 +51,9 @@ def _q1_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- star-schema ETL (reference parity) ---
     "fact_events": _fact,
+    "fact_events_incremental": lambda s, d: star.fact_events_incremental(
+        table(s, d, "events")
+    ),
     "dim_time": lambda s, d: star.dim_time(_fact(s, d)),
     "dim_user": lambda s, d: star.dim_user(_fact(s, d)),
     "dim_event_type": lambda s, d: star.dim_event_type(_fact(s, d)),
@@ -84,6 +87,27 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "q4_order_priority": lambda s, d: analytics.q4_order_priority(
         table(s, d, "orders"), table(s, d, "lineitem")
+    ),
+    "q10_returned_items": lambda s, d: analytics.q10_returned_item_revenue(
+        table(s, d, "customer"),
+        table(s, d, "orders"),
+        table(s, d, "lineitem"),
+        table(s, d, "nation"),
+    ),
+    "q12_priority_lines": lambda s, d: analytics.q12_priority_lines(
+        table(s, d, "orders"), table(s, d, "lineitem")
+    ),
+    "min_price_supplier": lambda s, d: analytics.min_price_supplier_per_part(
+        table(s, d, "lineitem")
+    ),
+    "bloom_prejoin_revenue": lambda s, d: analytics.bloom_prejoin_revenue(
+        table(s, d, "orders"), table(s, d, "lineitem")
+    ),
+    "user_value_deltas": lambda s, d: analytics.user_value_deltas(
+        table(s, d, "events")
+    ),
+    "hll_sketch_distinct_users": lambda s, d: analytics.hll_sketch_distinct_users(
+        table(s, d, "events")
     ),
     "customers_without_orders": lambda s, d: analytics.customers_without_orders(
         table(s, d, "customer"), table(s, d, "orders")

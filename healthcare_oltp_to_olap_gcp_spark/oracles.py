@@ -28,7 +28,7 @@ from .functions.text import BPE_PATTERN, DE_STOP, EN_STOP, ES_STOP, FR_STOP
 # single quotes doubled for embedding in a SQL string literal
 BPE_PATTERN_SQL = BPE_PATTERN.replace("'", "''")
 from .operators.merge import EVENT_RULES
-from .plans.analytics import Q1_CUTOFF, Q3_DATE, Q5_HI, Q5_LO
+from .plans.analytics import BLOOM_PRIORITY, Q1_CUTOFF, Q3_DATE, Q5_HI, Q5_LO
 
 
 def _sql_list(words: tuple[str, ...]) -> str:
@@ -608,3 +608,65 @@ FROM documents
 ORACLE_SQL["q1_sql"] = ORACLE_SQL["q1_pricing_summary"]
 
 ORACLE_SQL["asof_pandas_last_view"] = ORACLE_SQL["asof_last_view_before_purchase"]
+
+# Incremental refresh provably equals the full-table dedup (the delta
+# window re-ranks base ∪ new-slice; see plans/star.fact_events_incremental).
+ORACLE_SQL["fact_events_incremental"] = ORACLE_SQL["fact_events"]
+
+ORACLE_SQL["q10_returned_items"] = f"""
+SELECT c_custkey, c_name, n_name,
+  {_dsum("l_extendedprice * (1 - l_discount)")} AS lost_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+ORACLE_SQL["q12_priority_lines"] = f"""
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{Q5_LO} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{Q5_HI} 00:00:00'
+GROUP BY l_linestatus
+"""
+
+# Exact decimal sum → ONE double division: both engines hit the same
+# IEEE result, so the correlated min-equality selects the same rows.
+ORACLE_SQL["min_price_supplier"] = """
+WITH per_supp AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS avg_price
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_partkey, l_suppkey, avg_price FROM per_supp
+QUALIFY avg_price = MIN(avg_price) OVER (PARTITION BY l_partkey)
+"""
+
+# The bloom prefilter only prunes non-matching rows; the oracle is the
+# plain join — exactness of the pruned plan is the point of the test.
+ORACLE_SQL["bloom_prejoin_revenue"] = f"""
+SELECT o_orderpriority,
+  {_dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '{BLOOM_PRIORITY}'
+GROUP BY o_orderpriority
+"""
+
+ORACLE_SQL["user_value_deltas"] = """
+SELECT event_id, user_id, ts, value,
+  lag(value) OVER w AS prev_value,
+  value - lag(value) OVER w AS delta,
+  lead(value) OVER w AS next_value,
+  CAST(ntile(4) OVER w AS BIGINT) AS user_quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""

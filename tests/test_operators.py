@@ -144,3 +144,17 @@ def test_approx_percentiles_near_exact(spark):
         for q, a in ((0.5, a50), (0.9, a90), (0.99, a99)):
             frac = sum(1 for v in vals[t] if v <= a) / n
             assert abs(frac - q) <= 0.03 + 1.0 / n, (t, q, a, frac)
+
+
+def test_hll_sketch_rollup_within_error(spark):
+    """Merging daily per-type sketches must estimate the same distinct
+    count (within HLL error) as the direct exact aggregation — the
+    merge path is what a 100 TB sketch-rollup table relies on."""
+    from healthcare_oltp_to_olap_gcp_spark.plans import analytics
+
+    events = table(spark, SF001, "events")
+    exact = {r.event_type: r.n_users for r in analytics.distinct_users_by_type(events).collect()}
+    merged = {r.event_type: r.approx_users for r in analytics.hll_sketch_distinct_users(events).collect()}
+    assert set(merged) == set(exact)
+    for t, n in exact.items():
+        assert abs(merged[t] - n) <= max(2, 0.05 * n), (t, merged[t], n)

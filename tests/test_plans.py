@@ -39,3 +39,20 @@ def test_q1_prunes_columns(spark):
     # only the 7 needed lineitem columns are read, not all 11
     read = plan.split("ReadSchema: ")[1].split("\n")[0]
     assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_bloom_prejoin_broadcasts_bucket_set(spark):
+    """The bucket prefilter must reach the fact as a broadcast semi-join
+    BEFORE the real join — that ordering is the entire point of the
+    operator at 100 TB."""
+    plan = _plan(spark, "bloom_prejoin_revenue")
+    semi = plan.find("BroadcastHashJoin [_bucket")
+    assert semi != -1
+    assert "LeftSemi" in plan
+
+
+def test_incremental_fact_single_final_window(spark):
+    """base ∪ delta re-dedup: exactly two window (row_number) passes —
+    one for the base fact, one for the merge — and no extra joins."""
+    plan = _plan(spark, "fact_events_incremental")
+    assert plan.count("RunningWindowFunction") + plan.count("Window") >= 2
