@@ -32,11 +32,16 @@ BENCH_QUERIES = (
     "asof_last_view_before_purchase",
     "value_range_join",
     "weekend_activity",
+    "bloom_prejoin_revenue",
+    "hll_sketch_distinct_users",
+    "q18_large_orders",
     "dedup_exact",
     "minhash_lsh_dup_pairs",
     "simhash_dup_pairs",
     "dedup_components",
     "docs_quality",
+    "docs_pii_scrub",
+    "docs_repetition",
     "token_freq",
     "tfidf_top_terms",
     "ann_topk",

@@ -109,6 +109,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_sketch_distinct_users": lambda s, d: analytics.hll_sketch_distinct_users(
         table(s, d, "events")
     ),
+    "q6_forecast_revenue": lambda s, d: analytics.q6_forecast_revenue(
+        table(s, d, "lineitem")
+    ),
+    "q14_promo_revenue": lambda s, d: analytics.q14_promo_revenue(
+        table(s, d, "lineitem"), table(s, d, "part")
+    ),
+    "q18_large_orders": lambda s, d: analytics.q18_large_orders(
+        table(s, d, "customer"), table(s, d, "orders"), table(s, d, "lineitem")
+    ),
     "customers_without_orders": lambda s, d: analytics.customers_without_orders(
         table(s, d, "customer"), table(s, d, "orders")
     ),
@@ -163,6 +172,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_token_stats": lambda s, d: textquality.token_stats(table(s, d, "documents")),
     "docs_quality": lambda s, d: textquality.quality_scores(table(s, d, "documents")),
     "docs_langid": lambda s, d: textquality.langid(table(s, d, "documents")),
+    "docs_pii_scrub": lambda s, d: textquality.pii_scrub(table(s, d, "documents")),
+    "docs_repetition": lambda s, d: textquality.repetition_scores(
+        table(s, d, "documents")
+    ),
     "ngram_dup_pairs": lambda s, d: dedup.ngram_jaccard_pairs(table(s, d, "documents")),
     "minhash_lsh_dup_pairs": lambda s, d: dedup.minhash_lsh_dup_pairs(
         table(s, d, "documents")

@@ -211,3 +211,68 @@ def _winnow_pdf(batches):
 def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     """Arrow-batched winnowing sketch summary per document."""
     return docs.select("doc_id", "text").mapInPandas(_winnow_pdf, WINNOW_SCHEMA)
+
+
+# Java-regex AND RE2-compatible (no lookarounds, no backrefs) so the
+# DuckDB oracle can embed the identical pattern text.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "\\+?[0-9][0-9() .-]{6,}[0-9]"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII redaction pass (training-data hygiene): replace email- and
+    phone-shaped spans with typed placeholders and count redactions.
+    The test corpus is synthetic word soup, so a deterministic contact
+    line derived from doc_id is appended first — the redaction path is
+    then exercised on EVERY row, and the oracle rebuilds the identical
+    input. All regexp ops are JVM-side; at 100 TB this is a pure map
+    stage (zero shuffles) that pipelines with any downstream filter."""
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555-010-"),
+        F.col("doc_id").cast("string"),
+    )
+    n_emails = F.size(F.regexp_extract_all(raw, F.lit(PII_EMAIL), F.lit(0))).cast("long")
+    no_email = F.regexp_replace(raw, PII_EMAIL, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(no_email, F.lit(PII_PHONE), F.lit(0))).cast("long")
+    clean = F.regexp_replace(no_email, PII_PHONE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
+
+
+def _all_grams(toks, n: int):
+    """All n-word grams (NOT deduplicated — repetition needs totals)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Within-document repetition (Gopher-style quality signal): the
+    fraction of 2-gram / 3-gram occurrences that are repeats of an
+    earlier gram in the same document. High ratios flag boilerplate and
+    degenerate generations. Pure per-row higher-order-function compute —
+    no shuffle, whole-stage codegen applies."""
+    toks = tokens("text")
+    out = docs.select("doc_id", toks.alias("_t"))
+    for n in (2, 3):
+        grams = _all_grams(F.col("_t"), n)
+        total = F.size(grams)
+        dup = total - F.size(F.array_distinct(grams))
+        out = out.withColumn(
+            f"dup_{n}gram_ratio",
+            F.when(total > 0, F.round(dup / total.cast("double"), 6)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    return out.drop("_t")

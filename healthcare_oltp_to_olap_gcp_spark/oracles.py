@@ -28,7 +28,15 @@ from .functions.text import BPE_PATTERN, DE_STOP, EN_STOP, ES_STOP, FR_STOP
 # single quotes doubled for embedding in a SQL string literal
 BPE_PATTERN_SQL = BPE_PATTERN.replace("'", "''")
 from .operators.merge import EVENT_RULES
-from .plans.analytics import BLOOM_PRIORITY, Q1_CUTOFF, Q3_DATE, Q5_HI, Q5_LO
+from .operators.textquality import PII_EMAIL, PII_PHONE
+from .plans.analytics import (
+    BLOOM_PRIORITY,
+    Q1_CUTOFF,
+    Q3_DATE,
+    Q5_HI,
+    Q5_LO,
+    Q18_MIN_QTY,
+)
 
 
 def _sql_list(words: tuple[str, ...]) -> str:
@@ -669,4 +677,87 @@ SELECT event_id, user_id, ts, value,
   CAST(ntile(4) OVER w AS BIGINT) AS user_quartile
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+ORACLE_SQL["q6_forecast_revenue"] = f"""
+SELECT {_dsum('l_extendedprice * l_discount')} AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q5_LO} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{Q5_HI} 00:00:00'
+  AND l_discount >= 0.04 AND l_discount <= 0.06 AND l_quantity < 24
+"""
+
+# Both engines: exact decimal conditional sums, then (100.0 * p) / t in
+# left-associated double arithmetic — one IEEE result.
+ORACLE_SQL["q14_promo_revenue"] = f"""
+WITH agg AS (
+  SELECT
+    SUM(CASE WHEN p_type = 'PROMO'
+        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))
+        ELSE CAST(0 AS DECIMAL(18,8)) END) AS p,
+    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS t
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '{Q5_LO} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{Q5_HI} 00:00:00'
+)
+SELECT 100.0 * CAST(p AS DOUBLE) / CAST(t AS DOUBLE) AS promo_revenue_pct,
+  CAST(p AS DOUBLE) AS promo_revenue,
+  CAST(t AS DOUBLE) AS total_revenue
+FROM agg
+"""
+
+ORACLE_SQL["q18_large_orders"] = f"""
+WITH big AS (
+  SELECT l_orderkey, {_dsum('l_quantity')} AS total_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE total_qty > {Q18_MIN_QTY}
+"""
+
+ORACLE_SQL["docs_pii_scrub"] = f"""
+WITH raw AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com or +1 555-010-' || CAST(doc_id AS VARCHAR) AS r
+  FROM documents
+),
+e AS (
+  SELECT doc_id, r,
+    CAST(len(regexp_extract_all(r, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+    regexp_replace(r, '{PII_EMAIL}', '<EMAIL>', 'g') AS ne
+  FROM raw
+)
+SELECT doc_id,
+  regexp_replace(ne, '{PII_PHONE}', '<PHONE>', 'g') AS clean_text,
+  n_emails,
+  CAST(len(regexp_extract_all(ne, '{PII_PHONE}')) AS BIGINT) AS n_phones
+FROM e
+"""
+
+ORACLE_SQL["docs_repetition"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 2
+      THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+      ELSE [] END AS g2,
+    CASE WHEN len(t) >= 3
+      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      ELSE [] END AS g3
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN len(g2) > 0
+    THEN round((len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE), 6)
+    ELSE 0.0 END AS dup_2gram_ratio,
+  CASE WHEN len(g3) > 0
+    THEN round((len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE), 6)
+    ELSE 0.0 END AS dup_3gram_ratio
+FROM g
 """

@@ -472,3 +472,68 @@ def hll_sketch_distinct_users(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """Forecast-revenue-change (TPC-H Q6 shape): pure scan + conjunctive
+    pushed filters + ONE global aggregate — the cheapest possible plan
+    shape; at 100 TB the entire job is the parquet scan, so every
+    predicate must appear in PushedFilters."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(Q5_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q5_HI).cast("timestamp"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Promo revenue share (TPC-H Q14 shape): fact ⋈ broadcast part dim,
+    conditional aggregate, one double division at the end (exact decimal
+    sums → IEEE-stable percentage)."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(Q5_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q5_HI).cast("timestamp"))
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,8)"
+    )
+    promo = F.col("p_type") == "PROMO"
+    agg = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).agg(
+        F.sum(F.when(promo, revenue).otherwise(F.lit(0).cast("decimal(18,8)"))).alias(
+            "_promo"
+        ),
+        F.sum(revenue).alias("_total"),
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("_promo").cast("double") / F.col("_total").cast("double")).alias(
+            "promo_revenue_pct"
+        ),
+        F.col("_promo").cast("double").alias("promo_revenue"),
+        F.col("_total").cast("double").alias("total_revenue"),
+    )
+
+
+Q18_MIN_QTY = 250
+
+
+def q18_large_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 shape): HAVING on a grouped sum,
+    then join the tiny surviving key set back to orders/customer. The
+    having-filter runs BEFORE the joins, so at 100 TB only ~1% of order
+    keys ever enter a join."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(money_sum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )

@@ -35,6 +35,11 @@ SF01_KEYS = [
     "multimodal_frames",
     "value_percentiles",
     "scd2_user_band",
+    "min_price_supplier",
+    "user_value_deltas",
+    "q18_large_orders",
+    "docs_repetition",
+    "fact_events_incremental",
 ]
 
 
