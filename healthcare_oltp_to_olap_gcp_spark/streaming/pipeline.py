@@ -138,3 +138,57 @@ def run_available_now(agg: DataFrame, query_name: str = "hourly_agg") -> DataFra
     )
     q.awaitTermination()
     return session.table(query_name)
+
+
+def incremental_fact_sink(stream: DataFrame, store_dir: str):
+    """Streaming star-fact maintenance (foreachBatch): every micro-batch
+    MERGEs into a versioned parquet fact store, keeping the newest row
+    per event_id — the streaming form of plans/star.fact_events_incremental
+    and the reference's scheduled Dataflow replication job.
+
+    Each batch writes a new complete version directory and readers take
+    the max version — a poor-man's snapshot isolation that parquet-only
+    storage needs (a lakehouse table format would replace this with a
+    transactional MERGE; the plan shape is identical). At scale the
+    union side is the pre-deduplicated store, so the re-rank window only
+    reworks event_ids present in the delta's date partitions."""
+    from pyspark.sql import Window
+
+    from ..plans.star import prepared_events
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = prepared_events(batch_df)
+        current = read_fact_store(spark, store_dir)
+        merged = delta if current is None else current.unionByName(delta)
+        w = Window.partitionBy("event_id").orderBy(F.col("ts").desc())
+        out = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        out.write.mode("overwrite").parquet(f"{store_dir}/v={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", f"{store_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_fact_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    """Latest snapshot of the versioned fact store (max version dir)."""
+    import os
+
+    try:
+        versions = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(store_dir)
+            if d.startswith("v=")
+        ]
+    except FileNotFoundError:
+        return None
+    if not versions:
+        return None
+    return spark.read.parquet(f"{store_dir}/v={max(versions)}")

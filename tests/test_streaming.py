@@ -106,3 +106,35 @@ def test_stateful_running_totals(spark, tmp_path):
     for uid, row in batch.iterrows():
         assert latest.loc[uid, "total_events"] == row["n"]
         assert abs(latest.loc[uid, "total_value"] - round(row["v"], 4)) < 0.01
+
+
+def test_foreach_batch_incremental_fact_equals_batch(spark, tmp_path):
+    """Micro-batched foreachBatch MERGE into the versioned fact store
+    must converge to exactly the batch fact_events result, across
+    multiple triggers (maxFilesPerTrigger=4 over 8 files)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from healthcare_oltp_to_olap_gcp_spark.plans.star import fact_events
+
+    src = tmp_path / "events_stream3"
+    src.mkdir()
+    # split the source into several files so availableNow runs >1 batch,
+    # with one file duplicated (replication overlap)
+    events = table(spark, SF001, "events")
+    events.repartition(7).write.mode("overwrite").parquet(str(src))
+    dup = sorted(p for p in src.iterdir() if p.name.endswith(".parquet"))[0]
+    shutil.copy(dup, src / "dup-copy.parquet")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(str(src))
+    )
+    store = str(tmp_path / "fact_store")
+    q = pipeline.incremental_fact_sink(stream, store)
+    q.awaitTermination()
+
+    got = pipeline.read_fact_store(spark, store)
+    want = fact_events(events)
+    assert normalize(got.toPandas()) == normalize(want.toPandas())
