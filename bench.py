@@ -30,7 +30,7 @@ BENCH_QUERIES = (
     "events_hourly",
     "sessionize",
     "asof_last_view_before_purchase",
-    "value_range_join",
+    "value_range_window",
     "weekend_activity",
     "bloom_prejoin_revenue",
     "hll_sketch_distinct_users",

@@ -158,6 +158,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_range_join": lambda s, d: analytics.value_range_join(
         table(s, d, "events")
     ),
+    "value_range_window": lambda s, d: analytics.value_range_window(
+        table(s, d, "events")
+    ),
     "sessionize": lambda s, d: sessionize.sessionize(table(s, d, "events")),
     "asof_last_view_before_purchase": lambda s, d: asof.asof_last_view_before_purchase(
         table(s, d, "events")

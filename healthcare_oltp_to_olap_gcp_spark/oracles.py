@@ -761,3 +761,16 @@ SELECT doc_id,
     ELSE 0.0 END AS dup_3gram_ratio
 FROM g
 """
+
+# Identical window text on both engines: RANGE boundaries are computed
+# as value±0.5 then compared — IEEE-identical, so ties land the same.
+ORACLE_SQL["value_range_window"] = """
+SELECT * FROM (
+  SELECT event_id,
+    CAST(count(*) OVER (PARTITION BY event_type ORDER BY value
+         RANGE BETWEEN 0.5 PRECEDING AND 0.5 FOLLOWING) - 1 AS BIGINT) AS n_collisions,
+    CAST(sum(event_id) OVER (PARTITION BY event_type ORDER BY value
+         RANGE BETWEEN 0.5 PRECEDING AND 0.5 FOLLOWING) - event_id AS BIGINT) AS sum_collision_ids
+  FROM events
+) WHERE n_collisions > 0
+"""

@@ -537,3 +537,24 @@ def q18_large_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
     )
+
+
+def value_range_window(events: DataFrame) -> DataFrame:
+    """Self-range-join twin of ``value_range_join``: same ±0.5
+    same-type collision counting, but via a RANGE-frame window — one
+    sort per event_type, O(n log n), and the candidate pairs are never
+    materialized (the bucket join builds ~n·density rows first). The
+    frame boundary arithmetic (value ± 0.5 then compare) is IEEE-stable,
+    and the oracle runs the identical window so both engines place
+    boundary ties identically. sum_collision_ids replaces the join
+    twin's min_collision_id because a frame cannot exclude the current
+    row from a MIN, but subtracting self from SUM is exact."""
+    frame = (
+        "OVER (PARTITION BY event_type ORDER BY value "
+        "RANGE BETWEEN 0.5 PRECEDING AND 0.5 FOLLOWING)"
+    )
+    return events.selectExpr(
+        "event_id",
+        f"CAST(count(*) {frame} - 1 AS BIGINT) AS n_collisions",
+        f"CAST(sum(event_id) {frame} - event_id AS BIGINT) AS sum_collision_ids",
+    ).filter(F.col("n_collisions") > 0)
