@@ -45,6 +45,7 @@ BENCH_QUERIES = (
     "token_freq",
     "tfidf_top_terms",
     "ann_topk",
+    "ann_gemm_topk",
     "ann_lsh_topk",
     "embedding_neardup_pairs",
 )

@@ -162,6 +162,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         table(s, d, "events")
     ),
     "sessionize": lambda s, d: sessionize.sessionize(table(s, d, "events")),
+    "session_window_agg": lambda s, d: sessionize.session_window_agg(
+        table(s, d, "events")
+    ),
     "asof_last_view_before_purchase": lambda s, d: asof.asof_last_view_before_purchase(
         table(s, d, "events")
     ),
@@ -195,6 +198,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "ann_topk": lambda s, d: similarity.ann_brute_topk(table(s, d, "embeddings")),
     "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(table(s, d, "embeddings")),
+    "ann_gemm_topk": lambda s, d: similarity.ann_gemm_topk(table(s, d, "embeddings")),
     "ivf_ann_topk": lambda s, d: similarity.ivf_ann_topk(table(s, d, "embeddings")),
     "multimodal_meta": lambda s, d: multimodal.extract_meta(
         multimodal.attach_payload(table(s, d, "documents"))

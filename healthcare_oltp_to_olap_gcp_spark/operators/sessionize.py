@@ -42,3 +42,28 @@ def sessionize(events: DataFrame, gap_us: int = DEFAULT_GAP_US) -> DataFrame:
             ),
         )
     )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Built-in ``session_window`` twin of ``sessionize``: Spark merges
+    per-user event windows that overlap within the gap — the same
+    single shuffle on the grouping key, but the island detection happens
+    inside the aggregation operator (and the identical code works under
+    Structured Streaming with a watermark, which the lag-based
+    formulation cannot). Session end is last-event + gap per
+    session_window semantics; the oracle reproduces it with the
+    gap-island SQL."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum(F.col("value")).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -213,3 +213,64 @@ def ann_lsh_topk(embeddings: DataFrame, k: int = DEFAULT_K, dim: int = 64) -> Da
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def ann_gemm_topk(embeddings: DataFrame, k: int = DEFAULT_K, dim: int = DIM) -> DataFrame:
+    """Arrow/NumPy escape-hatch twin of ``ann_brute_topk``: each corpus
+    partition computes a blocked matrix product against the broadcast
+    query matrix (BLAS GEMM) and emits only its LOCAL top-k per query;
+    one tiny global window finishes the selection. Same
+    O(|Q|·n·dim) math as the codegen join, but vectorized — the
+    partial-topk emit means each partition ships k rows per query, not
+    n·|Q| pairs.
+
+    BLAS sums in SIMD order, not the fold order the DuckDB oracle
+    mirrors, so sims can differ in the last ulp → rows-only oracle;
+    set-equality vs the codegen twin is asserted in unit tests."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    q_pdf = (
+        embeddings.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select("vec_id", as_double("embedding").alias("e"))
+        .toPandas()
+    )
+    qids = q_pdf["vec_id"].to_numpy()
+    Q = np.stack(q_pdf["e"].to_numpy())
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, Q))
+
+    def _part(pdf_iter):
+        qids, Q = bc.value
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["e"].to_numpy())
+            C = C / np.linalg.norm(C, axis=1, keepdims=True)
+            cids = pdf["vec_id"].to_numpy()
+            S = np.round(C @ Q.T, 6)  # (n_corpus, n_queries)
+            for j in range(len(qids)):
+                sims = S[:, j]
+                mask = cids != qids[j]
+                order = np.lexsort((cids[mask], -sims[mask]))[:k]
+                sel_ids, sel_sims = cids[mask][order], sims[mask][order]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids[j],
+                        "neighbor_id": sel_ids,
+                        "sim": sel_sims,
+                    }
+                )
+
+    partials = (
+        embeddings.repartition(_par(embeddings))
+        .select("vec_id", as_double("embedding").alias("e"))
+        .mapInPandas(_part, "query_id long, neighbor_id long, sim double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

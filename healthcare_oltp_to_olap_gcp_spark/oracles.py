@@ -774,3 +774,26 @@ SELECT * FROM (
   FROM events
 ) WHERE n_collisions > 0
 """
+
+# session_window: same session iff gap < 30 min STRICTLY (the built-in
+# extends each window to [ts, ts+gap) and merges overlaps); end = last
+# event + gap.
+ORACLE_SQL["session_window_agg"] = f"""
+WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us FROM events),
+s AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+                 THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+t AS (
+  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM s
+)
+SELECT user_id,
+  MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  {_dsum('value')} AS session_value
+FROM t GROUP BY user_id, session_idx
+"""

@@ -158,3 +158,14 @@ def test_hll_sketch_rollup_within_error(spark):
     assert set(merged) == set(exact)
     for t, n in exact.items():
         assert abs(merged[t] - n) <= max(2, 0.05 * n), (t, merged[t], n)
+
+
+def test_gemm_topk_equals_codegen_topk(spark):
+    """The BLAS-blocked mapInPandas top-k must select the same neighbor
+    sets (and rounded sims) as the whole-stage-codegen join twin."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import similarity
+
+    emb = table(spark, SF001, "embeddings")
+    a = {(r.query_id, r.neighbor_id, r.sim, r.rank) for r in similarity.ann_brute_topk(emb).collect()}
+    b = {(r.query_id, r.neighbor_id, r.sim, r.rank) for r in similarity.ann_gemm_topk(emb).collect()}
+    assert a == b

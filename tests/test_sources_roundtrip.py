@@ -51,3 +51,11 @@ def test_json_roundtrip(spark, tmp_path):
         .json(path)
     )
     assert normalize(back.toPandas()) == normalize(events.toPandas())
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    events = table(spark, SF001, "events").select(*COLS)
+    path = str(tmp_path / "events_orc")
+    events.write.orc(path)
+    back = spark.read.schema(EVENTS_SCHEMA).orc(path)
+    assert normalize(back.toPandas()) == normalize(events.toPandas())
