@@ -115,6 +115,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_promo_revenue": lambda s, d: analytics.q14_promo_revenue(
         table(s, d, "lineitem"), table(s, d, "part")
     ),
+    "q19_disjunctive_revenue": lambda s, d: analytics.q19_disjunctive_revenue(
+        table(s, d, "lineitem"), table(s, d, "part")
+    ),
     "q18_large_orders": lambda s, d: analytics.q18_large_orders(
         table(s, d, "customer"), table(s, d, "orders"), table(s, d, "lineitem")
     ),

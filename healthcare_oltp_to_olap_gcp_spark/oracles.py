@@ -708,6 +708,19 @@ SELECT 100.0 * CAST(p AS DOUBLE) / CAST(t AS DOUBLE) AS promo_revenue_pct,
 FROM agg
 """
 
+ORACLE_SQL["q19_disjunctive_revenue"] = f"""
+SELECT {_dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
 ORACLE_SQL["q18_large_orders"] = f"""
 WITH big AS (
   SELECT l_orderkey, {_dsum('l_quantity')} AS total_qty

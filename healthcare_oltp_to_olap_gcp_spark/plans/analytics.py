@@ -539,6 +539,43 @@ def q18_large_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame
     )
 
 
+def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Discounted revenue under an OR-of-conjuncts predicate (TPC-H Q19
+    shape): three (brand, size-range, quantity-range) branches OR'd
+    together over fact ⋈ broadcast part. Catalyst's CNF conversion
+    (SPARK-31705) extracts the part-only disjunction (brand/size) and
+    pushes it to the part scan, and the lineitem-only quantity
+    disjunction to the fact scan — so at 100 TB the fact scan skips
+    row groups outside quantity ∈ [1, 30] before the join runs."""
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 def value_range_window(events: DataFrame) -> DataFrame:
     """Self-range-join twin of ``value_range_join``: same ±0.5
     same-type collision counting, but via a RANGE-frame window — one
