@@ -48,7 +48,77 @@ def _q1_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(ORACLE_SQL["q1_pricing_summary"])
 
 
+# Registry ordering is load-bearing: the driver's correctness gate checks
+# the FIRST 50 entries in insertion order (CORRECTNESS_r01 was exactly the
+# first 50).  Round 1 left the LLM-data family and sessionize/asof/scd2
+# outside the window, so they lead here; new round-2 queries go in the
+# second block; the round-1 driver-green set (which keeps regression
+# coverage via tests/test_parity.py) comes last.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # =========================================================
+    # Priority block A — driver-unchecked in round 1 (30)
+    # =========================================================
+    "sessionize": lambda s, d: sessionize.sessionize(table(s, d, "events")),
+    "session_window_agg": lambda s, d: sessionize.session_window_agg(
+        table(s, d, "events")
+    ),
+    "asof_last_view_before_purchase": lambda s, d: asof.asof_last_view_before_purchase(
+        table(s, d, "events")
+    ),
+    "asof_pandas_last_view": lambda s, d: asof.asof_last_view_pandas(
+        table(s, d, "events")
+    ),
+    "scd2_user_band": lambda s, d: asof.scd2_user_band(table(s, d, "events")),
+    "dedup_exact": lambda s, d: dedup.exact_dedup_stats(table(s, d, "documents")),
+    "docs_fingerprint": lambda s, d: textquality.fingerprints(table(s, d, "documents")),
+    "docs_token_stats": lambda s, d: textquality.token_stats(table(s, d, "documents")),
+    "docs_quality": lambda s, d: textquality.quality_scores(table(s, d, "documents")),
+    "docs_langid": lambda s, d: textquality.langid(table(s, d, "documents")),
+    "docs_pii_scrub": lambda s, d: textquality.pii_scrub(table(s, d, "documents")),
+    "docs_repetition": lambda s, d: textquality.repetition_scores(
+        table(s, d, "documents")
+    ),
+    "ngram_dup_pairs": lambda s, d: dedup.ngram_jaccard_pairs(table(s, d, "documents")),
+    "minhash_lsh_dup_pairs": lambda s, d: dedup.minhash_lsh_dup_pairs(
+        table(s, d, "documents")
+    ),
+    "dedup_components": lambda s, d: dedup.dedup_components(table(s, d, "documents")),
+    "clean_documents": lambda s, d: dedup.clean_documents(table(s, d, "documents")),
+    "sample_documents": lambda s, d: dedup.sample_documents(table(s, d, "documents")),
+    "stratified_sample_by_lang": lambda s, d: dedup.stratified_sample_by_lang(
+        table(s, d, "documents")
+    ),
+    "simhash_dup_pairs": lambda s, d: dedup.simhash_dup_pairs(table(s, d, "documents")),
+    "embedding_neardup_pairs": lambda s, d: similarity.embedding_neardup_pairs(
+        table(s, d, "embeddings")
+    ),
+    "ann_topk": lambda s, d: similarity.ann_brute_topk(table(s, d, "embeddings")),
+    "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(table(s, d, "embeddings")),
+    "ann_gemm_topk": lambda s, d: similarity.ann_gemm_topk(table(s, d, "embeddings")),
+    "ivf_ann_topk": lambda s, d: similarity.ivf_ann_topk(table(s, d, "embeddings")),
+    "multimodal_meta": lambda s, d: multimodal.extract_meta(
+        multimodal.attach_payload(table(s, d, "documents"))
+    ),
+    "multimodal_frames": lambda s, d: multimodal.frame_sample(
+        multimodal.attach_payload(table(s, d, "documents"))
+    ),
+    "winnow_fingerprint": lambda s, d: textquality.winnow_fingerprints(
+        table(s, d, "documents")
+    ),
+    "token_freq": lambda s, d: textquality.token_freq(table(s, d, "documents")),
+    "token_typo_pairs": lambda s, d: textquality.token_typo_pairs(
+        table(s, d, "documents")
+    ),
+    "tfidf_top_terms": lambda s, d: textquality.tfidf_top_terms(
+        table(s, d, "documents")
+    ),
+    # =========================================================
+    # Priority block B — new in round 2
+    # =========================================================
+    # =========================================================
+    # Priority block C — driver-green in round 1 (regression
+    # coverage retained by tests/test_parity.py at sf0.001)
+    # =========================================================
     # --- star-schema ETL (reference parity) ---
     "fact_events": _fact,
     "fact_events_incremental": lambda s, d: star.fact_events_incremental(
@@ -163,60 +233,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "value_range_window": lambda s, d: analytics.value_range_window(
         table(s, d, "events")
-    ),
-    "sessionize": lambda s, d: sessionize.sessionize(table(s, d, "events")),
-    "session_window_agg": lambda s, d: sessionize.session_window_agg(
-        table(s, d, "events")
-    ),
-    "asof_last_view_before_purchase": lambda s, d: asof.asof_last_view_before_purchase(
-        table(s, d, "events")
-    ),
-    "asof_pandas_last_view": lambda s, d: asof.asof_last_view_pandas(
-        table(s, d, "events")
-    ),
-    "scd2_user_band": lambda s, d: asof.scd2_user_band(table(s, d, "events")),
-    # --- LLM-data-pipeline operators ---
-    "dedup_exact": lambda s, d: dedup.exact_dedup_stats(table(s, d, "documents")),
-    "docs_fingerprint": lambda s, d: textquality.fingerprints(table(s, d, "documents")),
-    "docs_token_stats": lambda s, d: textquality.token_stats(table(s, d, "documents")),
-    "docs_quality": lambda s, d: textquality.quality_scores(table(s, d, "documents")),
-    "docs_langid": lambda s, d: textquality.langid(table(s, d, "documents")),
-    "docs_pii_scrub": lambda s, d: textquality.pii_scrub(table(s, d, "documents")),
-    "docs_repetition": lambda s, d: textquality.repetition_scores(
-        table(s, d, "documents")
-    ),
-    "ngram_dup_pairs": lambda s, d: dedup.ngram_jaccard_pairs(table(s, d, "documents")),
-    "minhash_lsh_dup_pairs": lambda s, d: dedup.minhash_lsh_dup_pairs(
-        table(s, d, "documents")
-    ),
-    "dedup_components": lambda s, d: dedup.dedup_components(table(s, d, "documents")),
-    "clean_documents": lambda s, d: dedup.clean_documents(table(s, d, "documents")),
-    "sample_documents": lambda s, d: dedup.sample_documents(table(s, d, "documents")),
-    "stratified_sample_by_lang": lambda s, d: dedup.stratified_sample_by_lang(
-        table(s, d, "documents")
-    ),
-    "simhash_dup_pairs": lambda s, d: dedup.simhash_dup_pairs(table(s, d, "documents")),
-    "embedding_neardup_pairs": lambda s, d: similarity.embedding_neardup_pairs(
-        table(s, d, "embeddings")
-    ),
-    "ann_topk": lambda s, d: similarity.ann_brute_topk(table(s, d, "embeddings")),
-    "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(table(s, d, "embeddings")),
-    "ann_gemm_topk": lambda s, d: similarity.ann_gemm_topk(table(s, d, "embeddings")),
-    "ivf_ann_topk": lambda s, d: similarity.ivf_ann_topk(table(s, d, "embeddings")),
-    "multimodal_meta": lambda s, d: multimodal.extract_meta(
-        multimodal.attach_payload(table(s, d, "documents"))
-    ),
-    "multimodal_frames": lambda s, d: multimodal.frame_sample(
-        multimodal.attach_payload(table(s, d, "documents"))
-    ),
-    "winnow_fingerprint": lambda s, d: textquality.winnow_fingerprints(
-        table(s, d, "documents")
-    ),
-    "token_freq": lambda s, d: textquality.token_freq(table(s, d, "documents")),
-    "token_typo_pairs": lambda s, d: textquality.token_typo_pairs(
-        table(s, d, "documents")
-    ),
-    "tfidf_top_terms": lambda s, d: textquality.tfidf_top_terms(
-        table(s, d, "documents")
     ),
 }
