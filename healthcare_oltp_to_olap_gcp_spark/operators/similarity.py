@@ -94,8 +94,13 @@ def ann_brute_topk(embeddings: DataFrame, k: int = DEFAULT_K) -> DataFrame:
 
 def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
     """All pairs with cosine ≥ threshold (embedding near-duplicate
-    detection). Quadratic baseline — the LSH bucketing below is the
-    scale path for the same predicate."""
+    detection).
+
+    **BASELINE-ONLY — never the production path.** O(n²) compute with a
+    full-table broadcast; it exists solely to verify the bucketed twins
+    (``ann_lsh_topk`` / ``ivf_ann_topk`` bucketing applied to the pair
+    predicate) at test scale. At 100 TB run the LSH/IVF path instead
+    (see SCALING.md)."""
     a = _split(embeddings.repartition(_par(embeddings)), "vec_a", "x")
     b = _split(embeddings, "vec_b", "y")
     return (
@@ -215,7 +220,19 @@ def ann_lsh_topk(embeddings: DataFrame, k: int = DEFAULT_K, dim: int = 64) -> Da
     )
 
 
-def ann_gemm_topk(embeddings: DataFrame, k: int = DEFAULT_K, dim: int = DIM) -> DataFrame:
+# Hard cap on query rows collected to the driver per GEMM round
+# (4096 × 64 doubles ≈ 2 MB). The query subset is vec_id % QUERY_MOD,
+# i.e. corpus-proportional, so it is processed in hash blocks of at
+# most this many rows — driver memory stays O(block), not O(corpus).
+MAX_GEMM_QUERY_BLOCK = 4096
+
+
+def ann_gemm_topk(
+    embeddings: DataFrame,
+    k: int = DEFAULT_K,
+    dim: int = DIM,
+    query_block: int = MAX_GEMM_QUERY_BLOCK,
+) -> DataFrame:
     """Arrow/NumPy escape-hatch twin of ``ann_brute_topk``: each corpus
     partition computes a blocked matrix product against the broadcast
     query matrix (BLAS GEMM) and emits only its LOCAL top-k per query;
@@ -224,50 +241,78 @@ def ann_gemm_topk(embeddings: DataFrame, k: int = DEFAULT_K, dim: int = DIM) -> 
     partial-topk emit means each partition ships k rows per query, not
     n·|Q| pairs.
 
+    Driver memory is bounded: the query set is split into
+    ``ceil(|Q| / query_block)`` deterministic hash blocks and one block
+    at a time is collected + broadcast (≤ ~2 MB each at dim=64); the
+    per-block partial-topk frames are unioned before the global window.
+    With one block the plan is identical to the unblocked original.
+
     BLAS sums in SIMD order, not the fold order the DuckDB oracle
     mirrors, so sims can differ in the last ulp → rows-only oracle;
     set-equality vs the codegen twin is asserted in unit tests."""
+    import math
+
     import numpy as np
     import pandas as pd
 
     spark = embeddings.sparkSession
-    q_pdf = (
-        embeddings.filter(F.col("vec_id") % QUERY_MOD == 0)
-        .select("vec_id", as_double("embedding").alias("e"))
-        .toPandas()
+    q_df = embeddings.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        "vec_id", as_double("embedding").alias("e")
     )
-    qids = q_pdf["vec_id"].to_numpy()
-    Q = np.stack(q_pdf["e"].to_numpy())
-    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((qids, Q))
-
-    def _part(pdf_iter):
-        qids, Q = bc.value
-        for pdf in pdf_iter:
-            if not len(pdf):
-                continue
-            C = np.stack(pdf["e"].to_numpy())
-            C = C / np.linalg.norm(C, axis=1, keepdims=True)
-            cids = pdf["vec_id"].to_numpy()
-            S = np.round(C @ Q.T, 6)  # (n_corpus, n_queries)
-            for j in range(len(qids)):
-                sims = S[:, j]
-                mask = cids != qids[j]
-                order = np.lexsort((cids[mask], -sims[mask]))[:k]
-                sel_ids, sel_sims = cids[mask][order], sims[mask][order]
-                yield pd.DataFrame(
-                    {
-                        "query_id": qids[j],
-                        "neighbor_id": sel_ids,
-                        "sim": sel_sims,
-                    }
-                )
-
-    partials = (
-        embeddings.repartition(_par(embeddings))
-        .select("vec_id", as_double("embedding").alias("e"))
-        .mapInPandas(_part, "query_id long, neighbor_id long, sim double")
+    n_q = q_df.count()
+    if n_q == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rank long"
+        )
+    n_blocks = max(1, math.ceil(n_q / query_block))
+    corpus = embeddings.repartition(_par(embeddings)).select(
+        "vec_id", as_double("embedding").alias("e")
     )
+
+    def _block_partials(q_pdf: "pd.DataFrame") -> DataFrame:
+        qids = q_pdf["vec_id"].to_numpy()
+        Q = np.stack(q_pdf["e"].to_numpy())
+        Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        bc = spark.sparkContext.broadcast((qids, Q))
+
+        def _part(pdf_iter):
+            qids, Q = bc.value
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                C = np.stack(pdf["e"].to_numpy())
+                C = C / np.linalg.norm(C, axis=1, keepdims=True)
+                cids = pdf["vec_id"].to_numpy()
+                S = np.round(C @ Q.T, 6)  # (n_corpus, n_queries)
+                for j in range(len(qids)):
+                    sims = S[:, j]
+                    mask = cids != qids[j]
+                    order = np.lexsort((cids[mask], -sims[mask]))[:k]
+                    sel_ids, sel_sims = cids[mask][order], sims[mask][order]
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qids[j],
+                            "neighbor_id": sel_ids,
+                            "sim": sel_sims,
+                        }
+                    )
+
+        return corpus.mapInPandas(_part, "query_id long, neighbor_id long, sim double")
+
+    # vec_id/QUERY_MOD is exact for the query subset, so this blocks the
+    # queries evenly regardless of shared factors between QUERY_MOD and
+    # n_blocks.
+    blk_col = F.pmod(
+        (F.col("vec_id") / F.lit(QUERY_MOD)).cast("long"), F.lit(n_blocks)
+    )
+    partials = None
+    for blk in range(n_blocks):
+        q_pdf = q_df.filter(blk_col == blk).toPandas()
+        if not len(q_pdf):
+            continue
+        frame = _block_partials(q_pdf)
+        partials = frame if partials is None else partials.unionByName(frame)
+
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         partials.withColumn("rank", F.row_number().over(w).cast("long"))
