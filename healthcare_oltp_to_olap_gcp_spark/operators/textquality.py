@@ -144,24 +144,53 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
 
 def token_typo_pairs(docs: DataFrame, max_dist: int = 1) -> DataFrame:
     """Fuzzy vocabulary matching: pairs of distinct corpus tokens within
-    ``max_dist`` Levenshtein edits (typo/variant detection). The
-    quadratic join runs over the *vocabulary* (tiny after distinct), not
-    the corpus — the standard trick that keeps edit-distance matching
-    feasible at any corpus size."""
+    ``max_dist`` Levenshtein edits (typo/variant detection).
+
+    Scale design: deletion-neighborhood blocking (FastSS / SymSpell).
+    Each vocabulary term is exploded into itself plus every
+    single-character-deletion variant; two terms at Levenshtein
+    distance ≤ 1 ALWAYS share a variant (substitution at i → both
+    delete i; insert/delete → the longer term's deletion equals the
+    shorter term), so an equi-join on the variant key produces a
+    complete candidate set. That join is an ordinary shuffle join —
+    no vocabulary broadcast, so a web-scale vocab (10⁸+ terms) never
+    has to fit on one executor — and each bucket holds only the terms
+    sharing one variant string. The residual Levenshtein filter removes
+    false candidates. Only ``max_dist=1`` is supported (the blocking
+    theorem is per-deletion-depth)."""
+    if max_dist != 1:
+        raise ValueError("token_typo_pairs blocking supports max_dist=1 only")
     vocab = (
         docs.select(F.explode(tokens("text")).alias("term")).distinct()
     )
-    a = vocab.select(F.col("term").alias("term_a"))
-    b = vocab.select(F.col("term").alias("term_b"))
+    # term itself + all 1-deletion variants, deduplicated per term
+    variants = vocab.select(
+        "term",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("term")),
+                    F.transform(
+                        F.sequence(F.lit(1), F.char_length("term")),
+                        lambda i: F.concat(
+                            F.substring(F.col("term"), F.lit(1), i - 1),
+                            F.substring(
+                                F.col("term"), i + 1, F.char_length("term")
+                            ),
+                        ),
+                    ),
+                )
+            )
+        ).alias("variant"),
+    )
+    a = variants.select(F.col("term").alias("term_a"), "variant")
+    b = variants.select(F.col("term").alias("term_b"), "variant")
     return (
-        a.join(F.broadcast(b), F.col("term_a") < F.col("term_b"))
-        # cheap length-difference prune before the O(n*m) edit distance
-        .filter(
-            F.abs(F.char_length("term_a") - F.char_length("term_b")) <= max_dist
-        )
-        .withColumn(
-            "dist", F.levenshtein("term_a", "term_b").cast("long")
-        )
+        a.join(b, "variant")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .select("term_a", "term_b")
+        .distinct()
+        .withColumn("dist", F.levenshtein("term_a", "term_b").cast("long"))
         .filter(F.col("dist") <= max_dist)
         .select("term_a", "term_b", "dist")
     )
