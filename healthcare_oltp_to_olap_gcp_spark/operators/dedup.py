@@ -72,7 +72,12 @@ def _jaccard(a: F.Column, b: F.Column) -> F.Column:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
-    """Exact all-pairs word-shingle Jaccard (quadratic baseline)."""
+    """Exact all-pairs word-shingle Jaccard.
+
+    **BASELINE-ONLY — never the production path.** O(n²) with a
+    full-table broadcast; it exists as ground truth for
+    ``minhash_lsh_dup_pairs`` (the scale path) at test scale. At 100 TB
+    run the MinHash+LSH twin instead (see SCALING.md)."""
     sh = doc_shingles(docs)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -158,9 +163,21 @@ def minhash_lsh_dup_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
 
     The shingle table feeds three consumers (signatures + both sides of
     the verification join) — persist it so the scan/shingle work runs
-    once; MEMORY_AND_DISK default spills gracefully at scale."""
-    sh = doc_shingles(docs).persist()
-    buckets = _band_buckets(minhash_signatures(docs, shingles=sh))
+    once; MEMORY_AND_DISK default spills gracefully at scale. The cache
+    is scoped: the next scoped persist anywhere in the package releases
+    it, so registry sweeps don't accumulate cached blocks."""
+    from ..session import scoped_persist
+
+    sh = scoped_persist(doc_shingles(docs))
+    return _verified_lsh_pairs(sh, threshold)
+
+
+def _verified_lsh_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """LSH candidate generation + exact-Jaccard verification over a
+    prepared (doc_id, shingles) frame. Callers own ``sh``'s cache
+    lifecycle (see ``dedup_components``, which unpersists it once the
+    edge list is materialized)."""
+    buckets = _band_buckets(minhash_signatures(sh, shingles=sh))
     left = buckets.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
     )
@@ -188,19 +205,39 @@ def minhash_lsh_dup_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     )
 
 
-def dedup_components(docs: DataFrame, threshold: float = 0.8, max_iters: int = 20) -> DataFrame:
+def dedup_components(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    max_iters: int = 20,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
     """Connected components of the near-duplicate graph: every document
     labeled with the smallest doc_id reachable through verified
     near-dup pairs (the canonical survivor of its duplicate cluster).
 
-    Iterative min-label propagation: each round every node takes the
-    minimum label among itself and its neighbors; converges in
-    O(component diameter) rounds. Each round is one join + one groupBy
-    (both shuffling on doc_id); the driver only checks a scalar
-    convergence count — no data ever collects to the driver. Label
-    tables are persisted per round and the loop is capped.
+    Iterative min-label propagation with pointer jumping: each round
+    every node takes the minimum label among itself and its neighbors,
+    then additionally adopts its label's label — doubling the
+    propagation distance, so convergence is O(log diameter) rounds
+    instead of O(diameter). Each round is two joins + one groupBy (all
+    shuffling on doc_id); the driver only checks a scalar convergence
+    sum — no data ever collects to the driver.
+
+    The edge list is eagerly ``localCheckpoint``-ed so the (deep)
+    MinHash lineage is planned exactly once — each round replans only
+    the shallow join/agg subtree; the shingle cache is released as soon
+    as the edges are materialized. Pass ``pairs`` (e.g. the output of
+    ``minhash_lsh_dup_pairs``) to skip the MinHash derivation entirely
+    when the pair table already exists.
     """
-    pairs = minhash_lsh_dup_pairs(docs, threshold).select("doc_a", "doc_b")
+    import warnings
+
+    sh = None
+    if pairs is None:
+        sh = doc_shingles(docs).persist()
+        pairs = _verified_lsh_pairs(sh, threshold)
+    pairs = pairs.select("doc_a", "doc_b")
+    # localCheckpoint is eager: the whole LSH pipeline runs here, once.
     edges = (
         pairs.unionByName(
             pairs.select(
@@ -208,16 +245,19 @@ def dedup_components(docs: DataFrame, threshold: float = 0.8, max_iters: int = 2
             )
         )
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
+    if sh is not None:
+        sh.unpersist()
     nodes = (
         edges.select(F.col("doc_a").alias("doc_id")).distinct()
     )
-    labels = nodes.withColumn("label", F.col("doc_id")).persist()
+    labels = nodes.withColumn("label", F.col("doc_id"))
     # Min-propagation only ever lowers labels, so the label sum strictly
     # decreases until the fixpoint — one scalar aggregate per round
     # detects convergence (no per-row diff join needed).
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(
@@ -229,7 +269,10 @@ def dedup_components(docs: DataFrame, threshold: float = 0.8, max_iters: int = 2
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("nl").alias("neighbor_label"))
         )
-        new_labels = (
+        # Checkpoint the propagated labels (eager), then pointer-jump
+        # off the materialized frame — the self-join reads the stored
+        # blocks instead of recomputing the neighbor join.
+        propagated = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
@@ -237,14 +280,34 @@ def dedup_components(docs: DataFrame, threshold: float = 0.8, max_iters: int = 2
                     F.col("label"), F.coalesce(F.col("neighbor_label"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
+        jump = propagated.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("_ll")
+        )
+        # labels only ever decrease, so label-of-label ≤ label: the jump
+        # preserves the monotone-sum convergence invariant.
+        labels = (
+            propagated.join(jump, "label", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        warnings.warn(
+            f"dedup_components: label propagation did not converge within "
+            f"{max_iters} rounds; labels may split one true component",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("doc_id", F.col("label").alias("component"))
 
 

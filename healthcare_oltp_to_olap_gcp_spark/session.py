@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 
 def get_spark(app_name: str = "hc-olap-spark", shuffle_partitions: int | None = None) -> SparkSession:
@@ -43,3 +43,27 @@ def get_spark(app_name: str = "hc-olap-spark", shuffle_partitions: int | None = 
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+_SCOPED_CACHES: list[DataFrame] = []
+
+
+def scoped_persist(df: DataFrame) -> DataFrame:
+    """Persist ``df``, releasing any frame previously persisted through
+    this helper.
+
+    Query builders persist intermediates that feed several subtrees of
+    ONE returned plan (e.g. the star fact feeding four dimension builds);
+    that cache must survive the query's execution but nothing after it.
+    Since the registry runs queries sequentially, releasing the previous
+    scoped cache at the next build bounds cached-block growth across a
+    full ``queries()`` sweep. Releasing early is always safe — an
+    unpersisted frame recomputes, it never returns wrong data."""
+    for old in _SCOPED_CACHES:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _SCOPED_CACHES.clear()
+    _SCOPED_CACHES.append(df)
+    return df.persist()
