@@ -17,13 +17,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def merge_upsert(existing: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+def merge_upsert(
+    existing: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tiebreak: tuple[F.Column, ...] = (),
+) -> DataFrame:
     """Rows from ``updates`` replace same-key rows in ``existing``;
-    unmatched update rows insert. Columns must align."""
+    unmatched update rows insert. Columns must align. ``tiebreak``
+    orders survivors within a priority class — without it, duplicate
+    keys inside one side pick a nondeterministic survivor (re-delivered
+    rows sharing a key but differing in payload)."""
     tagged = updates.withColumn("_prio", F.lit(0)).unionByName(
         existing.withColumn("_prio", F.lit(1))
     )
-    w = Window.partitionBy(key).orderBy("_prio")
+    w = Window.partitionBy(key).orderBy(F.col("_prio"), *tiebreak)
     return (
         tagged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -40,7 +48,9 @@ def simulated_updates(events: DataFrame) -> DataFrame:
 
 
 def merge_upsert_events(events: DataFrame) -> DataFrame:
-    return merge_upsert(events, simulated_updates(events), "event_id")
+    from ..plans.star import dedup_order
+
+    return merge_upsert(events, simulated_updates(events), "event_id", dedup_order())
 
 
 # (rule name, boolean violation predicate) — single source for Spark and

@@ -51,7 +51,8 @@ fact AS (
     'src' || CAST(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) % 5 AS VARCHAR) AS src,
     CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid' ELSE 'high' END AS band
   FROM events
-  QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts DESC) = 1
+  QUALIFY row_number() OVER (PARTITION BY event_id
+    ORDER BY ts DESC, value ASC NULLS FIRST, props ASC NULLS FIRST) = 1
 )
 """
 
@@ -271,7 +272,8 @@ tagged AS (
   SELECT event_id, ts, user_id, event_type, value, props, 1 AS prio FROM events
 )
 SELECT event_id, ts, user_id, event_type, value, props FROM tagged
-QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY prio) = 1
+QUALIFY row_number() OVER (PARTITION BY event_id
+  ORDER BY prio, ts DESC, value ASC NULLS FIRST, props ASC NULLS FIRST) = 1
 """,
     "validate_events": "\nUNION ALL\n".join(
         f"SELECT '{name}' AS rule, CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM events"

@@ -29,6 +29,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.keys import surrogate_key
+from ..session import scoped_persist
+
+def dedup_order() -> tuple[F.Column, ...]:
+    """Dedup survivor ordering: newest ts wins, with a deterministic
+    payload tie-break — replicated rows can share (event_id, ts) with
+    different payloads, and without the tie-break Spark vs the DuckDB
+    oracle (and run vs run) could pick different survivors. Null
+    placement is pinned because Spark (nulls first) and DuckDB (nulls
+    last) disagree on the ASC default; the oracle SQL mirrors this
+    ordering exactly. (A function, not a module constant: building a
+    Column requires an active SparkContext.)"""
+    return (
+        F.col("ts").desc(),
+        F.col("value").asc_nulls_first(),
+        F.col("props").asc_nulls_first(),
+    )
 
 # Deterministic derivations of the unit/source analogs from raw columns.
 PROPS_K_PATTERN = r'"k": (\d+)'
@@ -51,7 +67,7 @@ def prepared_events(events: DataFrame) -> DataFrame:
 def fact_events(events: DataFrame) -> DataFrame:
     """Deduplicated fact: newest row per event_id (idempotent wrt.
     replication overlap), ref sql/bq_fact_vitals.sql:14-17."""
-    w = Window.partitionBy("event_id").orderBy(F.col("ts").desc())
+    w = Window.partitionBy("event_id").orderBy(*dedup_order())
     return (
         prepared_events(events)
         .withColumn("_rn", F.row_number().over(w))
@@ -101,7 +117,7 @@ def dim_user(fact: DataFrame) -> DataFrame:
 
 def dim_event_type(fact: DataFrame) -> DataFrame:
     """ref sql/bq_dim_code.sql: key + display label."""
-    return fact.groupBy("event_type").agg(F.count("*").alias("_n")).select(
+    return fact.select("event_type").distinct().select(
         surrogate_key("event_type").alias("event_type_key"),
         "event_type",
         F.initcap("event_type").alias("event_type_display"),
@@ -133,9 +149,11 @@ def fact_events_star(fact: DataFrame) -> DataFrame:
     final join, and Spark reuses no exchanges across those subtrees
     (measured: 5 scans / 15 window recomputes without the persist).
     The production shape is refresh_model, which materializes the fact
-    to parquet and reads it back for the dims.
+    to parquet and reads it back for the dims. ``scoped_persist``
+    releases the previous query's cache so a full registry sweep does
+    not accumulate cached blocks.
     """
-    fact = fact.persist()
+    fact = scoped_persist(fact)
     du = F.broadcast(dim_user(fact))
     de = F.broadcast(dim_event_type(fact))
     db = F.broadcast(dim_band(fact))
@@ -182,7 +200,7 @@ def sanity_row_counts(fact: DataFrame, star: DataFrame) -> DataFrame:
 def sanity_missing_dims(fact: DataFrame) -> DataFrame:
     """ref README 'No Missing Dimensions' — rows whose natural keys
     fail to resolve in any dimension (should be 0)."""
-    fact = fact.persist()
+    fact = scoped_persist(fact)
     du = F.broadcast(dim_user(fact))
     de = F.broadcast(dim_event_type(fact))
     db = F.broadcast(dim_band(fact))
@@ -236,7 +254,7 @@ def fact_events_incremental(events: DataFrame, cutoff: str = INCREMENTAL_CUTOFF)
     cut = F.lit(cutoff).cast("timestamp")
     base = fact_events(events.filter(F.col("ts") < cut))
     delta = prepared_events(events.filter(F.col("ts") >= cut))
-    w = Window.partitionBy("event_id").orderBy(F.col("ts").desc())
+    w = Window.partitionBy("event_id").orderBy(*dedup_order())
     return (
         base.unionByName(delta)
         .withColumn("_rn", F.row_number().over(w))

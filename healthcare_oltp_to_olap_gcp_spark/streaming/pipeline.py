@@ -151,23 +151,26 @@ def incremental_fact_sink(stream: DataFrame, store_dir: str):
     storage needs (a lakehouse table format would replace this with a
     transactional MERGE; the plan shape is identical). At scale the
     union side is the pre-deduplicated store, so the re-rank window only
-    reworks event_ids present in the delta's date partitions."""
+    reworks event_ids present in the delta's date partitions. Versions
+    older than ``RETAIN_VERSIONS`` are pruned after each successful
+    write, so storage stays bounded across micro-batches."""
     from pyspark.sql import Window
 
-    from ..plans.star import prepared_events
+    from ..plans.star import dedup_order, prepared_events
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         delta = prepared_events(batch_df)
         current = read_fact_store(spark, store_dir)
         merged = delta if current is None else current.unionByName(delta)
-        w = Window.partitionBy("event_id").orderBy(F.col("ts").desc())
+        w = Window.partitionBy("event_id").orderBy(*dedup_order())
         out = (
             merged.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
         out.write.mode("overwrite").parquet(f"{store_dir}/v={batch_id}")
+        _prune_versions(spark, store_dir)
 
     return (
         stream.writeStream.foreachBatch(_merge)
@@ -177,18 +180,41 @@ def incremental_fact_sink(stream: DataFrame, store_dir: str):
     )
 
 
+# Newest version = the live snapshot; one predecessor kept so an
+# in-flight reader of the previous max never loses its files mid-scan.
+RETAIN_VERSIONS = 2
+
+
+def _fs_and_versions(spark: SparkSession, store_dir: str):
+    """List v=N child dirs through the Hadoop FileSystem API, so the
+    store can live on any supported filesystem (local, HDFS, GCS, S3),
+    not just a driver-local path."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return fs, []
+    versions = []
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if name.startswith("v="):
+            try:
+                versions.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return fs, versions
+
+
+def _prune_versions(spark: SparkSession, store_dir: str, keep: int = RETAIN_VERSIONS) -> None:
+    jvm = spark._jvm
+    fs, versions = _fs_and_versions(spark, store_dir)
+    for v in sorted(versions)[:-keep]:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{store_dir}/v={v}"), True)
+
+
 def read_fact_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
     """Latest snapshot of the versioned fact store (max version dir)."""
-    import os
-
-    try:
-        versions = [
-            int(d.split("=", 1)[1])
-            for d in os.listdir(store_dir)
-            if d.startswith("v=")
-        ]
-    except FileNotFoundError:
-        return None
+    _, versions = _fs_and_versions(spark, store_dir)
     if not versions:
         return None
     return spark.read.parquet(f"{store_dir}/v={max(versions)}")
