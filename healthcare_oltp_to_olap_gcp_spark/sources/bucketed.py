@@ -16,21 +16,49 @@ from pyspark.sql import DataFrame, SparkSession
 DEFAULT_BUCKETS = 16
 
 
+def _table_location(spark: SparkSession, table_name: str) -> str | None:
+    """The catalog's actual location for ``table_name`` (correct for
+    db-qualified names and any warehouse URI scheme); None if the table
+    isn't registered."""
+    try:
+        if not spark.catalog.tableExists(table_name):
+            return None
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect():
+            if r.col_name == "Location":
+                return r.data_type
+    except Exception:
+        return None
+    return None
+
+
+def _delete_path(spark: SparkSession, location: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API — works for
+    file:, hdfs:, gs:, s3a: alike (shutil only handled local paths)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(location)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
 def write_bucketed(
     df: DataFrame, table_name: str, key: str, buckets: int = DEFAULT_BUCKETS
 ) -> None:
     """Materialize as a bucketed+sorted parquet table in the session
     catalog (metastore-less: the in-memory catalog carries bucket spec).
-    Idempotent: drops the table and any orphaned location first."""
-    import shutil
-
+    Idempotent: drops the table and its data location first. The
+    location is resolved from the catalog BEFORE the drop; only for
+    unqualified names missing from the catalog (an orphan dir left by a
+    previous session, which the in-memory catalog has forgotten) does it
+    fall back to the default <warehouse>/<table> layout."""
     spark = df.sparkSession
+    location = _table_location(spark, table_name)
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-    if warehouse.startswith("file:"):
-        warehouse = warehouse[len("file:") :]
-    if warehouse:
-        shutil.rmtree(f"{warehouse}/{table_name}", ignore_errors=True)
+    if location is None and "." not in table_name:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        if warehouse:
+            location = f"{warehouse.rstrip('/')}/{table_name.lower()}"
+    if location:
+        _delete_path(spark, location)
     (
         df.write.mode("overwrite")
         .format("parquet")
