@@ -115,6 +115,47 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # =========================================================
     # Priority block B — new in round 2
     # =========================================================
+    "q7_volume_shipping": lambda s, d: analytics.q7_volume_shipping(
+        table(s, d, "lineitem"),
+        table(s, d, "orders"),
+        table(s, d, "customer"),
+        table(s, d, "supplier"),
+        table(s, d, "nation"),
+    ),
+    "q8_market_share": lambda s, d: analytics.q8_market_share(
+        table(s, d, "lineitem"),
+        table(s, d, "orders"),
+        table(s, d, "customer"),
+        table(s, d, "supplier"),
+        table(s, d, "nation"),
+        table(s, d, "region"),
+        table(s, d, "part"),
+    ),
+    "q9_product_profit": lambda s, d: analytics.q9_product_profit(
+        table(s, d, "lineitem"),
+        table(s, d, "orders"),
+        table(s, d, "supplier"),
+        table(s, d, "nation"),
+        table(s, d, "part"),
+    ),
+    "q11_important_parts": lambda s, d: analytics.q11_important_parts(
+        table(s, d, "lineitem")
+    ),
+    "q13_customer_distribution": lambda s, d: analytics.q13_customer_distribution(
+        table(s, d, "customer"), table(s, d, "orders")
+    ),
+    "q15_top_supplier": lambda s, d: analytics.q15_top_supplier(
+        table(s, d, "lineitem"), table(s, d, "supplier")
+    ),
+    "q16_supplier_variety": lambda s, d: analytics.q16_supplier_variety(
+        table(s, d, "lineitem"), table(s, d, "part")
+    ),
+    "q17_small_quantity_revenue": lambda s, d: analytics.q17_small_quantity_revenue(
+        table(s, d, "lineitem"), table(s, d, "part")
+    ),
+    "q22_global_sales_opportunity": lambda s, d: analytics.q22_global_sales_opportunity(
+        table(s, d, "customer"), table(s, d, "orders")
+    ),
     # =========================================================
     # Priority block C — driver-green in round 1 (regression
     # coverage retained by tests/test_parity.py at sf0.001)

@@ -35,6 +35,18 @@ from .plans.analytics import (
     Q3_DATE,
     Q5_HI,
     Q5_LO,
+    Q7_HI,
+    Q7_LO,
+    Q7_NATION_A,
+    Q7_NATION_B,
+    Q8_NATION,
+    Q8_REGION,
+    Q8_TYPE,
+    Q9_NAME_FRAGMENT,
+    Q11_SHARE,
+    Q15_HI,
+    Q15_LO,
+    Q17_BRAND,
     Q18_MIN_QTY,
 )
 
@@ -788,6 +800,133 @@ SELECT * FROM (
          RANGE BETWEEN 0.5 PRECEDING AND 0.5 FOLLOWING) - event_id AS BIGINT) AS sum_collision_ids
   FROM events
 ) WHERE n_collisions > 0
+"""
+
+ORACLE_SQL["q7_volume_shipping"] = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+  {_dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '{Q7_LO} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{Q7_HI} 00:00:00'
+  AND ((sn.n_name = '{Q7_NATION_A}' AND cn.n_name = '{Q7_NATION_B}')
+    OR (sn.n_name = '{Q7_NATION_B}' AND cn.n_name = '{Q7_NATION_A}'))
+GROUP BY 1, 2, 3
+"""
+
+ORACLE_SQL["q8_market_share"] = f"""
+WITH agg AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+    SUM(CASE WHEN sn.n_name = '{Q8_NATION}'
+        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))
+        ELSE CAST(0 AS DECIMAL(18,8)) END) AS num,
+    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS den
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_TYPE}'
+    AND o_orderdate >= TIMESTAMP '{Q7_LO} 00:00:00'
+    AND o_orderdate < TIMESTAMP '{Q7_HI} 00:00:00'
+  GROUP BY 1
+)
+SELECT o_year,
+  ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS mkt_share,
+  CAST(num AS DOUBLE) AS nation_revenue,
+  CAST(den AS DOUBLE) AS total_revenue
+FROM agg
+"""
+
+ORACLE_SQL["q9_product_profit"] = f"""
+SELECT n_name AS nation,
+  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+  {_dsum("l_extendedprice * (1 - l_discount) - p_retailprice * 0.1 * l_quantity")} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%{Q9_NAME_FRAGMENT}%'
+GROUP BY 1, 2
+"""
+
+ORACLE_SQL["q11_important_parts"] = f"""
+WITH pv AS (
+  SELECT l_partkey, {_dsum("l_extendedprice * l_quantity")} AS part_value
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT {_dsum("l_extendedprice * l_quantity")} AS total FROM lineitem
+)
+SELECT l_partkey, part_value FROM pv, tot
+WHERE part_value > total * {Q11_SHARE}
+"""
+
+ORACLE_SQL["q13_customer_distribution"] = """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+ORACLE_SQL["q15_top_supplier"] = f"""
+WITH revenue AS (
+  SELECT l_suppkey, {_dsum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_LO} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{Q15_HI} 00:00:00'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+ORACLE_SQL["q16_supplier_variety"] = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+GROUP BY 1, 2, 3
+"""
+
+ORACLE_SQL["q17_small_quantity_revenue"] = f"""
+WITH j AS (
+  SELECT l_quantity, l_extendedprice,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,8))) OVER (PARTITION BY l_partkey) AS DOUBLE)
+      / COUNT(*) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{Q17_BRAND}'
+)
+SELECT {_dsum('l_extendedprice')} / 7.0 AS avg_yearly
+FROM j WHERE l_quantity < 0.2 * avg_qty
+"""
+
+ORACLE_SQL["q22_global_sales_opportunity"] = f"""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS a
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode,
+  CAST(COUNT(*) AS BIGINT) AS numcust,
+  {_dsum('c_acctbal')} AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
 """
 
 # session_window: same session iff gap < 30 min STRICTLY (the built-in

@@ -576,6 +576,283 @@ def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     )
 
 
+Q7_NATION_A, Q7_NATION_B = "NATION_1", "NATION_2"
+Q7_LO, Q7_HI = "1996-01-01", "1998-01-01"
+Q8_REGION, Q8_NATION, Q8_TYPE = "AMERICA", "NATION_3", "ECONOMY"
+Q9_NAME_FRAGMENT = "gear"
+Q11_SHARE = 0.001
+Q17_BRAND = "Brand#2"
+Q15_LO, Q15_HI = "1996-01-01", "1996-04-01"
+
+
+def q7_volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Bilateral shipping volume between two nations by year (TPC-H Q7
+    shape). The nation filter lands on BOTH dimension sides before any
+    fact join, so customer and supplier shrink to 2/25 nations and
+    broadcast; the only big shuffle is lineitem ⋈ orders."""
+    n = nation.filter(F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B)).select(
+        "n_nationkey", "n_name"
+    )
+    cust = (
+        customer.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    supp = (
+        supplier.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(Q7_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q7_HI).cast("timestamp"))
+    )
+    pair = (
+        (F.col("supp_nation") == Q7_NATION_A) & (F.col("cust_nation") == Q7_NATION_B)
+    ) | ((F.col("supp_nation") == Q7_NATION_B) & (F.col("cust_nation") == Q7_NATION_A))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def q8_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+) -> DataFrame:
+    """National market share within a region (TPC-H Q8 shape): the
+    numerator/denominator are two conditional decimal sums in ONE
+    aggregation pass; the share division happens once per output row so
+    both engines hit the same IEEE result."""
+    cust_region = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == Q8_REGION)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = (
+        supplier.join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(Q7_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q7_HI).cast("timestamp"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,8)")
+    zero = F.lit(0).cast("decimal(18,8)")
+    agg = (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_type") == Q8_TYPE).select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == Q8_NATION, rev).otherwise(zero)
+            ).alias("_num"),
+            F.sum(rev).alias("_den"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        F.round(
+            F.col("_num").cast("double") / F.col("_den").cast("double"), 6
+        ).alias("mkt_share"),
+        F.col("_num").cast("double").alias("nation_revenue"),
+        F.col("_den").cast("double").alias("total_revenue"),
+    )
+
+
+def q9_product_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+) -> DataFrame:
+    """Profit by supplier nation and year (TPC-H Q9 shape, adapted: the
+    testdata has no partsupp, so supply cost is proxied as 10% of
+    p_retailprice per unit). Part filter is a substring match — it
+    cannot push to the scan as a range, but it DOES broadcast, so the
+    fact is pre-pruned by the join before the wide shuffle."""
+    pf = part.filter(F.col("p_name").contains(Q9_NAME_FRAGMENT)).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nation = (
+        supplier.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.lit(0.1) * F.col("l_quantity")
+    return (
+        lineitem.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(money_sum(amount).alias("sum_profit"))
+    )
+
+
+def q11_important_parts(lineitem: DataFrame) -> DataFrame:
+    """Parts holding an outsized share of total traded value (TPC-H Q11
+    shape, adapted to lineitem): per-part exact-decimal value vs a
+    global-total scalar — the scalar is ONE row, broadcast into the
+    filter, so the per-part aggregate never reshuffles. Both sides
+    compute value from the raw rows (never by re-summing doubles), so
+    the share comparison is IEEE-identical across engines."""
+    value = F.col("l_extendedprice") * F.col("l_quantity")
+    per_part = lineitem.groupBy("l_partkey").agg(
+        money_sum(value).alias("part_value")
+    )
+    total = lineitem.agg(money_sum(value).alias("_total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("_total") * Q11_SHARE)
+        .select("l_partkey", "part_value")
+    )
+
+
+def q13_customer_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Distribution of customers by order count (TPC-H Q13 shape): LEFT
+    OUTER join so zero-order customers keep a 0 bucket, then a
+    two-level aggregation — the second groupBy has ≤ max-orders keys,
+    so the heavy shuffle happens exactly once on c_custkey."""
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+def q15_top_supplier(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Top supplier(s) by quarterly revenue (TPC-H Q15 shape): the
+    correlated MAX over the revenue view is a one-row aggregate cross-
+    broadcast into the filter (a global window would drag the whole
+    view to one partition). Ties (exact-decimal revenue) all surface,
+    as in the spec."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(Q15_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_HI).cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    top = revenue.join(
+        F.broadcast(revenue.agg(F.max("total_revenue").alias("_max")))
+    ).filter(F.col("total_revenue") == F.col("_max"))
+    return (
+        top.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q16_supplier_variety(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Supplier variety per part attribute combo (TPC-H Q16 shape,
+    adapted to lineitem supply relationships): COUNT(DISTINCT suppkey)
+    per (brand, type, size) after anti-filtering one brand/type — the
+    distinct runs inside the (brand,type,size)-keyed aggregation, so
+    partial aggregation still applies to the distinct pairs."""
+    pf = part.filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        lineitem.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q17_small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Average yearly revenue lost if small-quantity orders stop (TPC-H
+    Q17 shape): the per-part average quantity is a window over the SAME
+    l_partkey shuffle the join already created — no second shuffle, no
+    self-join. The 0.2·avg threshold is decimal-sum ÷ count, one IEEE
+    divide, so the row filter matches the oracle exactly."""
+    pf = part.filter(F.col("p_brand") == Q17_BRAND).select("p_partkey")
+    w = Window.partitionBy("l_partkey")
+    joined = lineitem.join(
+        F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey")
+    ).withColumn(
+        "_avg_qty",
+        F.sum(F.col("l_quantity").cast("decimal(18,8)")).over(w).cast("double")
+        / F.count("*").over(w),
+    )
+    small = joined.filter(F.col("l_quantity") < F.lit(0.2) * F.col("_avg_qty"))
+    return small.agg(
+        (money_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
+def q22_global_sales_opportunity(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Wealthy never-ordered customers by country code (TPC-H Q22 shape,
+    adapted: country code ≡ nationkey mod 10). Three pieces that all
+    avoid big shuffles: a one-row global average (broadcast), a LEFT
+    ANTI join against orders (semi-join shuffle, no row widening), and
+    a ≤10-key final aggregate."""
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,8)")).cast("double")
+            / F.count("*")
+        ).alias("_avg_bal")
+    )
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.pmod(F.col("c_nationkey"), F.lit(10)).cast("long").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            money_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
 def value_range_window(events: DataFrame) -> DataFrame:
     """Self-range-join twin of ``value_range_join``: same ±0.5
     same-type collision counting, but via a RANGE-frame window — one
