@@ -10,6 +10,7 @@ driver-side materialization).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -57,14 +58,24 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/catalyst paths once so per-query numbers measure the
-    # plan, not first-run classloading.
+    # plan, not first-run classloading — and spin up the Python worker
+    # pool so the first pandas-UDF query isn't charged ~3s of worker
+    # startup that every later pandas op amortizes.
     QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+    spark.range(32, numPartitions=32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         start = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - start, 3)
+        # Drop dead references between queries so Spark's ContextCleaner
+        # can release finished broadcasts/caches — without this, 27
+        # queries of accumulated broadcast blocks skew the tail entries.
+        spark.catalog.clearCache()
+        gc.collect()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -156,6 +156,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_global_sales_opportunity": lambda s, d: analytics.q22_global_sales_opportunity(
         table(s, d, "customer"), table(s, d, "orders")
     ),
+    "orders_daily_cumulative": lambda s, d: analytics.orders_daily_cumulative(
+        table(s, d, "orders")
+    ),
+    "user_retention_cohorts": lambda s, d: analytics.user_retention_cohorts(
+        table(s, d, "events")
+    ),
+    "event_type_transitions": lambda s, d: analytics.event_type_transitions(
+        table(s, d, "events")
+    ),
     # =========================================================
     # Priority block C — driver-green in round 1 (regression
     # coverage retained by tests/test_parity.py at sf0.001)

@@ -929,6 +929,48 @@ WHERE c_acctbal > a
 GROUP BY 1
 """
 
+ORACLE_SQL["orders_daily_cumulative"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS order_date,
+    SUM(CAST(o_totalprice AS DECIMAL(18,8))) AS rev,
+    CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT order_date, n_orders,
+  CAST(rev AS DOUBLE) AS day_revenue,
+  CAST(SUM(rev) OVER (PARTITION BY EXTRACT(year FROM order_date)
+       ORDER BY order_date ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue_ytd
+FROM daily
+"""
+
+ORACLE_SQL["user_retention_cohorts"] = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events),
+c AS (
+  SELECT user_id, active_date,
+    MIN(active_date) OVER (PARTITION BY user_id) AS cohort_date
+  FROM ud
+)
+SELECT cohort_date,
+  CAST(floor(date_diff('day', cohort_date, active_date) / 7.0) AS BIGINT) AS week_offset,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+FROM c GROUP BY 1, 2
+"""
+
+ORACLE_SQL["event_type_transitions"] = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+counted AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+  ROUND(n_transitions / SUM(n_transitions) OVER (PARTITION BY from_type), 6) AS share
+FROM counted
+"""
+
 # session_window: same session iff gap < 30 min STRICTLY (the built-in
 # extends each window to [ts, ts+gap) and merges overlaps); end = last
 # event + gap.

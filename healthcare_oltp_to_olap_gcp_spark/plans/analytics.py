@@ -853,6 +853,75 @@ def q22_global_sales_opportunity(customer: DataFrame, orders: DataFrame) -> Data
     )
 
 
+def orders_daily_cumulative(orders: DataFrame) -> DataFrame:
+    """Daily order revenue with a year-to-date running total. The
+    cumulative sum is a ROWS-frame window over exact DECIMAL partials —
+    order-independent — partitioned by year so no single reducer ever
+    holds the whole history (the 100 TB version of a global running
+    total)."""
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,8)")).alias("_rev"),
+        F.count("*").alias("n_orders"),
+    )
+    w = (
+        Window.partitionBy(F.year("order_date"))
+        .orderBy("order_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "order_date",
+        "n_orders",
+        F.col("_rev").cast("double").alias("day_revenue"),
+        F.sum("_rev").over(w).cast("double").alias("cum_revenue_ytd"),
+    )
+
+
+def user_retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity day, counted
+    per week offset since their cohort day. One shuffle on user_id
+    serves both the distinct-day dedup and the window min (cohort
+    assignment); the final (cohort, week) aggregate is tiny."""
+    ud = events.select(
+        "user_id", F.to_date("ts").alias("active_date")
+    ).distinct()
+    cohorted = ud.withColumn(
+        "cohort_date", F.min("active_date").over(Window.partitionBy("user_id"))
+    )
+    return (
+        cohorted.groupBy(
+            "cohort_date",
+            F.floor(
+                F.datediff("active_date", F.col("cohort_date")) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+def event_type_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user (lead over one user_id/ts window sort), with the
+    per-source transition share computed from BIGINT counts — no float
+    accumulation, one IEEE divide per output row."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counted = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    wt = Window.partitionBy("from_type")
+    return counted.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wt), 6
+        ).alias("share"),
+    )
+
+
 def value_range_window(events: DataFrame) -> DataFrame:
     """Self-range-join twin of ``value_range_join``: same ±0.5
     same-type collision counting, but via a RANGE-frame window — one
