@@ -165,6 +165,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_type_transitions": lambda s, d: analytics.event_type_transitions(
         table(s, d, "events")
     ),
+    "docs_contamination": lambda s, d: dedup.docs_contamination(
+        table(s, d, "documents")
+    ),
+    "ngram_containment_pairs": lambda s, d: dedup.ngram_containment_pairs(
+        table(s, d, "documents")
+    ),
+    "token_entropy": lambda s, d: textquality.token_entropy(table(s, d, "documents")),
+    "knn_label_vote": lambda s, d: similarity.knn_label_vote(
+        table(s, d, "embeddings")
+    ),
     # =========================================================
     # Priority block C — driver-green in round 1 (regression
     # coverage retained by tests/test_parity.py at sf0.001)

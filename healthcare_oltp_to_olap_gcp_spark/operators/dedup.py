@@ -311,6 +311,89 @@ def dedup_components(
     return labels.select("doc_id", F.col("label").alias("component"))
 
 
+CONTAM_BENCH_MOD = 25  # doc_id % 25 == 0 → deterministic "benchmark" set
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def docs_contamination(docs: DataFrame) -> DataFrame:
+    """Benchmark-contamination check (the decontamination step of an
+    LLM training pipeline): for every training doc, the fraction of its
+    word shingles that also appear in a held-out benchmark set (here
+    the deterministic doc_id % 25 slice standing in for an eval suite).
+
+    Scale shape: the benchmark shingle set is DISTINCT'd and broadcast
+    (eval suites are tiny vs the corpus), the corpus side explodes its
+    shingles once and semi-joins — an inverted-index probe, never a
+    doc×doc comparison. Docs with contamination 0 keep a row: the
+    downstream filter needs an explicit per-doc verdict."""
+    sh = doc_shingles(docs)
+    is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
+    bench = (
+        sh.filter(is_bench)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    base = sh.filter(~is_bench).select(
+        "doc_id", F.size("shingles").alias("n_shingles")
+    )
+    hits = (
+        sh.filter(~is_bench)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .join(F.broadcast(bench), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0)) / F.col("n_shingles"), 6
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame, threshold: float = CONTAINMENT_THRESHOLD
+) -> DataFrame:
+    """Near-dup pairs by n-gram CONTAINMENT (|A∩B| / min(|A|,|B|)) via
+    an inverted-index self-join — the exact-but-scalable counterpoint
+    to the quadratic ``ngram_jaccard_pairs`` baseline: work is
+    proportional to shingles-per-posting-list, not docs².
+
+    Containment catches subset duplication (a doc embedded in a longer
+    one) that symmetric Jaccard dilutes. Skew note: at web scale the
+    posting lists of boilerplate shingles explode the join — production
+    runs drop shingles above a document-frequency cap first (the
+    CCNet/Gopher trick); kept exact here so the DuckDB oracle is the
+    same computation."""
+    sh = doc_shingles(docs)
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s")
+    )
+    a = ex.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "s"
+    )
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "s"
+    )
+    return (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_shared"))
+        .withColumn(
+            "containment",
+            F.round(F.col("n_shared") / F.least("n_a", "n_b"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", F.col("n_shared").cast("long").alias("n_shared"), "containment")
+    )
+
+
 def clean_documents(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """The dedup pipeline's end product: the corpus with near-duplicate
     clusters collapsed to one survivor each (the smallest doc_id of the

@@ -220,6 +220,30 @@ def ann_lsh_topk(embeddings: DataFrame, k: int = DEFAULT_K, dim: int = 64) -> Da
     )
 
 
+def knn_label_vote(embeddings: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+    """k-NN classification by majority vote: each query's top-k cosine
+    neighbors (the ``ann_brute_topk`` plan — query side broadcast, the
+    corpus never shuffles) vote with their ``label``; ties break to the
+    smaller label. The label lookup joins the tiny top-k result (|Q|·k
+    rows) against the corpus — at scale that join is broadcast-able
+    from the top-k side, so the big table still only streams once."""
+    topk = ann_brute_topk(embeddings, k)
+    labels = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").cast("long").alias("label")
+    )
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
 # Hard cap on query rows collected to the driver per GEMM round
 # (4096 × 64 doubles ≈ 2 MB). The query subset is vec_id % QUERY_MOD,
 # i.e. corpus-proportional, so it is processed in hash blocks of at

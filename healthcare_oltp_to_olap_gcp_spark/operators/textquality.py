@@ -113,6 +113,36 @@ def token_freq(docs: DataFrame) -> DataFrame:
     )
 
 
+def token_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document unigram entropy (low entropy ⇒ repetitive/templated
+    text, a standard LLM-data quality signal). Shannon entropy is
+    computed as ln(n) − Σc·ln(c)/n where c are per-token counts: the
+    Σc·ln(c) partial is rounded per ROW then summed as exact DECIMAL,
+    so the aggregate is order-independent and engine-portable; the two
+    remaining float ops (one divide, one subtract) happen once per
+    output row."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    tok = docs.repartition(par).select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    cnt = tok.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").alias("distinct_tokens"),
+        F.sum(
+            F.round(F.col("c") * F.log("c"), 8).cast("decimal(18,8)")
+        ).alias("_clnc"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_tokens",
+        F.round(
+            F.log("n_tokens") - F.col("_clnc").cast("double") / F.col("n_tokens"), 6
+        ).alias("entropy"),
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     """Top-k TF-IDF terms per document: tf * ln((N+1)/(df+1)),
     deterministic tiebreak on the term."""

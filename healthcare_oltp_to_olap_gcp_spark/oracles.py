@@ -27,6 +27,7 @@ from .functions.text import BPE_PATTERN, DE_STOP, EN_STOP, ES_STOP, FR_STOP
 
 # single quotes doubled for embedding in a SQL string literal
 BPE_PATTERN_SQL = BPE_PATTERN.replace("'", "''")
+from .operators.dedup import CONTAINMENT_THRESHOLD, CONTAM_BENCH_MOD
 from .operators.merge import EVENT_RULES
 from .operators.textquality import PII_EMAIL, PII_PHONE
 from .plans.analytics import (
@@ -927,6 +928,76 @@ FROM customer, avg_bal
 WHERE c_acctbal > a
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY 1
+"""
+
+ORACLE_SQL["docs_contamination"] = f"""
+WITH {SHINGLES_CTE},
+bench AS (SELECT DISTINCT unnest(s) AS g FROM shf WHERE doc_id % {CONTAM_BENCH_MOD} = 0),
+base AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_shingles
+         FROM shf WHERE doc_id % {CONTAM_BENCH_MOD} <> 0),
+ex AS (SELECT doc_id, unnest(s) AS g FROM shf WHERE doc_id % {CONTAM_BENCH_MOD} <> 0),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+  FROM ex WHERE g IN (SELECT g FROM bench) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_shingles,
+  CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+  ROUND(COALESCE(h.n_contaminated, 0) / CAST(b.n_shingles AS DOUBLE), 6)
+    AS contamination_ratio
+FROM base b LEFT JOIN hits h USING (doc_id)
+"""
+
+ORACLE_SQL["ngram_containment_pairs"] = f"""
+WITH {SHINGLES_CTE},
+ex AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n, unnest(s) AS g FROM shf),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, n_shared,
+  ROUND(n_shared / CAST(least(n_a, n_b) AS DOUBLE), 6) AS containment
+FROM p
+WHERE ROUND(n_shared / CAST(least(n_a, n_b) AS DOUBLE), 6) >= {CONTAINMENT_THRESHOLD}
+"""
+
+ORACLE_SQL["token_entropy"] = f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+cnt AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+    CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+    SUM(CAST(ROUND(c * ln(c), 8) AS DECIMAL(18,8))) AS clnc
+  FROM cnt GROUP BY 1
+)
+SELECT doc_id, n_tokens, distinct_tokens,
+  ROUND(ln(n_tokens) - CAST(clnc AS DOUBLE) / n_tokens, 6) AS entropy
+FROM agg
+"""
+
+ORACLE_SQL["knn_label_vote"] = f"""
+WITH {_NORM_CTE},
+q AS (SELECT vec_id, nv FROM e WHERE vec_id % 50 = 0),
+s AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.nv, e.nv), 6) AS sim
+  FROM q JOIN e ON e.vec_id <> q.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+  FROM s
+),
+topk AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 10),
+v AS (
+  SELECT query_id, CAST(l.label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS votes
+  FROM topk JOIN embeddings l ON neighbor_id = l.vec_id GROUP BY 1, 2
+),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+  FROM v
+)
+SELECT query_id, label AS pred_label, votes FROM w WHERE rn = 1
 """
 
 ORACLE_SQL["orders_daily_cumulative"] = """
