@@ -232,7 +232,7 @@ def knn_label_vote(embeddings: DataFrame, k: int = DEFAULT_K) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), F.col("label").cast("long").alias("label")
     )
     votes = (
-        topk.join(labels, "neighbor_id")
+        labels.join(F.broadcast(topk), "neighbor_id")
         .groupBy("query_id", "label")
         .agg(F.count("*").alias("votes"))
     )

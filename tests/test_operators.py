@@ -222,3 +222,73 @@ def test_gemm_topk_blocked_queries_identical(spark):
         for r in similarity.ann_gemm_topk(emb, query_block=3).collect()
     }
     assert one == many and len(one) > 0
+
+
+def test_contamination_planted_benchmark_copy(spark):
+    """A doc that IS a benchmark doc's text must come out fully
+    contaminated; an unrelated doc must come out clean."""
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (dedup.CONTAM_BENCH_MOD, bench_text),        # benchmark member
+            (1, bench_text),                             # verbatim copy
+            (2, "one two three four five six seven"),    # clean
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup.docs_contamination(docs).collect()}
+    assert set(rows) == {1, 2}  # benchmark docs are not scored
+    assert rows[1].contamination_ratio == 1.0
+    assert rows[2].contamination_ratio == 0.0
+    assert rows[2].n_contaminated == 0
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: containment = 1.0 even
+    though symmetric Jaccard is diluted below any useful threshold."""
+    short = "alpha beta gamma delta"
+    long = short + " " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    pairs = dedup.ngram_containment_pairs(docs, threshold=0.9).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.doc_a, p.doc_b, p.containment) == (1, 2, 1.0)
+    # the Jaccard baseline at its production threshold misses this pair
+    assert dedup.ngram_jaccard_pairs(docs, threshold=0.8).count() == 0
+
+
+def test_token_entropy_bounds(spark):
+    """Entropy is 0 for a one-token-type doc and ln(k) for k uniform
+    distinct tokens; all entropies sit in [0, ln(distinct)]."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "same same same same"), (2, "a b c d"), (3, "x x y y z z")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textquality.token_entropy(docs).collect()}
+    assert rows[1].entropy == 0.0
+    assert abs(rows[2].entropy - round(math.log(4), 6)) < 1e-6
+    assert abs(rows[3].entropy - round(math.log(3), 6)) < 1e-6
+    for r in rows.values():
+        assert 0.0 <= r.entropy <= math.log(max(r.distinct_tokens, 1)) + 1e-9
+
+
+def test_knn_vote_matches_brute_neighbors(spark):
+    """The vote winner must be reproducible from the brute-force top-k
+    neighbor lists plus the label column (count desc, label asc)."""
+    emb = table(spark, SF001, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    by_query: dict = {}
+    for r in similarity.ann_brute_topk(emb).collect():
+        by_query.setdefault(r.query_id, []).append(r.neighbor_id)
+    got = {r.query_id: (r.pred_label, r.votes) for r in similarity.knn_label_vote(emb).collect()}
+    assert set(got) == set(by_query)
+    for q, neigh in by_query.items():
+        counts: dict = {}
+        for n in neigh:
+            counts[labels[n]] = counts.get(labels[n], 0) + 1
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert got[q] == best, (q, got[q], best)
