@@ -70,6 +70,91 @@ def hourly_agg_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFram
     )
 
 
+def view_purchase_join_stream(
+    stream: DataFrame, watermark: str = "2 hours", horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: purchases matched to the same
+    user's views at most ``horizon`` earlier. Both sides carry a
+    watermark and the join predicate bounds purchase_ts within
+    [view_ts, view_ts + horizon], so each side's join state is
+    evictable once the watermark passes the interval — bounded state,
+    the requirement for an unbounded 100 TB/day stream. Inner interval
+    joins emit in append mode as soon as both matching rows arrive."""
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return views.join(purchases, cond, "inner").select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+def session_agg_stream(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of plans' ``session_window_agg``: the built-in
+    session_window merges a user's events into gap-separated sessions
+    incrementally; the watermark closes (finalizes) a session once no
+    in-gap event can still arrive. State = open sessions only."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,8)")).cast("double").alias(
+                "session_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_available_now_append(df: DataFrame, query_name: str) -> DataFrame:
+    """Drain to a memory sink in append mode (stream-stream joins and
+    watermark-finalized aggregations emit append-only)."""
+    session = df.sparkSession
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return session.table(query_name)
+
+
 RUNNING_OUTPUT_SCHEMA = "user_id long, total_events long, total_value double"
 RUNNING_STATE_SCHEMA = "total_events long, total_value double"
 

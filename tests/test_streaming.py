@@ -138,3 +138,93 @@ def test_foreach_batch_incremental_fact_equals_batch(spark, tmp_path):
     got = pipeline.read_fact_store(spark, store)
     want = fact_events(events)
     assert normalize(got.toPandas()) == normalize(want.toPandas())
+
+
+def _raw_stream(spark, src, max_files=4):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    raw_schema = StructType(
+        [f if f.name != "ts" else StructField("ts", LongType()) for f in pipeline.EVENTS_SCHEMA.fields]
+    )
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(str(src))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Inner stream-stream interval join emits every (view, purchase ≤1h
+    later) pair — identical to the batch self-join once drained."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "events_ssj"
+    src.mkdir()
+    shutil.copy(f"{SF001}/events.parquet", src / "part-0.parquet")
+
+    joined = pipeline.view_purchase_join_stream(_raw_stream(spark, src))
+    got = pipeline.run_available_now_append(joined, "t_ssj")
+
+    ev = table(spark, SF001, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    want = (
+        views.join(
+            purchases,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 hour")),
+        )
+        .select(
+            F.col("v_user").alias("user_id"),
+            "view_id", "purchase_id", "view_ts", "purchase_ts", "purchase_value",
+        )
+    )
+    assert normalize(got.toPandas()) == normalize(want.toPandas())
+    assert got.count() > 0
+
+
+def test_streaming_session_agg_converges_to_batch(spark, tmp_path):
+    """Append-mode session_window emits exactly the sessions the final
+    watermark has closed; each emitted row must match the batch twin
+    bit-for-bit, and all old-enough sessions must have been emitted."""
+    import datetime
+
+    from healthcare_oltp_to_olap_gcp_spark.operators.sessionize import (
+        session_window_agg,
+    )
+
+    src = tmp_path / "events_sess"
+    src.mkdir()
+    shutil.copy(f"{SF001}/events.parquet", src / "part-0.parquet")
+
+    agg = pipeline.session_agg_stream(_raw_stream(spark, src))
+    got = pipeline.run_available_now_append(agg, "t_sess").toPandas()
+
+    ev = table(spark, SF001, "events")
+    want = session_window_agg(ev).toPandas()
+    key = ["user_id", "session_start"]
+    got_map = {tuple(r[k] for k in key): tuple(r) for _, r in got.iterrows()}
+    want_map = {tuple(r[k] for k in key): tuple(r) for _, r in want.iterrows()}
+    # every emitted session is a real (batch-identical) session
+    for k, v in got_map.items():
+        assert want_map[k] == v
+    # every session the final watermark closed must have been emitted
+    import pandas as pd
+
+    max_ts = pd.Timestamp(ev.agg({"ts": "max"}).collect()[0][0])
+    horizon = max_ts - datetime.timedelta(hours=2, minutes=30)
+    closed = {k for k, r in want_map.items() if pd.Timestamp(r[2]) < horizon}
+    assert closed, "test data must contain watermark-closed sessions"
+    assert closed <= set(got_map)
