@@ -66,3 +66,48 @@ def test_refresh_model_builds_consistent_star(spark, tmp_path):
     # partition pruning reaches the scan
     plan = star_df.filter(F.col("date_key") == "2024-01-05")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(date_key" in plan
+
+
+def test_write_star_incremental_rewrites_only_touched_partitions(spark, tmp_path):
+    """Dynamic-partition-overwrite: a delta touching one date_key must
+    replace exactly that partition and leave every other byte alone."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from healthcare_oltp_to_olap_gcp_spark.catalog import table
+    from healthcare_oltp_to_olap_gcp_spark.plans import star as star_plan
+
+    from .conftest import SF001
+    from .helpers import normalize
+
+    events = table(spark, SF001, "events")
+    full = star_plan.fact_events_star(star_plan.fact_events(events))
+    path = str(tmp_path / "star_inc")
+    star_plan.write_star(full, path)
+
+    target = full.agg(F.max("date_key")).collect()[0][0]
+    others_before = {
+        d: sorted(os.listdir(f"{path}/date_key={d}"))
+        for d in os.listdir(path)
+        if d.startswith("date_key=") and d != f"date_key={target}"
+        for d in [d.split("=", 1)[1]]
+    }
+    assert others_before, "need >1 partition for the test to mean anything"
+
+    delta = full.filter(F.col("date_key") == F.lit(target)).withColumn(
+        "measure_value", F.col("measure_value") * 2
+    )
+    star_plan.write_star_incremental(delta, path)
+
+    got = spark.read.parquet(path)
+    want = full.filter(F.col("date_key") != F.lit(target)).unionByName(delta)
+    assert normalize(got.toPandas()) == normalize(want.toPandas())
+    # untouched partitions keep their exact files
+    for d, files in others_before.items():
+        assert sorted(os.listdir(f"{path}/date_key={d}")) == files
+    # the overwrite mode is restored after the scoped write
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        != "dynamic"
+    )
