@@ -49,6 +49,15 @@ BENCH_QUERIES = (
     "ann_gemm_topk",
     "ann_lsh_topk",
     "embedding_neardup_pairs",
+    # round-2 additions
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "user_retention_cohorts",
+    "docs_contamination",
+    "ngram_containment_pairs",
+    "token_entropy",
+    "knn_label_vote",
 )
 
 
