@@ -175,6 +175,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_label_vote": lambda s, d: similarity.knn_label_vote(
         table(s, d, "embeddings")
     ),
+    "kmv_distinct_users": lambda s, d: analytics.kmv_distinct_users(
+        table(s, d, "events")
+    ),
+    "kmv_daily_merge_distinct_users": lambda s, d: (
+        analytics.kmv_daily_merge_distinct_users(table(s, d, "events"))
+    ),
+    "orders_revenue_7d_ma": lambda s, d: analytics.orders_revenue_7d_ma(
+        table(s, d, "orders")
+    ),
     # =========================================================
     # Priority block C — driver-green in round 1 (regression
     # coverage retained by tests/test_parity.py at sf0.001)

@@ -49,6 +49,7 @@ from .plans.analytics import (
     Q15_LO,
     Q17_BRAND,
     Q18_MIN_QTY,
+    KMV_K,
 )
 
 
@@ -998,6 +999,45 @@ w AS (
   FROM v
 )
 SELECT query_id, label AS pred_label, votes FROM w WHERE rn = 1
+"""
+
+ORACLE_SQL["kmv_distinct_users"] = f"""
+WITH d AS (
+  SELECT DISTINCT event_type,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT AS u
+  FROM events
+),
+kept AS (
+  SELECT * FROM d
+  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY u) <= {KMV_K}
+),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS sketch_size, MAX(u) AS kth
+  FROM kept GROUP BY 1
+)
+SELECT event_type, sketch_size,
+  CASE WHEN sketch_size < {KMV_K} THEN CAST(sketch_size AS DOUBLE)
+       ELSE ROUND({float(KMV_K - 1)} / ((kth + 1) / 4294967296.0), 4) END AS approx_users
+FROM agg
+"""
+
+# The daily-sketch merge is provably lossless (a global top-k hash is
+# top-k within its own day), so the direct-sketch oracle serves it.
+ORACLE_SQL["kmv_daily_merge_distinct_users"] = ORACLE_SQL["kmv_distinct_users"]
+
+ORACLE_SQL["orders_revenue_7d_ma"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS order_date,
+    SUM(CAST(o_totalprice AS DECIMAL(18,8))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT order_date,
+  CAST(rev AS DOUBLE) AS day_revenue,
+  ROUND(CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w, 4) AS ma7_revenue,
+  CAST(COUNT(*) OVER w AS BIGINT) AS days_in_window
+FROM daily
+WINDOW w AS (ORDER BY date_diff('day', DATE '1970-01-01', order_date)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
 
 ORACLE_SQL["orders_daily_cumulative"] = """

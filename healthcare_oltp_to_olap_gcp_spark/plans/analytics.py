@@ -474,6 +474,112 @@ def hll_sketch_distinct_users(events: DataFrame) -> DataFrame:
     )
 
 
+KMV_K = 256
+_KMV_SCALE = 4294967296.0  # 2^32: the hash domain
+
+
+def _kmv_hash(col: F.Column) -> F.Column:
+    """Uniform 32-bit hash shared bit-for-bit with the DuckDB oracle:
+    first 8 hex digits of md5 parsed as an integer. Because both
+    engines agree on md5 and on hex parsing, a SKETCH built from this
+    hash is value-hash oracle-able — unusual for approximate ops."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def kmv_distinct_users(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """K-minimum-values distinct-count sketch per event type: keep the
+    k smallest hash values; estimate = (k−1)/U_k with U_k the k-th
+    smallest normalized hash. One distinct + one bounded per-group
+    top-k — the shuffle carries (type, hash) pairs only, never users.
+    Groups with < k distinct hashes report the exact count. The KMV
+    estimate is hash-deterministic, so unlike HLL this sketch has a
+    full value-hash DuckDB oracle; error vs the exact twin is also
+    asserted in tests (stderr ≈ 1/√(k−2) ≈ 6% at k=256)."""
+    d = events.select(
+        "event_type", _kmv_hash(F.col("user_id")).alias("u")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("u")
+    kept = d.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
+    agg = kept.groupBy("event_type").agg(
+        F.count("*").alias("sketch_size"), F.max("u").alias("_kth")
+    )
+    return agg.select(
+        "event_type",
+        F.col("sketch_size").cast("long").alias("sketch_size"),
+        F.when(F.col("sketch_size") < k, F.col("sketch_size").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1)) / ((F.col("_kth") + 1) / F.lit(_KMV_SCALE)), 4
+            )
+        )
+        .alias("approx_users"),
+    )
+
+
+def kmv_daily_merge_distinct_users(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Mergeable-rollup form of ``kmv_distinct_users``: per (day, type)
+    keep each day's k smallest hashes (the daily sketch table — KBs per
+    partition at 100 TB), then MERGE per type by re-selecting the k
+    smallest over the union. A value in the global top-k is top-k
+    within its own day, so the merge is provably lossless and this
+    returns bit-identical estimates to the direct sketch — the same
+    oracle SQL serves both, and tests assert the equality."""
+    d = events.select(
+        F.to_date("ts").alias("event_date"),
+        "event_type",
+        _kmv_hash(F.col("user_id")).alias("u"),
+    ).distinct()
+    wd = Window.partitionBy("event_date", "event_type").orderBy("u")
+    daily = d.withColumn("_r", F.row_number().over(wd)).filter(F.col("_r") <= k)
+    # merge: global re-rank over the union of daily sketches; a hash can
+    # appear on many days, so distinct first
+    merged = daily.select("event_type", "u").distinct()
+    w = Window.partitionBy("event_type").orderBy("u")
+    kept = merged.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
+    agg = kept.groupBy("event_type").agg(
+        F.count("*").alias("sketch_size"), F.max("u").alias("_kth")
+    )
+    return agg.select(
+        "event_type",
+        F.col("sketch_size").cast("long").alias("sketch_size"),
+        F.when(F.col("sketch_size") < k, F.col("sketch_size").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1)) / ((F.col("_kth") + 1) / F.lit(_KMV_SCALE)), 4
+            )
+        )
+        .alias("approx_users"),
+    )
+
+
+def orders_revenue_7d_ma(orders: DataFrame) -> DataFrame:
+    """7-day moving-average daily revenue: a RANGE frame over the day
+    number (6 preceding .. current), so missing calendar days still
+    shorten the window correctly — frame membership is integer
+    arithmetic, no float boundaries. Decimal partials keep each
+    window sum order-independent; one divide per output row.
+
+    The unpartitioned window runs AFTER the day-grain aggregate, whose
+    cardinality is calendar-bounded (≤ 37k rows per century) — the
+    single-partition sort is over days, never over raw orders."""
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,8)")).alias("_rev"),
+    )
+    day_num = F.datediff("order_date", F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.orderBy(day_num)
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "order_date",
+        F.col("_rev").cast("double").alias("day_revenue"),
+        F.round(
+            F.sum("_rev").over(w).cast("double") / F.count("*").over(w), 4
+        ).alias("ma7_revenue"),
+        F.count("*").over(w).cast("long").alias("days_in_window"),
+    )
+
+
 def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
     """Forecast-revenue-change (TPC-H Q6 shape): pure scan + conjunctive
     pushed filters + ONE global aggregate — the cheapest possible plan

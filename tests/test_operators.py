@@ -292,3 +292,28 @@ def test_knn_vote_matches_brute_neighbors(spark):
             counts[labels[n]] = counts.get(labels[n], 0) + 1
         best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         assert got[q] == best, (q, got[q], best)
+
+
+def test_kmv_bounded_error_and_lossless_merge(spark):
+    """KMV estimate within sketch error of the exact count; the daily
+    merge must be bit-identical to the direct sketch (lossless)."""
+    from healthcare_oltp_to_olap_gcp_spark.plans import analytics
+
+    events = table(spark, SF001, "events")
+    exact = {
+        r.event_type: r.n_users
+        for r in analytics.distinct_users_by_type(events).collect()
+    }
+    direct = analytics.kmv_distinct_users(events).collect()
+    merged = {
+        (r.event_type, r.sketch_size, r.approx_users)
+        for r in analytics.kmv_daily_merge_distinct_users(events).collect()
+    }
+    assert {(r.event_type, r.sketch_size, r.approx_users) for r in direct} == merged
+    for r in direct:
+        want = exact[r.event_type]
+        if r.sketch_size < analytics.KMV_K:
+            # below-k groups report exact counts (modulo hash collisions)
+            assert abs(r.approx_users - want) <= max(1, 0.01 * want)
+        else:
+            assert abs(r.approx_users - want) / want < 0.25, (r, want)
