@@ -184,6 +184,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_revenue_7d_ma": lambda s, d: analytics.orders_revenue_7d_ma(
         table(s, d, "orders")
     ),
+    "weighted_sample_documents": lambda s, d: dedup.weighted_sample_documents(
+        table(s, d, "documents")
+    ),
     # =========================================================
     # Priority block C — driver-green in round 1 (regression
     # coverage retained by tests/test_parity.py at sf0.001)

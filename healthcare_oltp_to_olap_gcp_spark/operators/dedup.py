@@ -429,6 +429,46 @@ def sample_documents(docs: DataFrame, n: int = 100) -> DataFrame:
     )
 
 
+WEIGHTED_SAMPLE_N = 100
+
+
+def weighted_sample_documents(docs: DataFrame, n: int = WEIGHTED_SAMPLE_N) -> DataFrame:
+    """Deterministic weight-proportional sampling without replacement
+    (Efraimidis–Spirakis A-ES): each doc draws an exponential key
+    −ln(u)/w with rate w = n_chars, from a uniform u derived from
+    md5(doc_id) — shared bit-for-bit with the DuckDB oracle, so even
+    the sampling operator is value-hash checked. The n smallest keys
+    win; ``orderBy().limit(n)`` compiles to TakeOrdered (per-partition
+    partial top-n, no global sort), so the pattern holds at any corpus
+    size. Length-weighting is the standard token-budget-proportional
+    selection for training-data mixing."""
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        + 1
+    ) / F.lit(4294967296.0)
+    keyed = (
+        docs.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            (-F.log(u) / F.col("n_chars")).alias("_key"),
+        )
+        .orderBy("_key", "doc_id")
+        .limit(n)
+    )
+    from pyspark.sql import Window as W
+
+    rank_w = W.orderBy("_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "n_chars",
+        F.round("_key", 8).alias("sample_key"),
+        F.row_number().over(rank_w).cast("long").alias("rank"),
+    )
+
+
 def stratified_sample_by_lang(docs: DataFrame, per_stratum: int = 20) -> DataFrame:
     """Deterministic stratified sample: the hash-first ``per_stratum``
     documents of every language — the data-mixing primitive (equal

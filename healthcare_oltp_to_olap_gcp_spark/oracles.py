@@ -27,7 +27,11 @@ from .functions.text import BPE_PATTERN, DE_STOP, EN_STOP, ES_STOP, FR_STOP
 
 # single quotes doubled for embedding in a SQL string literal
 BPE_PATTERN_SQL = BPE_PATTERN.replace("'", "''")
-from .operators.dedup import CONTAINMENT_THRESHOLD, CONTAM_BENCH_MOD
+from .operators.dedup import (
+    CONTAINMENT_THRESHOLD,
+    CONTAM_BENCH_MOD,
+    WEIGHTED_SAMPLE_N,
+)
 from .operators.merge import EVENT_RULES
 from .operators.textquality import PII_EMAIL, PII_PHONE
 from .plans.analytics import (
@@ -1024,6 +1028,26 @@ FROM agg
 # The daily-sketch merge is provably lossless (a global top-k hash is
 # top-k within its own day), so the direct-sketch oracle serves it.
 ORACLE_SQL["kmv_daily_merge_distinct_users"] = ORACLE_SQL["kmv_distinct_users"]
+
+ORACLE_SQL["weighted_sample_documents"] = f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS hu
+  FROM documents WHERE n_chars > 0
+),
+k AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+    -ln((hu + 1) / 4294967296.0) / n_chars AS key
+  FROM h
+),
+r AS (
+  SELECT doc_id, n_chars, key,
+    row_number() OVER (ORDER BY key, doc_id) AS rn
+  FROM k
+)
+SELECT doc_id, n_chars, ROUND(key, 8) AS sample_key, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= {WEIGHTED_SAMPLE_N}
+"""
 
 ORACLE_SQL["orders_revenue_7d_ma"] = """
 WITH daily AS (

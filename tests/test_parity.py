@@ -40,6 +40,16 @@ SF01_KEYS = [
     "q18_large_orders",
     "docs_repetition",
     "fact_events_incremental",
+    # round-2 additions whose semantics could shift with more data
+    "ngram_containment_pairs",
+    "docs_contamination",
+    "kmv_distinct_users",
+    "kmv_daily_merge_distinct_users",
+    "knn_label_vote",
+    "weighted_sample_documents",
+    "q17_small_quantity_revenue",
+    "q15_top_supplier",
+    "orders_revenue_7d_ma",
 ]
 
 
