@@ -56,3 +56,43 @@ def test_incremental_fact_single_final_window(spark):
     one for the base fact, one for the merge — and no extra joins."""
     plan = _plan(spark, "fact_events_incremental")
     assert plan.count("RunningWindowFunction") + plan.count("Window") >= 2
+
+
+def test_q9_pushes_substring_filter_and_broadcasts(spark):
+    """The part-name substring filter must reach the part scan and the
+    filtered part dim must broadcast — the fact is pre-pruned by a
+    broadcast join, never shuffled against an unfiltered dim."""
+    plan = _plan(spark, "q9_product_profit")
+    assert "StringContains(p_name,gear)" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q7_broadcasts_both_nation_sides(spark):
+    """Customer and supplier shrink to the 2-nation filter before any
+    fact join; both must arrive broadcast."""
+    plan = _plan(spark, "q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_containment_join_is_hash_not_nested_loop(spark):
+    """The inverted-index self-join must be a hash/merge join on the
+    shingle key — a nested-loop plan would mean the posting-list
+    equi-join degenerated to doc×doc pairs."""
+    plan = _plan(spark, "ngram_containment_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_uses_take_ordered(spark):
+    """orderBy().limit(n) must compile to TakeOrderedAndProject — a
+    global Sort here would serialize the whole corpus at 100 TB."""
+    plan = _plan(spark, "weighted_sample_documents")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kmv_partial_aggregates(spark):
+    """The sketch builds from a distinct over (type, hash) — partial
+    (map-side) aggregation must appear so the shuffle carries combined
+    hashes, not raw events."""
+    plan = _plan(spark, "kmv_distinct_users")
+    assert "partial" in plan.lower()
