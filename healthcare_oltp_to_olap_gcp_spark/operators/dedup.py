@@ -429,6 +429,38 @@ def sample_documents(docs: DataFrame, n: int = 100) -> DataFrame:
     )
 
 
+CURATED_MAX_CONTAM = 0.2
+
+
+def curated_documents(docs: DataFrame) -> DataFrame:
+    """The end-to-end training-corpus curation step, composed from the
+    engine's own operators: keep a doc iff it is (1) the exact-dedup
+    survivor of its content hash, (2) passes the quality gate
+    (``textquality.quality_filter``), and (3) is not benchmark-
+    contaminated above ``CURATED_MAX_CONTAM`` — benchmark docs
+    themselves are excluded (that IS decontamination). Three semi-
+    joins on doc_id over per-doc verdict tables; each verdict is its
+    own registered query, so every stage of this composition is
+    independently oracle-checked."""
+    from .textquality import quality_filter
+
+    survivors = exact_dedup_stats(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    quality_ok = quality_filter(docs).filter(F.col("keep")).select("doc_id")
+    clean = (
+        docs_contamination(docs)
+        .filter(F.col("contamination_ratio") <= CURATED_MAX_CONTAM)
+        .select("doc_id")
+    )
+    return (
+        docs.join(survivors, "doc_id", "left_semi")
+        .join(quality_ok, "doc_id", "left_semi")
+        .join(clean, "doc_id", "left_semi")
+        .select("doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars"))
+    )
+
+
 WEIGHTED_SAMPLE_N = 100
 
 

@@ -113,6 +113,43 @@ def token_freq(docs: DataFrame) -> DataFrame:
     )
 
 
+QF_MIN_TOKENS = 10
+QF_MAX_PUNCT = 0.30
+QF_MAX_DUP3 = 0.30
+
+
+def quality_filter(docs: DataFrame) -> DataFrame:
+    """C4/Gopher-style keep/drop gate composed from the per-doc quality
+    and repetition signals: every doc gets a verdict plus the ordered
+    reason list (too_short / high_punct / repetitive), so the drop set
+    is auditable. All thresholds compare ROUNDED signals — the same
+    values the standalone queries emit — keeping the verdict
+    engine-portable. Two scans of the corpus (signals are independent
+    column pipelines), one doc_id join, no extra shuffles."""
+    q = quality_scores(docs)
+    r = repetition_scores(docs)
+    too_short = F.col("n_tokens") < QF_MIN_TOKENS
+    punchy = F.col("punct_ratio") > QF_MAX_PUNCT
+    repetitive = F.col("dup_3gram_ratio") > QF_MAX_DUP3
+    reasons = F.concat_ws(
+        ",",
+        F.when(too_short, F.lit("too_short")),
+        F.when(punchy, F.lit("high_punct")),
+        F.when(repetitive, F.lit("repetitive")),
+    )
+    return (
+        q.join(r, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "punct_ratio",
+            "dup_3gram_ratio",
+            (reasons == "").alias("keep"),
+            reasons.alias("reasons"),
+        )
+    )
+
+
 def token_entropy(docs: DataFrame) -> DataFrame:
     """Per-document unigram entropy (low entropy ⇒ repetitive/templated
     text, a standard LLM-data quality signal). Shannon entropy is

@@ -30,10 +30,17 @@ BPE_PATTERN_SQL = BPE_PATTERN.replace("'", "''")
 from .operators.dedup import (
     CONTAINMENT_THRESHOLD,
     CONTAM_BENCH_MOD,
+    CURATED_MAX_CONTAM,
     WEIGHTED_SAMPLE_N,
 )
 from .operators.merge import EVENT_RULES
-from .operators.textquality import PII_EMAIL, PII_PHONE
+from .operators.textquality import (
+    PII_EMAIL,
+    PII_PHONE,
+    QF_MAX_DUP3,
+    QF_MAX_PUNCT,
+    QF_MIN_TOKENS,
+)
 from .plans.analytics import (
     BLOOM_PRIORITY,
     Q1_CUTOFF,
@@ -1028,6 +1035,73 @@ FROM agg
 # The daily-sketch merge is provably lossless (a global top-k hash is
 # top-k within its own day), so the direct-sketch oracle serves it.
 ORACLE_SQL["kmv_daily_merge_distinct_users"] = ORACLE_SQL["kmv_distinct_users"]
+
+# keep-verdict fragment shared by quality_filter and curated_documents:
+# reasons built from the ROUNDED signals, '' ⇔ keep.
+_QF_CTES = f"""
+qf_q AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
+),
+qf_p AS (
+  SELECT doc_id,
+    ROUND(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+          / CAST(length(text) AS DOUBLE), 6) AS punct_ratio
+  FROM documents
+),
+qf_g AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      ELSE [] END AS g3
+  FROM toks
+),
+qf_r AS (
+  SELECT doc_id,
+    CASE WHEN len(g3) > 0
+      THEN ROUND((len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE), 6)
+      ELSE 0.0 END AS dup_3gram_ratio
+  FROM qf_g
+),
+qf_v AS (
+  SELECT qf_q.doc_id AS doc_id, n_tokens, punct_ratio, dup_3gram_ratio,
+    concat_ws(',',
+      CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short' END,
+      CASE WHEN punct_ratio > {QF_MAX_PUNCT} THEN 'high_punct' END,
+      CASE WHEN dup_3gram_ratio > {QF_MAX_DUP3} THEN 'repetitive' END) AS reasons
+  FROM qf_q JOIN qf_p USING (doc_id) JOIN qf_r USING (doc_id)
+)
+"""
+
+ORACLE_SQL["docs_quality_filter"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+{_QF_CTES}
+SELECT doc_id, n_tokens, punct_ratio, dup_3gram_ratio,
+  reasons = '' AS keep, reasons
+FROM qf_v
+"""
+
+ORACLE_SQL["curated_documents"] = f"""
+WITH {SHINGLES_CTE},
+{_QF_CTES},
+surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+keepq AS (SELECT doc_id FROM qf_v WHERE reasons = ''),
+cb AS (SELECT DISTINCT unnest(s) AS gg FROM shf WHERE doc_id % {CONTAM_BENCH_MOD} = 0),
+cbase AS (SELECT doc_id, len(s) AS n_sh FROM shf WHERE doc_id % {CONTAM_BENCH_MOD} <> 0),
+cex AS (SELECT doc_id, unnest(s) AS gg FROM shf WHERE doc_id % {CONTAM_BENCH_MOD} <> 0),
+chits AS (
+  SELECT doc_id, COUNT(*) AS n_c FROM cex
+  WHERE gg IN (SELECT gg FROM cb) GROUP BY doc_id
+),
+contamok AS (
+  SELECT b.doc_id FROM cbase b LEFT JOIN chits h USING (doc_id)
+  WHERE ROUND(COALESCE(h.n_c, 0) / CAST(b.n_sh AS DOUBLE), 6) <= {CURATED_MAX_CONTAM}
+)
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM surv)
+  AND doc_id IN (SELECT doc_id FROM keepq)
+  AND doc_id IN (SELECT doc_id FROM contamok)
+"""
 
 ORACLE_SQL["weighted_sample_documents"] = f"""
 WITH h AS (

@@ -50,6 +50,8 @@ SF01_KEYS = [
     "q17_small_quantity_revenue",
     "q15_top_supplier",
     "orders_revenue_7d_ma",
+    "docs_quality_filter",
+    "curated_documents",
 ]
 
 
