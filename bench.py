@@ -58,6 +58,9 @@ BENCH_QUERIES = (
     "ngram_containment_pairs",
     "token_entropy",
     "knn_label_vote",
+    "kmv_distinct_users",
+    "docs_quality_filter",
+    "curated_documents",
 )
 
 

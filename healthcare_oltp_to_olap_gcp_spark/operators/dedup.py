@@ -326,8 +326,13 @@ def docs_contamination(docs: DataFrame) -> DataFrame:
     (eval suites are tiny vs the corpus), the corpus side explodes its
     shingles once and semi-joins — an inverted-index probe, never a
     doc×doc comparison. Docs with contamination 0 keep a row: the
-    downstream filter needs an explicit per-doc verdict."""
-    sh = doc_shingles(docs)
+    downstream filter needs an explicit per-doc verdict.
+
+    The shingle table feeds three subtrees (benchmark set, per-doc
+    sizes, hit counting) — scope-persisted so the shingle build runs
+    once per action, also when this whole query is a subtree of
+    ``curated_documents`` (measured 4× there without it)."""
+    sh = scoped_persist(doc_shingles(docs))
     is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
     bench = (
         sh.filter(is_bench)
