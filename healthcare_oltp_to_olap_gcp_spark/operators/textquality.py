@@ -41,23 +41,32 @@ def token_stats(docs: DataFrame) -> DataFrame:
 
 
 def quality_scores(docs: DataFrame) -> DataFrame:
-    """Length / punctuation / stopword-density quality signals."""
+    """Length / punctuation / stopword-density quality signals.
+
+    Empty text / zero tokens yield NULL ratios (explicit guards — ANSI
+    mode makes a bare x/0 an error, and web corpora DO contain empty
+    documents; found by the Hypothesis edge-case suite)."""
     toks = tokens("text")
     n_tok = F.size(toks).cast("long")
+    n_chars = F.char_length("text")
     tok_chars = F.aggregate(
         F.transform(toks, lambda t: F.char_length(t)), F.lit(0), lambda a, v: a + v
     )
     return docs.select(
         "doc_id",
         n_tok.alias("n_tokens"),
-        F.char_length("text").cast("long").alias("n_chars"),
-        F.round(punct_count("text") / F.char_length("text").cast("double"), 6).alias(
-            "punct_ratio"
-        ),
-        F.round(stop_hits(toks, EN_STOP) / n_tok.cast("double"), 6).alias(
-            "stopword_ratio"
-        ),
-        F.round(tok_chars / n_tok.cast("double"), 6).alias("avg_token_len"),
+        n_chars.cast("long").alias("n_chars"),
+        F.when(
+            n_chars > 0,
+            F.round(punct_count("text") / n_chars.cast("double"), 6),
+        ).alias("punct_ratio"),
+        F.when(
+            n_tok > 0,
+            F.round(stop_hits(toks, EN_STOP) / n_tok.cast("double"), 6),
+        ).alias("stopword_ratio"),
+        F.when(
+            n_tok > 0, F.round(tok_chars / n_tok.cast("double"), 6)
+        ).alias("avg_token_len"),
     )
 
 

@@ -485,9 +485,15 @@ WITH d AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
 SELECT doc_id,
   CAST(len(toks) AS BIGINT) AS n_tokens,
   CAST(length(text) AS BIGINT) AS n_chars,
-  ROUND(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
-  ROUND(len(list_filter(toks, x -> list_contains({_sql_list(EN_STOP)}, x))) / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
-  ROUND(list_aggregate(list_transform(toks, x -> length(x)), 'sum') / CAST(len(toks) AS DOUBLE), 6) AS avg_token_len
+  CASE WHEN length(text) > 0 THEN
+    ROUND(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / CAST(length(text) AS DOUBLE), 6)
+  END AS punct_ratio,
+  CASE WHEN len(toks) > 0 THEN
+    ROUND(len(list_filter(toks, x -> list_contains({_sql_list(EN_STOP)}, x))) / CAST(len(toks) AS DOUBLE), 6)
+  END AS stopword_ratio,
+  CASE WHEN len(toks) > 0 THEN
+    ROUND(list_aggregate(list_transform(toks, x -> length(x)), 'sum') / CAST(len(toks) AS DOUBLE), 6)
+  END AS avg_token_len
 FROM d
 """,
     "docs_langid": f"""
@@ -1044,8 +1050,10 @@ qf_q AS (
 ),
 qf_p AS (
   SELECT doc_id,
-    ROUND(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
-          / CAST(length(text) AS DOUBLE), 6) AS punct_ratio
+    CASE WHEN length(text) > 0 THEN
+      ROUND(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+            / CAST(length(text) AS DOUBLE), 6)
+    END AS punct_ratio
   FROM documents
 ),
 qf_g AS (

@@ -118,3 +118,100 @@ def test_dedup_components_transitive_chain(spark):
     assert comp == {0: 0, 1: 0, 2: 0}  # chain collapsed; 'far' not in graph
     survivors = {r.doc_id for r in clean_documents(docs, 0.7).collect()}
     assert survivors == {0, 3}
+
+
+DOC_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 60),  # doc_id
+        st.lists(
+            st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+            min_size=0,
+            max_size=25,
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda r: r[0],
+)
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        [
+            (did, " ".join(words), "en", "src0", len(" ".join(words)))
+            for did, words in rows
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+@SETTINGS
+@given(rows=DOC_ROWS)
+def test_containment_bounds_and_symmetry_free(spark, rows):
+    """Containment values sit in (0, 1]; pair keys are ordered; every
+    pair's n_shared never exceeds the smaller shingle set."""
+    from healthcare_oltp_to_olap_gcp_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    out = ngram_containment_pairs(_docs_df(spark, rows), threshold=0.1).collect()
+    for r in out:
+        assert r.doc_a < r.doc_b
+        assert 0.0 < r.containment <= 1.0
+        assert r.n_shared >= 1
+
+
+@SETTINGS
+@given(rows=DOC_ROWS)
+def test_curated_is_subset_and_deterministic(spark, rows):
+    """The curated corpus is a subset of the input and stable across
+    two evaluations (no RNG, no order dependence)."""
+    from healthcare_oltp_to_olap_gcp_spark.operators.dedup import curated_documents
+
+    docs = _docs_df(spark, rows)
+    ids = {r.doc_id for r, in zip(docs.select("doc_id").collect())}
+    got1 = {r.doc_id for r in curated_documents(docs).collect()}
+    got2 = {r.doc_id for r in curated_documents(docs).collect()}
+    assert got1 == got2
+    assert got1 <= ids
+
+
+@SETTINGS
+@given(rows=DOC_ROWS)
+def test_weighted_sample_deterministic_and_ranked(spark, rows):
+    """Weighted sampling: deterministic, ranks contiguous from 1, and
+    only positive-length docs are eligible."""
+    from healthcare_oltp_to_olap_gcp_spark.operators.dedup import (
+        weighted_sample_documents,
+    )
+
+    docs = _docs_df(spark, rows)
+    a = weighted_sample_documents(docs, n=5).collect()
+    b = weighted_sample_documents(docs, n=5).collect()
+    assert [(r.doc_id, r.rank) for r in a] == [(r.doc_id, r.rank) for r in b]
+    assert [r.rank for r in sorted(a, key=lambda r: r.rank)] == list(
+        range(1, len(a) + 1)
+    )
+    for r in a:
+        assert r.n_chars > 0
+
+
+@SETTINGS
+@given(rows=EVENT_ROWS)
+def test_kmv_exact_below_k_and_merge_equal(spark, rows):
+    """With far fewer than k distinct users the KMV sketch must report
+    exact counts, and the daily merge must equal the direct sketch."""
+    from healthcare_oltp_to_olap_gcp_spark.plans.analytics import (
+        kmv_daily_merge_distinct_users,
+        kmv_distinct_users,
+    )
+
+    events = _events_df(spark, rows)
+    exact = events.select("user_id").distinct().count()
+    direct = kmv_distinct_users(events).collect()
+    assert len(direct) == 1  # single event_type in the generator
+    assert direct[0].approx_users == float(exact)
+    merged = kmv_daily_merge_distinct_users(events).collect()
+    assert {(r.event_type, r.sketch_size, r.approx_users) for r in direct} == {
+        (r.event_type, r.sketch_size, r.approx_users) for r in merged
+    }
