@@ -164,6 +164,12 @@ def ivf_ann_topk(
         normalized(as_double("embedding")).alias("cv"),
     )
     featurized = corpus.withColumn("fv", array_to_vector("cv"))
+    if featurized.isEmpty():
+        # KMeans.fit rejects an empty dataset, and an empty corpus has no
+        # neighbors anyway — short-circuit with the operator's schema.
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rank long"
+        )
     model = KMeans(
         k=n_centroids, seed=42, maxIter=5, featuresCol="fv", predictionCol="cell"
     ).fit(featurized)
