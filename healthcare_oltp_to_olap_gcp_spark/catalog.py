@@ -53,8 +53,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in TS_COLS.get(name, ()):
-        if isinstance(df.schema[c].dataType, T.LongType):
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.LongType):
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        elif isinstance(dt, T.TimestampNTZType):
+            # An externally built session (the driver's) can't pick up
+            # nanosAsLong at runtime, so TIMESTAMP(NANOS) parquet arrives
+            # as TIMESTAMP_NTZ. Cast to session-tz TIMESTAMP (UTC —
+            # value-identical, nanos already truncated to micros) so
+            # unix_micros()-based operators resolve on any session.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

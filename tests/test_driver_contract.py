@@ -24,6 +24,17 @@ assert len(rows) > 0, "entry returned no rows"
 qs = e.queries()
 osql = e.oracle_sql()
 assert set(osql) <= set(qs), "oracle keys not a subset of queries"
+# Force ANALYSIS of every registered query on the plain session —
+# catches type-resolution breakage (e.g. TIMESTAMP_NTZ vs TIMESTAMP
+# from an externally built session) across the whole registry without
+# paying for execution.
+analysis_errors = []
+for name, fn in qs.items():
+    try:
+        fn(spark, "/root/testdata/sf0.001").schema
+    except Exception as ex:  # noqa: BLE001
+        analysis_errors.append(f"{name}: {type(ex).__name__}: {ex}")
+assert not analysis_errors, "\\n".join(analysis_errors)[:4000]
 for name in ("fact_events", "q1_pricing_summary", "sessionize", "dedup_exact"):
     assert qs[name](spark, "/root/testdata/sf0.001").count() >= 0
 print("DRIVER_CONTRACT_OK", len(rows), len(qs), len(osql))
