@@ -277,9 +277,16 @@ def ann_gemm_topk(
     per-block partial-topk frames are unioned before the global window.
     With one block the plan is identical to the unblocked original.
 
-    BLAS sums in SIMD order, not the fold order the DuckDB oracle
-    mirrors, so sims can differ in the last ulp → rows-only oracle;
-    set-equality vs the codegen twin is asserted in unit tests."""
+    Hash-exact to ``ann_brute_topk`` (same DuckDB oracle): BLAS sums in
+    SIMD order, which can differ from the oracle's sequential fold in
+    the last ulp — so the GEMM phase only SELECTS candidates (local
+    top-(k+margin) per partition; the exact global top-k is a subset of
+    the union of per-partition exact top-k, and the margin absorbs any
+    ulp-level rank perturbation), and the returned sims are recomputed
+    JVM-side with the identical fold-order expression the brute twin
+    uses. Candidate set is tiny (|Q|·(k+margin)·partitions ids), so the
+    rerank joins broadcast it against the corpus — the big table still
+    streams exactly once through the GEMM."""
     import math
 
     import numpy as np
@@ -299,6 +306,11 @@ def ann_gemm_topk(
         "vec_id", as_double("embedding").alias("e")
     )
 
+    # Local candidate margin: the union of per-partition exact top-k
+    # already contains the global top-k; +8 covers any last-ulp rank
+    # flips between BLAS and fold-order sums.
+    local_k = k + 8
+
     def _block_partials(q_pdf: "pd.DataFrame") -> DataFrame:
         qids = q_pdf["vec_id"].to_numpy()
         Q = np.stack(q_pdf["e"].to_numpy())
@@ -317,17 +329,15 @@ def ann_gemm_topk(
                 for j in range(len(qids)):
                     sims = S[:, j]
                     mask = cids != qids[j]
-                    order = np.lexsort((cids[mask], -sims[mask]))[:k]
-                    sel_ids, sel_sims = cids[mask][order], sims[mask][order]
+                    order = np.lexsort((cids[mask], -sims[mask]))[:local_k]
                     yield pd.DataFrame(
                         {
                             "query_id": qids[j],
-                            "neighbor_id": sel_ids,
-                            "sim": sel_sims,
+                            "neighbor_id": cids[mask][order],
                         }
                     )
 
-        return corpus.mapInPandas(_part, "query_id long, neighbor_id long, sim double")
+        return corpus.mapInPandas(_part, "query_id long, neighbor_id long")
 
     # vec_id/QUERY_MOD is exact for the query subset, so this blocks the
     # queries evenly regardless of shared factors between QUERY_MOD and
@@ -343,9 +353,17 @@ def ann_gemm_topk(
         frame = _block_partials(q_pdf)
         partials = frame if partials is None else partials.unionByName(frame)
 
+    # Exact fold-order rerank of the candidate ids — bit-identical to
+    # ann_brute_topk, so both share one oracle. Candidates broadcast
+    # into the corpus scan; queries broadcast as in the brute twin.
+    cand = F.broadcast(partials)
+    corpus_cols = _split(embeddings, "neighbor_id", "c")
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        partials.withColumn("rank", F.row_number().over(w).cast("long"))
+        corpus_cols.join(cand, "neighbor_id")
+        .join(F.broadcast(_query_cols(embeddings)), "query_id")
+        .withColumn("sim", F.round(_dot_cols("q", "c"), 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )

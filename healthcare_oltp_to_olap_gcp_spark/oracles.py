@@ -650,6 +650,11 @@ ORACLE_SQL["q1_sql"] = ORACLE_SQL["q1_pricing_summary"]
 
 ORACLE_SQL["asof_pandas_last_view"] = ORACLE_SQL["asof_last_view_before_purchase"]
 
+# The GEMM twin reranks its candidates with the exact fold-order sim
+# expression of ann_brute_topk — bit-identical results, one oracle
+# (operators/similarity.ann_gemm_topk).
+ORACLE_SQL["ann_gemm_topk"] = ORACLE_SQL["ann_topk"]
+
 # Incremental refresh provably equals the full-table dedup (the delta
 # window re-ranks base ∪ new-slice; see plans/star.fact_events_incremental).
 ORACLE_SQL["fact_events_incremental"] = ORACLE_SQL["fact_events"]
