@@ -655,6 +655,51 @@ ORACLE_SQL["asof_pandas_last_view"] = ORACLE_SQL["asof_last_view_before_purchase
 # (operators/similarity.ann_gemm_topk).
 ORACLE_SQL["ann_gemm_topk"] = ORACLE_SQL["ann_topk"]
 
+
+def _lsh_oracle() -> str:
+    """Generated oracle for ann_lsh_topk: the hyperplanes are md5-derived
+    constants (operators/similarity._hyperplanes), so the bucket bits,
+    multi-probe expansion, and exact rerank are all plain SQL with the
+    plane vectors inlined as list literals."""
+    from .operators.similarity import N_PLANES, _hyperplanes
+
+    planes = _hyperplanes(64, N_PLANES)
+    bit_terms = "\n  + ".join(
+        f"(CASE WHEN list_dot_product(nv, [{', '.join(repr(w) for w in plane)}]) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(N_PLANES)]
+    )
+    return f"""
+WITH {_NORM_CTE},
+b AS (
+  SELECT vec_id, nv,
+  {bit_terms} AS bucket
+  FROM e
+),
+q AS (
+  SELECT vec_id AS query_id, nv AS qv,
+         unnest([{probes}]) AS bucket
+  FROM b WHERE vec_id % 50 = 0
+),
+s AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.qv, c.nv), 6) AS sim
+  FROM q JOIN b c USING (bucket)
+  WHERE c.vec_id <> q.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+  FROM s
+)
+SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 10
+"""
+
+
+ORACLE_SQL["ann_lsh_topk"] = _lsh_oracle()
+
 # Incremental refresh provably equals the full-table dedup (the delta
 # window re-ranks base ∪ new-slice; see plans/star.fact_events_incremental).
 ORACLE_SQL["fact_events_incremental"] = ORACLE_SQL["fact_events"]

@@ -41,6 +41,8 @@ SF01_KEYS = [
     "docs_repetition",
     "fact_events_incremental",
     # round-2 additions whose semantics could shift with more data
+    "ann_lsh_topk",
+    "ann_gemm_topk",
     "ngram_containment_pairs",
     "docs_contamination",
     "kmv_distinct_users",
