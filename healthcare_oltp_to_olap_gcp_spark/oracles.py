@@ -700,6 +700,38 @@ SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <=
 
 ORACLE_SQL["ann_lsh_topk"] = _lsh_oracle()
 
+
+def _winnow_oracle() -> str:
+    """Independent derivation of the winnowing sketch summary
+    (operators/textquality._winnow_pdf): each 5-gram polynomial hash is
+    sum(ord(char)*257^(4-d)) mod (2^61-1); every term is < 5e15 so the
+    sum never overflows BIGINT and, being < the modulus, needs no
+    reduction. The sliding-window minima of the Spark side simplify:
+    with ng k-gram hashes the sketch has max(ng-3, 0) windows whose
+    union covers every hash, so min(sketch) == min(all hashes)."""
+    from .operators.textquality import _BASE, _GRAM, _MOD, _WINNOW_WINDOW
+
+    terms = " + ".join(
+        f"ord(substr(t, i + {d}, 1)) * {_BASE ** (_GRAM - 1 - d)}"
+        for d in range(_GRAM)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, lower(text) AS t, length(text) AS n FROM documents),
+g AS (
+  SELECT doc_id, ({terms}) % {_MOD} AS h
+  FROM d, LATERAL unnest(range(1, n - {_GRAM - 2})) AS u(i)
+  WHERE n >= {_GRAM}
+),
+agg AS (SELECT doc_id, COUNT(*) AS ng, MIN(h) AS mh FROM g GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(CASE WHEN ng >= {_WINNOW_WINDOW} THEN ng - {_WINNOW_WINDOW - 1} ELSE 0 END AS BIGINT) AS n_grams,
+  CAST(CASE WHEN ng >= {_WINNOW_WINDOW} THEN mh ELSE 0 END AS BIGINT) AS min_gram_hash
+FROM d LEFT JOIN agg USING (doc_id)
+"""
+
+
+ORACLE_SQL["winnow_fingerprint"] = _winnow_oracle()
+
 # Incremental refresh provably equals the full-table dedup (the delta
 # window re-ranks base ∪ new-slice; see plans/star.fact_events_incremental).
 ORACLE_SQL["fact_events_incremental"] = ORACLE_SQL["fact_events"]

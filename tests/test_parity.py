@@ -43,6 +43,7 @@ SF01_KEYS = [
     # round-2 additions whose semantics could shift with more data
     "ann_lsh_topk",
     "ann_gemm_topk",
+    "winnow_fingerprint",
     "ngram_containment_pairs",
     "docs_contamination",
     "kmv_distinct_users",
