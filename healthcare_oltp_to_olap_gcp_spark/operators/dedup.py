@@ -531,16 +531,25 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
     Each token votes ±1 per bit position with weight 1; bit b of the
     signature is 1 iff the vote sum is positive.
-    """
+
+    The 64 token-hash bits come from the first 16 hex chars of
+    md5(token), split into two 32-bit halves (``conv`` of 16 hex chars
+    at once would overflow signed long). md5 — not xxhash64 — so the
+    DuckDB oracle can derive the identical bits from the same hex
+    string; any uniform hash works for SimHash quality, and the hash is
+    one-per-token, not per-bit, so the cost difference is noise."""
     par = docs.sparkSession.sparkContext.defaultParallelism
     tok = docs.repartition(par).select("doc_id", F.explode(tokens("text")).alias("tok"))
-    tok = tok.withColumn("h", F.xxhash64("tok"))
-    bit_votes = [
-        F.sum(
-            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"s{b}")
-        for b in range(64)
-    ]
+    hx = F.md5("tok")
+    tok = tok.withColumn(
+        "hi", F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    ).withColumn("lo", F.conv(F.substring(hx, 9, 8), 16, 10).cast("long"))
+
+    def _bit(b: int) -> F.Column:
+        src, off = ("lo", b) if b < 32 else ("hi", b - 32)
+        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+
+    bit_votes = [F.sum(_bit(b) * 2 - 1).alias(f"s{b}") for b in range(64)]
     votes = tok.groupBy("doc_id").agg(*bit_votes)
     chunks = {
         f"c{j}": sum(

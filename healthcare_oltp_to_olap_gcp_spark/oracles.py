@@ -732,6 +732,47 @@ FROM d LEFT JOIN agg USING (doc_id)
 
 ORACLE_SQL["winnow_fingerprint"] = _winnow_oracle()
 
+
+def _simhash_oracle() -> str:
+    """Independent derivation of simhash_dup_pairs: token-hash bit b is
+    pulled straight out of the md5 hex nibbles (the Spark side goes via
+    conv()-to-long + shifts over two 32-bit halves — same bits, chars
+    1-8 = high half, 9-16 = low), votes are summed per bit, and pairs
+    are the QUADRATIC scan with bit_count(xor) hamming — no pigeonhole
+    blocking, which is exactly what makes it an independent check of
+    the blocked Spark plan."""
+    votes = []
+    for b in range(64):
+        if b < 32:
+            j, shift = 16 - b // 4, b % 4
+        else:
+            j, shift = 8 - (b - 32) // 4, (b - 32) % 4
+        nib = f"(strpos('0123456789abcdef', substr(hx, {j}, 1)) - 1)"
+        votes.append(f"SUM(2 * (({nib} >> {shift}) & 1) - 1) AS s{b}")
+    chunks = ", ".join(
+        " + ".join(
+            f"(CASE WHEN s{j * 16 + i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+        )
+        + f" AS c{j}"
+        for j in range(4)
+    )
+    hamming = " + ".join(f"bit_count(xor(a.c{j}, b.c{j}))" for j in range(4))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+h AS (SELECT doc_id, substr(md5(term), 1, 16) AS hx FROM tok),
+v AS (SELECT doc_id, {', '.join(votes)} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {chunks} FROM v),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST({hamming} AS BIGINT) AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3
+"""
+
+
+ORACLE_SQL["simhash_dup_pairs"] = _simhash_oracle()
+
 # Incremental refresh provably equals the full-table dedup (the delta
 # window re-ranks base ∪ new-slice; see plans/star.fact_events_incremental).
 ORACLE_SQL["fact_events_incremental"] = ORACLE_SQL["fact_events"]

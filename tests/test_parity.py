@@ -44,6 +44,7 @@ SF01_KEYS = [
     "ann_lsh_topk",
     "ann_gemm_topk",
     "winnow_fingerprint",
+    "simhash_dup_pairs",
     "ngram_containment_pairs",
     "docs_contamination",
     "kmv_distinct_users",
