@@ -175,6 +175,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_label_vote": lambda s, d: similarity.knn_label_vote(
         table(s, d, "embeddings")
     ),
+    "ivf_flat_ann_topk": lambda s, d: similarity.ivf_flat_ann_topk(
+        table(s, d, "embeddings")
+    ),
     "kmv_distinct_users": lambda s, d: analytics.kmv_distinct_users(
         table(s, d, "events")
     ),

@@ -199,6 +199,63 @@ def ivf_ann_topk(
     )
 
 
+def ivf_flat_ann_topk(
+    embeddings: DataFrame,
+    k: int = DEFAULT_K,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF with deterministic hash-seeded centroids — the oracle-checked
+    twin of ``ivf_ann_topk``: instead of KMeans (iterative, not
+    SQL-expressible), the centroids are the ``n_centroids`` corpus
+    vectors ranked first by md5(vec_id) — a reproducible pseudo-random
+    draw both engines can compute. Cell assignment is argmax rounded
+    cosine vs the broadcast centroids; queries probe the ``n_probe``
+    best cells and rerank exactly. Same inverted-file scale shape as
+    the KMeans variant (corpus streams once, centroid table broadcast,
+    per-query work ~n_probe/n_centroids of the corpus); slightly lower
+    recall, fully deterministic."""
+    corpus = embeddings.repartition(_par(embeddings)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        normalized(as_double("embedding")).alias("cv"),
+    )
+    cent = (
+        corpus.orderBy(F.md5(F.col("neighbor_id").cast("string")), "neighbor_id")
+        .limit(n_centroids)
+        .select(F.col("neighbor_id").alias("cent_id"), F.col("cv").alias("centroid"))
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.col("cdot").desc(), F.col("cent_id")
+    )
+    assigned = (
+        corpus.join(F.broadcast(cent))
+        .withColumn("cdot", F.round(dot(F.col("cv"), F.col("centroid")), 6))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select("neighbor_id", "cv", F.col("cent_id").alias("cell"))
+    )
+    qs = _queries(embeddings)
+    w_cell = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("cent_id")
+    )
+    probed = (
+        qs.join(F.broadcast(cent))
+        .withColumn("qdot", F.round(dot(F.col("qv"), F.col("centroid")), 6))
+        .withColumn("_rn", F.row_number().over(w_cell))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "qv", F.col("cent_id").alias("cell"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        assigned.join(F.broadcast(probed), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(dot(F.col("qv"), F.col("cv")), 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def ann_lsh_topk(embeddings: DataFrame, k: int = DEFAULT_K, dim: int = 64) -> DataFrame:
     """Approximate top-k with multi-probe LSH: each query probes its own
     hyperplane-sign bucket plus every 1-bit-flip neighbor bucket (the

@@ -773,6 +773,50 @@ SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3
 
 ORACLE_SQL["simhash_dup_pairs"] = _simhash_oracle()
 
+# IVF-Flat with hash-seeded centroids (operators/similarity.
+# ivf_flat_ann_topk): centroid draw, argmax cell assignment, probing
+# and rerank all mirrored; rounded dots + id tie-breaks keep the
+# ranking engine-independent.
+ORACLE_SQL["ivf_flat_ann_topk"] = f"""
+WITH {_NORM_CTE},
+cent AS (
+  SELECT vec_id AS cent_id, nv AS centroid
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+assign0 AS (
+  SELECT e.vec_id AS neighbor_id, e.nv AS cv, cent.cent_id,
+         ROUND(list_dot_product(e.nv, cent.centroid), 6) AS cdot
+  FROM e CROSS JOIN cent
+),
+assigned AS (
+  SELECT neighbor_id, cv, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY neighbor_id ORDER BY cdot DESC, cent_id) AS rn
+    FROM assign0
+  ) WHERE rn = 1
+),
+q0 AS (
+  SELECT q.vec_id AS query_id, q.nv AS qv, cent.cent_id,
+         ROUND(list_dot_product(q.nv, cent.centroid), 6) AS qdot
+  FROM e q CROSS JOIN cent WHERE q.vec_id % 50 = 0
+),
+probed AS (
+  SELECT query_id, qv, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, cent_id) AS rn
+    FROM q0
+  ) WHERE rn <= 4
+),
+s AS (
+  SELECT p.query_id, a.neighbor_id, ROUND(list_dot_product(p.qv, a.cv), 6) AS sim
+  FROM assigned a JOIN probed p USING (cell)
+  WHERE a.neighbor_id <> p.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+  FROM s
+)
+SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 10
+"""
+
 # Incremental refresh provably equals the full-table dedup (the delta
 # window re-ranks base ∪ new-slice; see plans/star.fact_events_incremental).
 ORACLE_SQL["fact_events_incremental"] = ORACLE_SQL["fact_events"]

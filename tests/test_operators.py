@@ -107,6 +107,21 @@ def test_ivf_recall_and_exact_rerank(spark):
     assert recall >= 0.3, f"IVF recall collapsed: {recall}"
 
 
+def test_ivf_flat_recall_and_exact_rerank(spark):
+    emb = table(spark, SF001, "embeddings")
+    brute = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in similarity.ann_brute_topk(emb, k=10).collect()
+    }
+    flat = similarity.ivf_flat_ann_topk(emb).collect()
+    assert len(flat) > 0
+    for r in flat:
+        got = brute.get((r.query_id, r.neighbor_id))
+        assert got is None or got == r.sim  # rerank sims are exact
+    recall = len(set(brute) & {(r.query_id, r.neighbor_id) for r in flat}) / len(brute)
+    assert recall >= 0.3, f"IVF-Flat recall collapsed: {recall}"
+
+
 def test_frame_sample_shapes(spark):
     docs = table(spark, SF001, "documents")
     frames = multimodal.frame_sample(multimodal.attach_payload(docs)).collect()

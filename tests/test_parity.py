@@ -45,6 +45,7 @@ SF01_KEYS = [
     "ann_gemm_topk",
     "winnow_fingerprint",
     "simhash_dup_pairs",
+    "ivf_flat_ann_topk",
     "ngram_containment_pairs",
     "docs_contamination",
     "kmv_distinct_users",
