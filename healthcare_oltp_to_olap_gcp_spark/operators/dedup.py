@@ -72,6 +72,23 @@ def _jaccard(a: F.Column, b: F.Column) -> F.Column:
     return F.round(inter / union, 6)
 
 
+def doc_shingle_hashes(docs: DataFrame, n: int = SHINGLE_WORDS) -> DataFrame:
+    """(doc_id, hs): the 64-bit xxhash64 of each distinct shingle.
+
+    The LSH pipeline's cacheable representation: a long array persists
+    ~10× cheaper than the shingle strings (fixed 8 bytes vs ~25-char
+    strings through the columnar cache's compression — caching the
+    string form measured 8.8s of a 12s cold run at sf0.1). Signature
+    permutations derive from these via pmod, and verification Jaccard
+    over the hash sets equals string Jaccard unless two distinct
+    shingles collide in 64 bits (p ≈ pairs·|union|²/2^65 — negligible,
+    and the quadratic string-space baseline stays available as
+    ``ngram_jaccard_pairs``)."""
+    return doc_shingles(docs, n).select(
+        "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Exact all-pairs word-shingle Jaccard.
 
@@ -124,9 +141,14 @@ def minhash_signatures(
     hash and measured ~50× slower at sf0.1. At 100 TB the signature
     build is then a pure map stage pipelined with the scan."""
     sh = shingles if shingles is not None else doc_shingles(docs)
-    base = F.transform(
-        F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_31))
-    )
+    if "hs" in sh.columns:
+        # Pre-hashed shingles (doc_shingle_hashes): same base values,
+        # the xxhash64 is already done.
+        base = F.transform(F.col("hs"), lambda h: F.pmod(h, F.lit(MERSENNE_31)))
+    else:
+        base = F.transform(
+            F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_31))
+        )
     sig_cols = [
         F.array_min(
             F.transform(
@@ -162,37 +184,48 @@ def minhash_lsh_dup_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     output is (with the collision probability above) identical to
     ``ngram_jaccard_pairs`` — but without the O(n²) pair join.
 
-    The shingle table feeds three consumers (signatures + both sides of
-    the verification join) — persist it so the scan/shingle work runs
-    once; MEMORY_AND_DISK default spills gracefully at scale. The cache
-    is scoped: the next scoped persist anywhere in the package releases
-    it, so registry sweeps don't accumulate cached blocks."""
-    from ..session import scoped_persist
-
-    sh = scoped_persist(doc_shingles(docs))
+    The shingle-hash table feeds three consumers (signatures + both
+    sides of the verification join) — persist it so the scan/shingle
+    work runs once; the hash form (``doc_shingle_hashes``) keeps the
+    cache small and cheap to build. The cache is scoped: the next
+    scoped persist anywhere in the package releases it, so registry
+    sweeps don't accumulate cached blocks."""
+    sh = scoped_persist(doc_shingle_hashes(docs))
     return _verified_lsh_pairs(sh, threshold)
 
 
 def _verified_lsh_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     """LSH candidate generation + exact-Jaccard verification over a
-    prepared (doc_id, shingles) frame. Callers own ``sh``'s cache
-    lifecycle (see ``dedup_components``, which unpersists it once the
-    edge list is materialized)."""
+    prepared (doc_id, hs) shingle-hash frame. Callers own ``sh``'s
+    cache lifecycle (see ``dedup_components``, which unpersists it once
+    the edge list is materialized)."""
     buckets = _band_buckets(minhash_signatures(sh, shingles=sh))
-    left = buckets.select(
-        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
-    )
-    right = buckets.select(
-        F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
+    # Candidate pairs via groupBy + in-bucket combinations rather than a
+    # bucket self-join: the join formulation instantiates the signature
+    # subtree TWICE (once per side — measured ~2.8s of a 5.2s LSH phase
+    # at sf0.1), while the aggregate computes signatures once and
+    # shuffles only the tiny (band, hash, ids) rows. Work per bucket is
+    # the same |bucket|²/2 either way.
+    ids = F.sort_array(F.col("ids"))
+    combos = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
     )
     candidates = (
-        left.join(right, ["band_idx", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(combos).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
     # Broadcast the (id, id) candidate set: the wide shingle-array table
     # then joins map-side, so the arrays cross the wire once (the doc_b
     # join) instead of twice. Candidate pairs are bounded by dup density
@@ -235,7 +268,7 @@ def dedup_components(
 
     sh = None
     if pairs is None:
-        sh = doc_shingles(docs).persist()
+        sh = doc_shingle_hashes(docs).persist()
         pairs = _verified_lsh_pairs(sh, threshold)
     pairs = pairs.select("doc_a", "doc_b")
     # localCheckpoint is eager: the whole LSH pipeline runs here, once.
@@ -569,8 +602,16 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ max_hamming,
     blocked by the pigeonhole principle on 16-bit chunks (d ≤ 3 < 4
-    chunks ⇒ at least one chunk matches exactly)."""
-    sig = simhash_signatures(docs)
+    chunks ⇒ at least one chunk matches exactly).
+
+    The signature table is scope-persisted (5 longs per doc — tiny) so
+    the 64-aggregate vote stage runs ONCE; both sides of the chunk
+    self-join then read the cache (the un-persisted form instantiated
+    the vote aggregate per side). The join formulation — rather than a
+    groupBy + collect_list of bucket members — keeps hot chunk values
+    spread across tasks (a 16-bit chunk domain WILL have hot buckets at
+    corpus scale, and AQE skew-split only helps a join)."""
+    sig = scoped_persist(simhash_signatures(docs))
     chunk_arr = F.array(
         *[
             F.struct(F.lit(j).alias("chunk_idx"), F.col(f"c{j}").alias("chunk_val"))
