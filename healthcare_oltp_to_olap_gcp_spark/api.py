@@ -178,6 +178,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_flat_ann_topk": lambda s, d: similarity.ivf_flat_ann_topk(
         table(s, d, "embeddings")
     ),
+    "embedding_neardup_lsh_pairs": lambda s, d: similarity.embedding_neardup_lsh_pairs(
+        table(s, d, "embeddings")
+    ),
     "kmv_distinct_users": lambda s, d: analytics.kmv_distinct_users(
         table(s, d, "events")
     ),

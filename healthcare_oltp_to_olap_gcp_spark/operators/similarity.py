@@ -199,6 +199,69 @@ def ivf_ann_topk(
     )
 
 
+PAIR_BANDS = 8
+PAIR_BAND_BITS = 8
+
+
+def embedding_neardup_lsh_pairs(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Scale path for embedding near-dup pairs: banded hyperplane LSH
+    (the SimHash-for-cosine analog of the MinHash bands) replaces the
+    quadratic broadcast of ``embedding_neardup_pairs``.
+
+    64 md5-derived hyperplanes → 8 bands of 8 sign bits; a pair becomes
+    a candidate iff SOME band matches exactly (P ≈ 99% for cosine ≥
+    0.95 at these settings — recall vs the quadratic twin asserted in
+    tests), then candidates are verified with the exact rounded cosine.
+    Candidate volume per band is n²/2^bits in the worst (uniform) case
+    and far less on clustered real corpora; band bits tune the
+    recall/candidate trade-off. The normalized-vector table is
+    scope-persisted and feeds band hashing + both verify sides; the
+    DuckDB oracle mirrors the construction with the planes inlined, so
+    the check is exact, not statistical."""
+    planes = _hyperplanes(DIM, PAIR_BANDS * PAIR_BAND_BITS)
+    from ..session import scoped_persist
+
+    nvs = scoped_persist(
+        embeddings.repartition(_par(embeddings)).select(
+            "vec_id", normalized(as_double("embedding")).alias("nv")
+        )
+    )
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                _bucket(
+                    F.col("nv"),
+                    planes[j * PAIR_BAND_BITS : (j + 1) * PAIR_BAND_BITS],
+                ).alias("band_val"),
+            )
+            for j in range(PAIR_BANDS)
+        ]
+    )
+    b = nvs.select("vec_id", F.explode(bands_arr).alias("b")).select(
+        "vec_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val")
+    )
+    left = b.select(F.col("vec_id").alias("vec_a"), "band_idx", "band_val")
+    right = b.select(F.col("vec_id").alias("vec_b"), "band_idx", "band_val")
+    cand = (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    a = nvs.select(F.col("vec_id").alias("vec_a"), F.col("nv").alias("va"))
+    bb = nvs.select(F.col("vec_id").alias("vec_b"), F.col("nv").alias("vb"))
+    return (
+        a.join(F.broadcast(cand), "vec_a")
+        .join(bb, "vec_b")
+        .withColumn("sim", F.round(dot(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "sim")
+    )
+
+
 def ivf_flat_ann_topk(
     embeddings: DataFrame,
     k: int = DEFAULT_K,

@@ -701,6 +701,49 @@ SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <=
 ORACLE_SQL["ann_lsh_topk"] = _lsh_oracle()
 
 
+def _neardup_lsh_oracle() -> str:
+    """Mirror of embedding_neardup_lsh_pairs: 64 inlined md5-derived
+    hyperplanes → 8 bands of 8 sign bits, candidates from exact band
+    matches, exact rounded-cosine verification."""
+    from .operators.similarity import PAIR_BAND_BITS, PAIR_BANDS, _hyperplanes
+
+    planes = _hyperplanes(64, PAIR_BANDS * PAIR_BAND_BITS)
+
+    def band_expr(j: int) -> str:
+        return "\n    + ".join(
+            f"(CASE WHEN list_dot_product(nv, [{', '.join(repr(w) for w in planes[j * PAIR_BAND_BITS + i])}]) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(PAIR_BAND_BITS)
+        )
+
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {j} AS band_idx,\n    {band_expr(j)} AS band_val FROM e"
+        for j in range(PAIR_BANDS)
+    )
+    return f"""
+WITH {_NORM_CTE},
+b AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+  FROM b l JOIN b r USING (band_idx, band_val)
+  WHERE l.vec_id < r.vec_id
+),
+s AS (
+  SELECT cand.vec_a, cand.vec_b,
+         ROUND(list_dot_product(x.nv, y.nv), 6) AS sim
+  FROM cand
+  JOIN e x ON x.vec_id = cand.vec_a
+  JOIN e y ON y.vec_id = cand.vec_b
+)
+SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.95
+"""
+
+
+ORACLE_SQL["embedding_neardup_lsh_pairs"] = _neardup_lsh_oracle()
+
+
 def _winnow_oracle() -> str:
     """Independent derivation of the winnowing sketch summary
     (operators/textquality._winnow_pdf): each 5-gram polynomial hash is

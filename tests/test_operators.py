@@ -122,6 +122,24 @@ def test_ivf_flat_recall_and_exact_rerank(spark):
     assert recall >= 0.3, f"IVF-Flat recall collapsed: {recall}"
 
 
+def test_embedding_neardup_lsh_recall(spark):
+    emb = table(spark, SF001, "embeddings")
+    exact = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in similarity.embedding_neardup_pairs(emb).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in similarity.embedding_neardup_lsh_pairs(emb).collect()
+    }
+    # Verified candidates ⇒ no false positives, sims identical.
+    for pair, sim in lsh.items():
+        assert exact[pair] == sim
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.8, f"banded-LSH recall collapsed: {recall}"
+
+
 def test_frame_sample_shapes(spark):
     docs = table(spark, SF001, "documents")
     frames = multimodal.frame_sample(multimodal.attach_payload(docs)).collect()

@@ -46,6 +46,7 @@ SF01_KEYS = [
     "winnow_fingerprint",
     "simhash_dup_pairs",
     "ivf_flat_ann_topk",
+    "embedding_neardup_lsh_pairs",
     "ngram_containment_pairs",
     "docs_contamination",
     "kmv_distinct_users",
