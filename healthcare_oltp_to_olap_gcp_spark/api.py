@@ -153,6 +153,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_small_quantity_revenue": lambda s, d: analytics.q17_small_quantity_revenue(
         table(s, d, "lineitem"), table(s, d, "part")
     ),
+    "q20_promotable_suppliers": lambda s, d: analytics.q20_promotable_suppliers(
+        table(s, d, "lineitem"),
+        table(s, d, "supplier"),
+        table(s, d, "nation"),
+        table(s, d, "part"),
+    ),
+    "q21_waiting_suppliers": lambda s, d: analytics.q21_waiting_suppliers(
+        table(s, d, "lineitem"),
+        table(s, d, "orders"),
+        table(s, d, "supplier"),
+        table(s, d, "nation"),
+    ),
     "q22_global_sales_opportunity": lambda s, d: analytics.q22_global_sales_opportunity(
         table(s, d, "customer"), table(s, d, "orders")
     ),

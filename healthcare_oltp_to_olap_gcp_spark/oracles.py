@@ -1420,3 +1420,65 @@ SELECT user_id,
   {_dsum('value')} AS session_value
 FROM t GROUP BY user_id, session_idx
 """
+
+# Q20 shape (plans/analytics.q20_promotable_suppliers): nested
+# semi-joins with an exact-arithmetic correlated threshold.
+ORACLE_SQL["q20_promotable_suppliers"] = """
+WITH li AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,8))) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'b%')
+  GROUP BY l_partkey, l_suppkey
+),
+pp AS (
+  SELECT l_partkey, SUM(qty) AS total_qty, COUNT(*) AS n_supp
+  FROM li GROUP BY l_partkey
+),
+keep AS (
+  SELECT DISTINCT l_suppkey
+  FROM li JOIN pp USING (l_partkey)
+  WHERE qty * 2 * n_supp > total_qty
+)
+SELECT s_suppkey, s_name, n_name
+FROM keep
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+"""
+
+# Q21 shape (plans/analytics.q21_waiting_suppliers): EXISTS another
+# supplier on the order, NOT EXISTS another LATE supplier.
+ORACLE_SQL["q21_waiting_suppliers"] = """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+),
+sole AS (
+  SELECT t.l_orderkey, t.l_suppkey
+  FROM late t
+  WHERE EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = t.l_orderkey AND l2.l_suppkey <> t.l_suppkey
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM late l3
+      WHERE l3.l_orderkey = t.l_orderkey AND l3.l_suppkey <> t.l_suppkey
+    )
+),
+counts AS (
+  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+  FROM sole GROUP BY l_suppkey
+),
+ranked AS (
+  SELECT s_name, n_name, numwait,
+         row_number() OVER (ORDER BY numwait DESC, s_name) AS rn
+  FROM counts
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT s_name, n_name, numwait FROM ranked WHERE rn <= 20
+"""

@@ -959,6 +959,112 @@ def q22_global_sales_opportunity(customer: DataFrame, orders: DataFrame) -> Data
     )
 
 
+Q20_LO, Q20_HI = "1996-01-01", "1997-01-01"
+
+
+def q20_promotable_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+) -> DataFrame:
+    """Suppliers holding an outsized share of a part's shipments
+    (TPC-H Q20 shape; no partsupp table, so "availqty > ½ shipped"
+    becomes "supplier's shipped qty > ½ of the part's per-supplier
+    average" — the same nested-semi-join-with-correlated-threshold
+    plan). The per-part threshold is a broadcast aggregate joined back
+    (never a window over the fact), parts pre-filtered by name prefix
+    before touching lineitem, and the comparison is kept in exact
+    integer/decimal arithmetic (2·qty·cnt > total avoids a decimal
+    division both engines would round differently)."""
+    pf = part.filter(F.col("p_name").startswith("b")).select("p_partkey")
+    li = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(Q20_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q20_HI).cast("timestamp"))
+        )
+        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,8)")).alias("qty")
+    )
+    per_part = per_ps.groupBy("l_partkey").agg(
+        F.sum("qty").alias("total_qty"), F.count("*").alias("n_supp")
+    )
+    keep = (
+        per_ps.join(F.broadcast(per_part), "l_partkey")
+        .filter(
+            F.col("qty") * 2 * F.col("n_supp") > F.col("total_qty")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        keep.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+Q21_LATE_DAYS = 60
+
+
+def q21_waiting_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    top: int = 20,
+) -> DataFrame:
+    """Suppliers who alone held up multi-supplier finished orders
+    (TPC-H Q21 shape; no commit/receipt dates, so "late" is shipping
+    > 60 days after the order date). The EXISTS (another supplier on
+    the order) and NOT EXISTS (another LATE supplier on the order)
+    become one left-semi and one left-anti self-join on l_orderkey —
+    both shuffle-partitioned by the same key as the base, so the three
+    passes co-locate; supplier/nation dims broadcast at the end onto
+    the per-supplier counts."""
+    fo = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        li.join(fo, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    multi = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    sole = multi.join(
+        other_late,
+        (F.col("l_orderkey") == F.col("o3_orderkey"))
+        & (F.col("l_suppkey") != F.col("o3_suppkey")),
+        "left_anti",
+    )
+    counts = sole.groupBy("l_suppkey").agg(F.count("*").alias("numwait"))
+    w = Window.orderBy(F.col("numwait").desc(), F.col("s_name"))
+    return (
+        counts.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top)
+        .select("s_name", "n_name", "numwait")
+    )
+
+
 def orders_daily_cumulative(orders: DataFrame) -> DataFrame:
     """Daily order revenue with a year-to-date running total. The
     cumulative sum is a ROWS-frame window over exact DECIMAL partials —

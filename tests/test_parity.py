@@ -55,6 +55,8 @@ SF01_KEYS = [
     "weighted_sample_documents",
     "q17_small_quantity_revenue",
     "q15_top_supplier",
+    "q20_promotable_suppliers",
+    "q21_waiting_suppliers",
     "orders_revenue_7d_ma",
     "docs_quality_filter",
     "curated_documents",
