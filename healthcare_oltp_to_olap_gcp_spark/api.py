@@ -184,6 +184,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         table(s, d, "documents")
     ),
     "token_entropy": lambda s, d: textquality.token_entropy(table(s, d, "documents")),
+    "chunk_documents": lambda s, d: textquality.chunk_documents(
+        table(s, d, "documents")
+    ),
     "knn_label_vote": lambda s, d: similarity.knn_label_vote(
         table(s, d, "embeddings")
     ),

@@ -159,6 +159,46 @@ def quality_filter(docs: DataFrame) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 128
+CHUNK_OVERLAP = 32
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window preparation step of a training/RAG pipeline: each
+    doc yields windows of ``chunk_tokens`` tokens at stride
+    ``chunk_tokens - overlap``.
+
+    All JVM-side array ops (tokens → sequence of starts → slice +
+    array_join per start): the explode carries only the start
+    generator, so per-chunk work is one slice of the per-row token
+    array — no shuffle at all; chunking is a pure map stage that
+    pipelines with the scan at any scale. Short docs yield one
+    (possibly short) chunk; empty docs drop out."""
+    stride = chunk_tokens - overlap
+    toks = tokens("text")
+    base = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    ).select("doc_id", toks.alias("_t"), F.size(toks).alias("_n"))
+    starts = F.sequence(F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride))
+    chunk = F.slice(F.col("_t"), F.col("start") + 1, chunk_tokens)
+    return (
+        base.filter(F.col("_n") > 0)
+        .select("doc_id", "_t", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / stride).cast("long").alias("chunk_idx"),
+            F.col("start").cast("long").alias("chunk_start"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
 def token_entropy(docs: DataFrame) -> DataFrame:
     """Per-document unigram entropy (low entropy ⇒ repetitive/templated
     text, a standard LLM-data quality signal). Shannon entropy is

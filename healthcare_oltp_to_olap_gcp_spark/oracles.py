@@ -1482,3 +1482,20 @@ ranked AS (
 )
 SELECT s_name, n_name, numwait FROM ranked WHERE rn <= 20
 """
+
+# Sliding token-window chunking (operators/textquality.chunk_documents).
+ORACLE_SQL["chunk_documents"] = f"""
+WITH d AS (SELECT doc_id, {TOKS} AS t FROM documents),
+base AS (SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) > 0),
+c AS (
+  SELECT doc_id,
+         CAST(s / 96 AS BIGINT) AS chunk_idx,
+         CAST(s AS BIGINT) AS chunk_start,
+         list_slice(t, s + 1, s + 128) AS chunk
+  FROM base, LATERAL unnest(range(0, n, 96)) AS u(s)
+)
+SELECT doc_id, chunk_idx, chunk_start,
+  CAST(len(chunk) AS BIGINT) AS n_tokens,
+  array_to_string(chunk, ' ') AS chunk_text
+FROM c
+"""

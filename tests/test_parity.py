@@ -47,6 +47,7 @@ SF01_KEYS = [
     "simhash_dup_pairs",
     "ivf_flat_ann_topk",
     "embedding_neardup_lsh_pairs",
+    "chunk_documents",
     "ngram_containment_pairs",
     "docs_contamination",
     "kmv_distinct_users",
