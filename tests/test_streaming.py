@@ -13,6 +13,24 @@ from .conftest import SF001
 from .helpers import normalize
 
 
+def _raw_ts_expr() -> str:
+    """Unit-aware conversion for reading the ts column as raw longs:
+    the driver's test parquet has stored TIMESTAMP as nanos in some
+    rounds and micros in others — derive the epoch unit from the file
+    instead of hard-coding it."""
+    import pyarrow.parquet as pq
+
+    unit = str(pq.read_schema(f"{SF001}/events.parquet").field("ts").type)
+    return (
+        "timestamp_micros(ts div 1000)"
+        if unit == "timestamp[ns]"
+        else "timestamp_micros(ts)"
+    )
+
+
+TS_EXPR = _raw_ts_expr()
+
+
 def test_stream_equals_batch(spark, tmp_path):
     # Stage the source file into a stream-watchable directory. The
     # stream schema reads the raw nanos longs, so convert like catalog.
@@ -30,7 +48,7 @@ def test_stream_equals_batch(spark, tmp_path):
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 4)
         .parquet(str(src))
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", F.expr(TS_EXPR))
     )
     agg = pipeline.hourly_agg_stream(stream)
     got = pipeline.run_available_now(agg, "t_hourly")
@@ -57,7 +75,7 @@ def test_stream_dedups_replayed_file(spark, tmp_path):
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src))
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", F.expr(TS_EXPR))
     )
     got = pipeline.run_available_now(pipeline.hourly_agg_stream(stream), "t_hourly2")
     want = events_hourly(table(spark, SF001, "events"))
@@ -151,7 +169,7 @@ def _raw_stream(spark, src, max_files=4):
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files)
         .parquet(str(src))
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", F.expr(TS_EXPR))
     )
 
 
