@@ -67,6 +67,11 @@ BENCH_QUERIES = (
     "kmv_distinct_users",
     "docs_quality_filter",
     "curated_documents",
+    "ivf_flat_ann_topk",
+    "embedding_neardup_lsh_pairs",
+    "q20_promotable_suppliers",
+    "q21_waiting_suppliers",
+    "chunk_documents",
 )
 
 

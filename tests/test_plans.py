@@ -96,3 +96,41 @@ def test_kmv_partial_aggregates(spark):
     hashes, not raw events."""
     plan = _plan(spark, "kmv_distinct_users")
     assert "partial" in plan.lower()
+
+
+def test_q20_broadcasts_part_filter_and_threshold(spark):
+    """Parts pre-filter and the per-part threshold are broadcast sides;
+    lineitem must shuffle only for its own aggregation, never SMJ
+    against a dim."""
+    plan = _plan(spark, "q20_promotable_suppliers")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q21_semi_anti_share_order_key(spark):
+    """The EXISTS/NOT EXISTS pair must appear as semi + anti joins (no
+    row-widening inner joins of the fact against itself)."""
+    plan = _plan(spark, "q21_waiting_suppliers")
+    low = plan.lower()
+    assert "leftsemi" in low
+    assert "leftanti" in low
+
+
+def test_neardup_lsh_broadcasts_candidates(spark):
+    """Banded-LSH near-dup: the candidate id-pair set is broadcast into
+    the verify joins; no cartesian anywhere."""
+    plan = _plan(spark, "embedding_neardup_lsh_pairs")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """Chunking is a pure map stage: no Exchange beyond the explicit
+    repartition of the single-file test input."""
+    plan = _plan(spark, "chunk_documents")
+    assert plan.count("Exchange") <= 1  # only the input-spread repartition
+
+
+def test_ivf_flat_broadcasts_centroids(spark):
+    plan = _plan(spark, "ivf_flat_ann_topk")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
