@@ -202,6 +202,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_daily_merge_distinct_users": lambda s, d: (
         analytics.kmv_daily_merge_distinct_users(table(s, d, "events"))
     ),
+    "kmv_view_purchase_overlap": lambda s, d: analytics.kmv_view_purchase_overlap(
+        table(s, d, "events")
+    ),
+    "lineitem_column_stats": lambda s, d: analytics.lineitem_column_stats(
+        table(s, d, "lineitem")
+    ),
     "orders_revenue_7d_ma": lambda s, d: analytics.orders_revenue_7d_ma(
         table(s, d, "orders")
     ),

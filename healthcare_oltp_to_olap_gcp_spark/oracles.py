@@ -1499,3 +1499,65 @@ SELECT doc_id, chunk_idx, chunk_start,
   array_to_string(chunk, ' ') AS chunk_text
 FROM c
 """
+
+
+def _column_stats_oracle() -> str:
+    """Mirror of plans/analytics.lineitem_column_stats: one wide
+    aggregate then a generated per-column unpivot."""
+    from .plans.analytics import _STATS_COLS
+
+    aggs, rows = ["COUNT(*) AS n_rows"], []
+    for c, num in _STATS_COLS.items():
+        dnum = num.replace("unix_micros(", "epoch_us(") if num else None
+        aggs += [
+            f"COUNT({c}) AS {c}__nn",
+            f"COUNT(DISTINCT {c}) AS {c}__nd",
+            f"CAST({f'MIN({dnum})' if dnum else 'NULL'} AS DOUBLE) AS {c}__mn",
+            f"CAST({f'MAX({dnum})' if dnum else 'NULL'} AS DOUBLE) AS {c}__mx",
+        ]
+        rows.append(
+            f"SELECT '{c}' AS column_name, n_rows, {c}__nn AS n_non_null,"
+            f" {c}__nd AS n_distinct, {c}__mn AS min_value, {c}__mx AS max_value FROM wide"
+        )
+    return (
+        "WITH wide AS (\n  SELECT "
+        + ",\n    ".join(aggs)
+        + "\n  FROM lineitem\n)\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+ORACLE_SQL["lineitem_column_stats"] = _column_stats_oracle()
+
+from .plans.analytics import KMV_K as _KK  # noqa: E402
+
+ORACLE_SQL["kmv_view_purchase_overlap"] = f"""
+WITH d AS (
+  SELECT DISTINCT event_type,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT AS u
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+sk AS (
+  SELECT * FROM d
+  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY u) <= {_KK}
+),
+sides_t AS (
+  SELECT u, COUNT(*) AS sides FROM sk GROUP BY u
+),
+uk AS (
+  SELECT * FROM sides_t QUALIFY row_number() OVER (ORDER BY u) <= {_KK}
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS sketch_size, MAX(u) AS kth,
+         CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_both
+  FROM uk
+)
+SELECT sketch_size, n_in_both,
+  ROUND(n_in_both / CAST(sketch_size AS DOUBLE), 6) AS jaccard_est,
+  ROUND(CASE WHEN sketch_size < {_KK} THEN CAST(sketch_size AS DOUBLE)
+       ELSE {float(_KK - 1)} / ((kth + 1) / 4294967296.0) END, 4) AS union_est,
+  ROUND(n_in_both / CAST(sketch_size AS DOUBLE)
+        * (CASE WHEN sketch_size < {_KK} THEN CAST(sketch_size AS DOUBLE)
+           ELSE {float(_KK - 1)} / ((kth + 1) / 4294967296.0) END), 4) AS intersection_est
+FROM agg
+"""

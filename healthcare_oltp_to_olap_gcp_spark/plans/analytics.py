@@ -1153,3 +1153,99 @@ def value_range_window(events: DataFrame) -> DataFrame:
         f"CAST(count(*) {frame} - 1 AS BIGINT) AS n_collisions",
         f"CAST(sum(event_id) {frame} - event_id AS BIGINT) AS sum_collision_ids",
     ).filter(F.col("n_collisions") > 0)
+
+
+# Columns profiled by lineitem_column_stats, with their numeric
+# projection for min/max (timestamps → epoch micros; strings → NULL so
+# cross-engine string formatting never enters the hash compare).
+_STATS_COLS: dict[str, str | None] = {
+    "l_orderkey": "l_orderkey",
+    "l_partkey": "l_partkey",
+    "l_suppkey": "l_suppkey",
+    "l_quantity": "l_quantity",
+    "l_extendedprice": "l_extendedprice",
+    "l_discount": "l_discount",
+    "l_returnflag": None,
+    "l_linestatus": None,
+    "l_shipdate": "unix_micros(l_shipdate)",
+}
+
+
+def lineitem_column_stats(lineitem: DataFrame) -> DataFrame:
+    """ANALYZE-style column statistics: one row per profiled column with
+    row/null/exact-NDV counts and numeric min/max — the stats a
+    cost-based optimizer or data-quality monitor collects.
+
+    Single-pass shape: all columns' aggregates (including the multiple
+    COUNT(DISTINCT)s, which Catalyst plans via one Expand + one
+    aggregate) run in ONE scan, then the 1-row wide result is unpivoted
+    driver-side via stack(). At 100 TB swap the exact NDVs for
+    approx_count_distinct to drop the Expand fan-out; kept exact here
+    so the DuckDB oracle is the same computation."""
+    aggs = [F.count("*").alias("n_rows")]
+    for c, num in _STATS_COLS.items():
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            (F.min(F.expr(num)) if num else F.lit(None)).cast("double").alias(f"{c}__mn"),
+            (F.max(F.expr(num)) if num else F.lit(None)).cast("double").alias(f"{c}__mx"),
+        ]
+    wide = lineitem.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in _STATS_COLS
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(_STATS_COLS)}, {stack}) AS (column_name, n_non_null, n_distinct, min_value, max_value)",
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_non_null").cast("long").alias("n_non_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )
+
+
+def kmv_view_purchase_overlap(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Set-intersection estimate between two distinct-user sets (view ∩
+    purchase) from KMV sketches — the theta-sketch set operation built
+    on the engine's deterministic md5 hash, so even this *approximate*
+    op has an exact value-hash oracle.
+
+    Shape: one distinct over (type, hash) for both sides, the k
+    smallest union hashes re-ranked from the two (tiny) sketches, and
+    the Jaccard estimated as the fraction of union-sketch members
+    present in both sides; |A∩B| ≈ jaccard · (k−1)/U_k. Everything
+    after the first distinct runs on ≤2k rows."""
+    d = (
+        events.filter(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", _kmv_hash(F.col("user_id")).alias("u"))
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("u")
+    sketches = d.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
+    both = (
+        sketches.groupBy("u")
+        .agg(F.count("*").alias("_sides"))
+    )
+    wu = Window.orderBy("u")
+    union_k = both.withColumn("_r", F.row_number().over(wu)).filter(F.col("_r") <= k)
+    agg = union_k.agg(
+        F.count("*").alias("sketch_size"),
+        F.max("u").alias("_kth"),
+        F.sum(F.when(F.col("_sides") == 2, 1).otherwise(0)).alias("_in_both"),
+    )
+    exact_union = F.col("sketch_size") < k
+    union_est = F.when(exact_union, F.col("sketch_size").cast("double")).otherwise(
+        F.lit(float(k - 1)) / ((F.col("_kth") + 1) / F.lit(_KMV_SCALE))
+    )
+    return agg.select(
+        F.col("sketch_size").cast("long").alias("sketch_size"),
+        F.col("_in_both").cast("long").alias("n_in_both"),
+        F.round(F.col("_in_both") / F.col("sketch_size"), 6).alias("jaccard_est"),
+        F.round(union_est, 4).alias("union_est"),
+        F.round(F.col("_in_both") / F.col("sketch_size") * union_est, 4).alias(
+            "intersection_est"
+        ),
+    )

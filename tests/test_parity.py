@@ -52,6 +52,8 @@ SF01_KEYS = [
     "docs_contamination",
     "kmv_distinct_users",
     "kmv_daily_merge_distinct_users",
+    "kmv_view_purchase_overlap",
+    "lineitem_column_stats",
     "knn_label_vote",
     "weighted_sample_documents",
     "q17_small_quantity_revenue",
