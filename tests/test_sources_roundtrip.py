@@ -59,3 +59,39 @@ def test_orc_roundtrip(spark, tmp_path):
     events.write.orc(path)
     back = spark.read.schema(EVENTS_SCHEMA).orc(path)
     assert normalize(back.toPandas()) == normalize(events.toPandas())
+
+
+def test_binary_file_source_feeds_multimodal(spark, tmp_path):
+    """binaryFile ingestion: fake blobs on disk -> (path, length,
+    content) rows -> multimodal metadata extraction; glob pruning
+    filters at listing time."""
+    from healthcare_oltp_to_olap_gcp_spark.operators.multimodal import _meta_pdf
+    from healthcare_oltp_to_olap_gcp_spark.sources import binary
+
+    blobs = {
+        "a.png": b"\x89PNG\r\n\x1a\n" + b"x" * 100,
+        "b.jpg": b"\xff\xd8\xff\xe0" + b"y" * 50,
+        "notes.txt": b"plain text",
+    }
+    for name, data in blobs.items():
+        (tmp_path / name).write_bytes(data)
+
+    all_rows = binary.binary_files_as_payload(spark, str(tmp_path))
+    got = {r.path.rsplit("/", 1)[-1]: r for r in all_rows.collect()}
+    assert set(got) == set(blobs)
+    for name, data in blobs.items():
+        assert bytes(got[name].payload) == data
+        assert got[name].n_bytes == len(data)
+    assert got["a.png"].mime == "image/png"
+    assert got["notes.txt"].mime == "application/octet-stream"
+
+    # glob pruning happens at listing time
+    pngs = binary.binary_files_as_payload(spark, str(tmp_path), glob="*.png")
+    assert pngs.count() == 1
+
+    # feeds the multimodal metadata extractor (header sniff on real bytes)
+    meta = all_rows.select("doc_id", "payload").mapInPandas(
+        _meta_pdf, "doc_id long, n_bytes long, header_hex string"
+    )
+    headers = {r.doc_id: r.header_hex for r in meta.collect()}
+    assert headers[got["a.png"].doc_id] == "89504e47"  # PNG magic
