@@ -214,6 +214,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample_documents": lambda s, d: dedup.weighted_sample_documents(
         table(s, d, "documents")
     ),
+    "split_assignments": lambda s, d: dedup.split_assignments(
+        table(s, d, "documents")
+    ),
+    "pack_documents": lambda s, d: dedup.pack_documents(table(s, d, "documents")),
     # Composite pipeline steps (past the driver's 50-entry correctness
     # window — every constituent verdict above IS inside it; these are
     # additionally parity-checked at sf0.001 and sf0.01 locally).

@@ -643,3 +643,72 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+VAL_PCT = 5
+TEST_PCT = 5
+_SPLIT_SCALE = 1 << 32
+
+
+def split_assignments(
+    docs: DataFrame, val_pct: int = VAL_PCT, test_pct: int = TEST_PCT
+) -> DataFrame:
+    """Deterministic train/val/test assignment: md5(doc_id) maps each
+    doc to a point in [0, 2^32) and integer thresholds carve the
+    splits — reproducible across runs, engines, and partitionings
+    (never rand()), content-stable as the corpus grows, and pure
+    column math (zero shuffle). The thresholds are exact integers, so
+    the DuckDB oracle is bit-identical."""
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    t_test = _SPLIT_SCALE * test_pct // 100
+    t_val = _SPLIT_SCALE * (test_pct + val_pct) // 100
+    return docs.select(
+        "doc_id",
+        F.when(h < t_test, F.lit("test"))
+        .when(h < t_val, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+PACK_CAPACITY = 2048
+PACK_BUCKET = 100
+
+
+def pack_documents(
+    docs: DataFrame, capacity: int = PACK_CAPACITY, bucket_size: int = PACK_BUCKET
+) -> DataFrame:
+    """Greedy sequence packing: documents (by token count, in doc_id
+    order) packed first-fit into training shards of ≤ ``capacity``
+    tokens. The running-capacity reset makes this inherently
+    sequential, so it runs as an Arrow-batched ``applyInPandas`` per
+    doc_id bucket — bounded state per group, every bucket independent
+    and parallel (the standard scale shape for order-dependent scans);
+    the DuckDB oracle replays the same scan as a recursive CTE.
+    Oversized docs (> capacity) get a shard of their own."""
+    import pandas as pd
+
+    from ..functions.text import token_count
+
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") / bucket_size).cast("long").alias("pack_bucket"),
+        token_count("text").alias("n_tokens"),
+    )
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        shard, acc, out = 0, 0, []
+        for n in pdf["n_tokens"]:
+            if acc > 0 and acc + n > capacity:
+                shard, acc = shard + 1, 0
+            acc += n
+            out.append(shard)
+        pdf["shard_idx"] = out
+        return pdf
+
+    return base.groupBy("pack_bucket").applyInPandas(
+        _pack, "doc_id long, pack_bucket long, n_tokens long, shard_idx long"
+    )

@@ -1561,3 +1561,57 @@ SELECT sketch_size, n_in_both,
            ELSE {float(_KK - 1)} / ((kth + 1) / 4294967296.0) END), 4) AS intersection_est
 FROM agg
 """
+
+
+def _split_oracle() -> str:
+    from .operators.dedup import _SPLIT_SCALE, TEST_PCT, VAL_PCT
+
+    t_test = _SPLIT_SCALE * TEST_PCT // 100
+    t_val = _SPLIT_SCALE * (TEST_PCT + VAL_PCT) // 100
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS hv
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN hv < {t_test} THEN 'test'
+       WHEN hv < {t_val} THEN 'val'
+       ELSE 'train' END AS split
+FROM h
+"""
+
+
+ORACLE_SQL["split_assignments"] = _split_oracle()
+
+
+def _pack_oracle() -> str:
+    """Recursive-CTE replay of the greedy first-fit scan in
+    operators/dedup.pack_documents."""
+    from .operators.dedup import PACK_BUCKET, PACK_CAPACITY
+
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, CAST(doc_id // {PACK_BUCKET} AS BIGINT) AS pack_bucket,
+         CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id // {PACK_BUCKET} ORDER BY doc_id) AS rn
+  FROM documents
+),
+packed AS (
+  SELECT pack_bucket, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS shard_idx, n_tokens AS acc
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.pack_bucket, b.rn, b.doc_id, b.n_tokens,
+    CASE WHEN p.acc > 0 AND p.acc + b.n_tokens > {PACK_CAPACITY}
+         THEN p.shard_idx + 1 ELSE p.shard_idx END,
+    CASE WHEN p.acc > 0 AND p.acc + b.n_tokens > {PACK_CAPACITY}
+         THEN b.n_tokens ELSE p.acc + b.n_tokens END
+  FROM base b JOIN packed p
+    ON b.pack_bucket = p.pack_bucket AND b.rn = p.rn + 1
+)
+SELECT doc_id, pack_bucket, n_tokens, shard_idx FROM packed
+"""
+
+
+ORACLE_SQL["pack_documents"] = _pack_oracle()

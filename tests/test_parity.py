@@ -56,6 +56,8 @@ SF01_KEYS = [
     "lineitem_column_stats",
     "knn_label_vote",
     "weighted_sample_documents",
+    "split_assignments",
+    "pack_documents",
     "q17_small_quantity_revenue",
     "q15_top_supplier",
     "q20_promotable_suppliers",
