@@ -91,3 +91,26 @@ def errors(events: DataFrame) -> DataFrame:
     return executions(events).filter(~F.col("is_success")).select(
         "ts", "job_name", "status_value", "user_id", "event_id"
     )
+
+
+# The reference ships these as SQL views a dashboard queries by name
+# (/root/reference/monitoring/*.sql → Looker Studio). Mirror that
+# surface: registering them makes `spark.sql("SELECT * FROM
+# scheduler_executions_last_status_vw")` work verbatim.
+VIEW_BUILDERS = {
+    "scheduler_executions_results_vw": executions,
+    "scheduler_executions_last_status_vw": last_status,
+    "scheduler_executions_daily_summary_vw": daily_summary,
+    "scheduler_executions_7d_summary_vw": summary_7d,
+    "scheduler_executions_errors_vw": errors,
+}
+
+
+def register_monitoring_views(events: DataFrame) -> list[str]:
+    """Register every monitoring rollup as a temp view under its
+    reference name; returns the registered names. Temp views are
+    lazy — each dashboard query re-plans against current data, exactly
+    like the reference's BigQuery views."""
+    for name, build in VIEW_BUILDERS.items():
+        build(events).createOrReplaceTempView(name)
+    return list(VIEW_BUILDERS)

@@ -134,3 +134,30 @@ def test_chunk_documents_no_shuffle(spark):
 def test_ivf_flat_broadcasts_centroids(spark):
     plan = _plan(spark, "ivf_flat_ann_topk")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_monitoring_views_register_under_reference_names(spark):
+    """The reference's dashboards query views by name
+    (monitoring/*.sql); the registered temp views must answer
+    spark.sql() with exactly the DataFrame-API results."""
+    from healthcare_oltp_to_olap_gcp_spark.catalog import table
+    from healthcare_oltp_to_olap_gcp_spark.plans import monitoring
+
+    events = table(spark, SF001, "events")
+    names = monitoring.register_monitoring_views(events)
+    assert set(names) == {
+        "scheduler_executions_results_vw",
+        "scheduler_executions_last_status_vw",
+        "scheduler_executions_daily_summary_vw",
+        "scheduler_executions_7d_summary_vw",
+        "scheduler_executions_errors_vw",
+    }
+    via_sql = spark.sql(
+        "SELECT * FROM scheduler_executions_last_status_vw"
+    ).collect()
+    direct = monitoring.last_status(events).collect()
+    assert sorted(map(tuple, via_sql)) == sorted(map(tuple, direct))
+    n_err = spark.sql(
+        "SELECT COUNT(*) AS n FROM scheduler_executions_errors_vw"
+    ).collect()[0].n
+    assert n_err == monitoring.errors(events).count()
