@@ -1,0 +1,65 @@
+"""Partitioning-independence: the engine claims results are identical
+regardless of partition count and row order (exact decimal sums,
+rounded-then-summed partials, deterministic tie-breaks). Verify by
+running sensitive queries against a REPARTITIONED, SHUFFLED copy of the
+input and asserting bit-identical normalized output."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_oltp_to_olap_gcp_spark.api import QUERIES
+from healthcare_oltp_to_olap_gcp_spark.catalog import TS_COLS, table
+
+from .conftest import SF001
+from .helpers import normalize
+
+# Queries whose aggregates would drift under float reordering if the
+# decimal/rounding discipline broke, plus deterministic top-k/sampling.
+SENSITIVE = [
+    "q1_pricing_summary",
+    "token_entropy",
+    "weighted_sample_documents",
+    "kmv_distinct_users",
+    "orders_daily_cumulative",
+    "top_customers_per_nation",
+    "minhash_lsh_dup_pairs",
+    "value_percentiles",
+]
+
+_TABLE_FOR = {
+    "q1_pricing_summary": "lineitem",
+    "token_entropy": "documents",
+    "weighted_sample_documents": "documents",
+    "kmv_distinct_users": "events",
+    "orders_daily_cumulative": "orders",
+    "minhash_lsh_dup_pairs": "documents",
+    "value_percentiles": "events",
+}
+
+
+def _scrambled_dir(spark, tmp_path, tables):
+    """Rewrite the needed tables re-partitioned into 13 shuffled parts."""
+    out = tmp_path / "scrambled"
+    out.mkdir()
+    for t in tables:
+        df = spark.read.parquet(f"{SF001}/{t}.parquet")
+        (
+            df.repartition(13, F.pmod(F.xxhash64(*df.columns[:1]), F.lit(997)))
+            .write.mode("overwrite")
+            .parquet(str(out / f"{t}.parquet"))
+        )
+    return str(out)
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_partitioning_independence(spark, tmp_path, name):
+    if name == "top_customers_per_nation":
+        tables = ("customer", "orders", "nation")
+    else:
+        tables = (_TABLE_FOR[name],)
+    scrambled = _scrambled_dir(spark, tmp_path, set(tables) | set(TS_COLS))
+    base = normalize(QUERIES[name](spark, SF001).toPandas())
+    scr = normalize(QUERIES[name](spark, scrambled).toPandas())
+    assert base == scr, f"{name} drifted under repartitioning"
