@@ -47,3 +47,10 @@ def test_plain_session_driver_contract():
         [sys.executable, "-c", SCRIPT], capture_output=True, text=True, timeout=420
     )
     assert "DRIVER_CONTRACT_OK" in res.stdout, res.stdout[-2000:] + res.stderr[-2000:]
+
+
+def test_cli_list_and_unknown():
+    from healthcare_oltp_to_olap_gcp_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    assert main(["run", "no_such_query"]) == 2
