@@ -1,0 +1,95 @@
+"""Scale probe: measure how the heavy operators scale from sf0.1 to an
+amplified 10x copy (id-shifted unions of the driver-provided tables —
+used ONLY for performance measurement; correctness always runs against
+the unmodified driver parquet).
+
+    python tools/scale_probe.py [factor]
+
+Prints per-query seconds at 1x and Nx and the observed ratio. A
+near-linear ratio (≈ N for scan-bound ops, ≈ N·log N for sort-bound)
+is the evidence that the plan would keep holding at cluster scale; a
+super-linear ratio flags a quadratic term that 100 TB would amplify.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from healthcare_oltp_to_olap_gcp_spark.api import QUERIES  # noqa: E402
+from healthcare_oltp_to_olap_gcp_spark.catalog import TABLES, table  # noqa: E402
+from healthcare_oltp_to_olap_gcp_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# (query, id columns to shift so amplified copies stay disjoint)
+PROBES = {
+    "q1_pricing_summary": {"lineitem": ["l_orderkey"]},
+    "sessionize": {"events": ["event_id", "user_id"]},
+    "minhash_lsh_dup_pairs": {"documents": ["doc_id"]},
+    "simhash_dup_pairs": {"documents": ["doc_id"]},
+    "dedup_components": {"documents": ["doc_id"]},
+    "ann_lsh_topk": {"embeddings": ["vec_id"]},
+    "embedding_neardup_lsh_pairs": {"embeddings": ["vec_id"]},
+    "chunk_documents": {"documents": ["doc_id"]},
+    "token_freq": {"documents": ["doc_id"]},
+}
+
+ID_SPAN = 100_000_000  # shift per copy; far above any real id
+
+
+def amplify(spark, out_dir: str, tables: dict[str, list[str]], factor: int) -> None:
+    for t in TABLES:
+        df = table(spark, SF_DIR, t)
+        if t in tables:
+            parts = []
+            for i in range(factor):
+                c = df
+                for col in tables[t]:
+                    c = c.withColumn(col, F.col(col) + i * ID_SPAN)
+                parts.append(c)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        else:
+            out = df
+        out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {}
+    with tempfile.TemporaryDirectory(prefix="scale_probe_") as tmp:
+        needed: dict[str, list[str]] = {}
+        for t in PROBES.values():
+            needed.update(t)
+        amplify(spark, tmp, needed, factor)
+        for name in PROBES:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, SF_DIR).count()
+            base = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            QUERIES[name](spark, tmp).count()
+            big = time.perf_counter() - t0
+            results[name] = {
+                "t_1x": round(base, 2),
+                f"t_{factor}x": round(big, 2),
+                "ratio": round(big / base, 2),
+            }
+            print(name, results[name], flush=True)
+            spark.catalog.clearCache()
+    print(json.dumps({"factor": factor, "results": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
