@@ -38,6 +38,26 @@ def _sanity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return star.sanity_row_counts(fact, star.fact_events_star(fact))
 
 
+def _asof_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_last_view_before_purchase re-expressed through the generic
+    asof_join operator — same oracle, proving the reusable API."""
+    from pyspark.sql import functions as F
+
+    events = table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", F.unix_micros("ts").alias("view_us")
+    )
+    return asof.asof_join(
+        purchases, views, on="ts", by="user_id", tie="event_id",
+        value_cols=("view_us",), strict=True,
+    ).select(
+        "event_id", "user_id", "ts", F.col("asof_view_us").alias("last_view_us")
+    )
+
+
 def _q1_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pure-SQL surface: register temp views and run the exact same
     ANSI SQL string the DuckDB oracle uses — one text, two engines."""
@@ -69,6 +89,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         table(s, d, "events")
     ),
     "scd2_user_band": lambda s, d: asof.scd2_user_band(table(s, d, "events")),
+    "asof_generic_last_view": lambda s, d: _asof_generic(s, d),
     "dedup_exact": lambda s, d: dedup.exact_dedup_stats(table(s, d, "documents")),
     "docs_fingerprint": lambda s, d: textquality.fingerprints(table(s, d, "documents")),
     "docs_token_stats": lambda s, d: textquality.token_stats(table(s, d, "documents")),

@@ -104,3 +104,62 @@ def scd2_user_band(events: DataFrame) -> DataFrame:
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w2).alias("valid_to"),
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    tie: str = "event_id",
+    value_cols: tuple[str, ...] = (),
+    strict: bool = True,
+) -> DataFrame:
+    """Generic backward as-of join: for every ``left`` row, attach the
+    ``value_cols`` of the latest ``right`` row with the same ``by`` key
+    and ``right.on`` < ``left.on`` (≤ when ``strict=False``).
+
+    Spark-native formulation: union both sides tagged, ONE shuffle on
+    the ``by`` key, and a running ``last(ignorenulls)`` window per
+    value column — no range join, no per-pair materialization, so the
+    cost is a single per-key sort regardless of how many right rows
+    precede each left row. Ties inside one side break on the ``tie``
+    column (a stable row id present in both frames), keeping the
+    result independent of partitioning.
+
+    This is the reusable form of ``asof_last_view_before_purchase``
+    (equality asserted in tests); tolerance bands or nearest-direction
+    variants belong in the ``applyInPandas`` twin."""
+    lt = left.select(
+        F.lit(1).alias("_is_left"),
+        F.col(on).alias("_on"),
+        F.col(tie).alias("_tie"),
+        F.col(by).alias("_by"),
+        F.struct(*left.columns).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
+    )
+    rt = right.select(
+        F.lit(0).alias("_is_left"),
+        F.col(on).alias("_on"),
+        F.col(tie).alias("_tie"),
+        F.col(by).alias("_by"),
+        F.lit(None).cast(lt.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+    # Left rows sort AFTER right rows at equal `on` iff non-strict
+    # (so an equal-timestamp right row is visible), BEFORE iff strict.
+    side_rank = F.col("_is_left") if not strict else (1 - F.col("_is_left"))
+    w = (
+        Window.partitionBy("_by")
+        .orderBy(F.col("_on"), side_rank, F.col("_tie"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    unioned = lt.unionByName(rt)
+    for c in value_cols:
+        unioned = unioned.withColumn(
+            f"_asof_{c}", F.last(f"_v_{c}", ignorenulls=True).over(w)
+        )
+    return unioned.filter(F.col("_is_left") == 1).select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols],
+    )

@@ -1615,3 +1615,6 @@ SELECT doc_id, pack_bucket, n_tokens, shard_idx FROM packed
 
 
 ORACLE_SQL["pack_documents"] = _pack_oracle()
+
+# The generic asof_join reproduces the specific as-of query exactly.
+ORACLE_SQL["asof_generic_last_view"] = ORACLE_SQL["asof_last_view_before_purchase"]

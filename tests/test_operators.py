@@ -350,3 +350,15 @@ def test_kmv_bounded_error_and_lossless_merge(spark):
             assert abs(r.approx_users - want) <= max(1, 0.01 * want)
         else:
             assert abs(r.approx_users - want) / want < 0.25, (r, want)
+
+
+def test_generic_asof_equals_specific(spark):
+    from healthcare_oltp_to_olap_gcp_spark.api import QUERIES
+    from healthcare_oltp_to_olap_gcp_spark.operators.asof import (
+        asof_last_view_before_purchase,
+    )
+
+    events = table(spark, SF001, "events")
+    want = sorted(map(tuple, asof_last_view_before_purchase(events).collect()))
+    got = sorted(map(tuple, QUERIES["asof_generic_last_view"](spark, SF001).collect()))
+    assert got == want

@@ -35,6 +35,7 @@ SF01_KEYS = [
     "multimodal_frames",
     "value_percentiles",
     "scd2_user_band",
+    "asof_generic_last_view",
     "min_price_supplier",
     "user_value_deltas",
     "q18_large_orders",
