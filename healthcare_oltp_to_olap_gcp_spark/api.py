@@ -226,6 +226,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_view_purchase_overlap": lambda s, d: analytics.kmv_view_purchase_overlap(
         table(s, d, "events")
     ),
+    "events_hourly_anomalies": lambda s, d: analytics.events_hourly_anomalies(
+        table(s, d, "events")
+    ),
     "lineitem_column_stats": lambda s, d: analytics.lineitem_column_stats(
         table(s, d, "lineitem")
     ),

@@ -1618,3 +1618,31 @@ ORACLE_SQL["pack_documents"] = _pack_oracle()
 
 # The generic asof_join reproduces the specific as-of query exactly.
 ORACLE_SQL["asof_generic_last_view"] = ORACLE_SQL["asof_last_view_before_purchase"]
+
+# Hourly anomaly z-scores from exact integer moments
+# (plans/analytics.events_hourly_anomalies).
+ORACLE_SQL["events_hourly_anomalies"] = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS hours, SUM(n_events) AS s,
+         SUM(n_events * n_events) AS sq
+  FROM hourly GROUP BY 1
+),
+scored AS (
+  SELECT h.event_type, h.hour_ts, h.n_events,
+    ROUND(
+      (h.n_events - CAST(s AS DOUBLE) / hours)
+      / sqrt((CAST(sq AS DOUBLE) - CAST(s * s AS DOUBLE) / hours) / (hours - 1)),
+      6
+    ) AS z_score
+  FROM hourly h JOIN stats st USING (event_type)
+  WHERE hours > 1
+    AND (CAST(sq AS DOUBLE) - CAST(s * s AS DOUBLE) / hours) / (hours - 1) > 0
+)
+SELECT event_type, hour_ts, n_events, z_score
+FROM scored WHERE abs(z_score) > 2.0
+"""

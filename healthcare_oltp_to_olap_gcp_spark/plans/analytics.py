@@ -1249,3 +1249,46 @@ def kmv_view_purchase_overlap(events: DataFrame, k: int = KMV_K) -> DataFrame:
             "intersection_est"
         ),
     )
+
+
+ANOMALY_Z = 2.0
+
+
+def events_hourly_anomalies(events: DataFrame) -> DataFrame:
+    """Operational anomaly detection: hours whose event count deviates
+    more than ``ANOMALY_Z`` standard deviations from that event type's
+    hourly mean.
+
+    Two aggregations (hour grain, then per-type moments) and one
+    broadcast join of the tiny per-type stats back onto hour rows.
+    The moments are EXACT integer sums (counts and squared counts), so
+    mean/variance/z reduce to one fixed IEEE expression over exact
+    inputs — deterministic across engines and partitionings, unlike
+    stddev_samp whose float accumulation is order-dependent."""
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("_hours"),
+        F.sum("n_events").alias("_s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("_sq"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_hours")
+    var = (
+        F.col("_sq").cast("double")
+        - (F.col("_s") * F.col("_s")).cast("double") / F.col("_hours")
+    ) / (F.col("_hours") - 1)
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter((F.col("_hours") > 1) & (var > 0))
+        .withColumn("z_score", F.round(z, 6))
+        .filter(F.abs(F.col("z_score")) > ANOMALY_Z)
+        .select(
+            "event_type",
+            "hour_ts",
+            F.col("n_events").cast("long").alias("n_events"),
+            "z_score",
+        )
+    )

@@ -54,6 +54,7 @@ SF01_KEYS = [
     "kmv_distinct_users",
     "kmv_daily_merge_distinct_users",
     "kmv_view_purchase_overlap",
+    "events_hourly_anomalies",
     "lineitem_column_stats",
     "knn_label_vote",
     "weighted_sample_documents",
