@@ -161,3 +161,49 @@ def test_monitoring_views_register_under_reference_names(spark):
         "SELECT COUNT(*) AS n FROM scheduler_executions_errors_vw"
     ).collect()[0].n
     assert n_err == monitoring.errors(events).count()
+
+
+# BroadcastNestedLoopJoin is acceptable ONLY where it is a conscious
+# choice: quadratic baselines (broadcast + inequality condition,
+# docstring-marked BASELINE-ONLY) and one-row-scalar broadcast crosses
+# (global totals / bounds / tiny centroid tables). A new query that
+# plans a BNLJ must be reviewed and added here explicitly.
+_BNLJ_ALLOWED = {
+    # quadratic baselines
+    "ngram_dup_pairs",
+    "embedding_neardup_pairs",
+    "ann_topk",
+    "knn_label_vote",  # votes over the brute baseline
+    # one-row-scalar broadcast crosses
+    "q11_important_parts",  # global value total
+    "q22_global_sales_opportunity",  # global average balance
+    "tfidf_top_terms",  # corpus doc count
+    "sanity_row_counts",  # two one-row counts
+    "mon_executions",  # max(ts) window bound
+    "mon_last_status",
+    "mon_daily_summary",
+    "mon_7d_summary",
+    "mon_errors",
+    "ivf_flat_ann_topk",  # 16-row centroid table cross
+}
+# These two run eager work (KMeans fit / query collect) at plan-build
+# time; their plan shape is asserted in their own tests.
+_EAGER_BUILD = {"ivf_ann_topk", "ann_gemm_topk"}
+
+
+def test_registry_wide_no_accidental_cartesian(spark):
+    """Engine-wide guard: CartesianProduct is banned in every
+    registered query's physical plan, and BroadcastNestedLoopJoin is
+    allowed only on the reviewed allowlist — a new operator can't
+    silently regress to an all-pairs plan."""
+    offenders = {}
+    for name in QUERIES:
+        if name in _EAGER_BUILD:
+            continue
+        plan = _plan(spark, name)
+        bad = ["CartesianProduct"] if "CartesianProduct" in plan else []
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            bad.append("BroadcastNestedLoopJoin")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"all-pairs plans outside the allowlist: {offenders}"
