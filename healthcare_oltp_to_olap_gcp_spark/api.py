@@ -229,6 +229,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly_anomalies": lambda s, d: analytics.events_hourly_anomalies(
         table(s, d, "events")
     ),
+    "sampled_value_percentiles": lambda s, d: analytics.sampled_value_percentiles(
+        table(s, d, "events")
+    ),
+    "sampled_daily_merge_percentiles": lambda s, d: (
+        analytics.sampled_daily_merge_percentiles(table(s, d, "events"))
+    ),
     "lineitem_column_stats": lambda s, d: analytics.lineitem_column_stats(
         table(s, d, "lineitem")
     ),

@@ -1646,3 +1646,25 @@ scored AS (
 SELECT event_type, hour_ts, n_events, z_score
 FROM scored WHERE abs(z_score) > 2.0
 """
+
+# Deterministic hash-sampled percentile sketch (plans/analytics.
+# sampled_value_percentiles); the daily-merge twin is provably
+# lossless, so one oracle serves both.
+ORACLE_SQL["sampled_value_percentiles"] = """
+WITH sampled AS (
+  SELECT event_type, value
+  FROM (
+    SELECT event_type, event_id, value,
+      ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT AS h
+    FROM events
+  )
+  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) <= 256
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_sample,
+  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+  ROUND(quantile_cont(value, 0.9), 4) AS p90,
+  ROUND(quantile_cont(value, 0.99), 4) AS p99
+FROM sampled GROUP BY event_type
+"""
+ORACLE_SQL["sampled_daily_merge_percentiles"] = ORACLE_SQL["sampled_value_percentiles"]

@@ -1292,3 +1292,58 @@ def events_hourly_anomalies(events: DataFrame) -> DataFrame:
             "z_score",
         )
     )
+
+
+SAMPLE_SKETCH_K = 256
+
+
+def sampled_value_percentiles(events: DataFrame, k: int = SAMPLE_SKETCH_K) -> DataFrame:
+    """Approximate percentiles from a DETERMINISTIC uniform sample: per
+    event type keep the k rows with smallest md5(event_id) (the KMV
+    trick applied to sampling) and take exact percentiles of the
+    sample. Like the KMV distinct sketch — and unlike t-digest — the
+    estimate is hash-deterministic, so this approximate operator has a
+    full value-hash oracle; sampling error vs the exact twin is
+    asserted separately in tests."""
+    w = Window.partitionBy("event_type").orderBy(
+        _kmv_hash(F.col("event_id")), F.col("event_id")
+    )
+    sample = events.select("event_type", "event_id", "value").withColumn(
+        "_r", F.row_number().over(w)
+    ).filter(F.col("_r") <= k)
+    return sample.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_sample"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+def sampled_daily_merge_percentiles(
+    events: DataFrame, k: int = SAMPLE_SKETCH_K
+) -> DataFrame:
+    """Mergeable-rollup form of ``sampled_value_percentiles``: per
+    (day, type) keep each day's k hash-smallest rows (the daily sample
+    table — KBs per partition at 100 TB), then MERGE per type by
+    re-selecting the k hash-smallest over the union. A row in the
+    global hash-top-k is top-k within its own day, so the merge is
+    provably lossless: bit-identical estimates to the direct sample,
+    one shared oracle, equality asserted in tests."""
+    wd = Window.partitionBy(F.to_date("ts"), F.col("event_type")).orderBy(
+        _kmv_hash(F.col("event_id")), F.col("event_id")
+    )
+    daily = events.select("event_type", "event_id", "value", "ts").withColumn(
+        "_r", F.row_number().over(wd)
+    ).filter(F.col("_r") <= k)
+    wm = Window.partitionBy("event_type").orderBy(
+        _kmv_hash(F.col("event_id")), F.col("event_id")
+    )
+    merged = daily.withColumn("_rm", F.row_number().over(wm)).filter(
+        F.col("_rm") <= k
+    )
+    return merged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_sample"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )

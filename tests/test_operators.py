@@ -362,3 +362,21 @@ def test_generic_asof_equals_specific(spark):
     want = sorted(map(tuple, asof_last_view_before_purchase(events).collect()))
     got = sorted(map(tuple, QUERIES["asof_generic_last_view"](spark, SF001).collect()))
     assert got == want
+
+
+def test_sampled_percentiles_merge_lossless_and_near_exact(spark):
+    from healthcare_oltp_to_olap_gcp_spark.plans import analytics
+
+    events = table(spark, SF001, "events")
+    direct = normalize(analytics.sampled_value_percentiles(events).toPandas())
+    merged = normalize(analytics.sampled_daily_merge_percentiles(events).toPandas())
+    assert direct == merged  # provably lossless merge
+    exact = {r.event_type: (r.p50, r.p90, r.p99)
+             for r in analytics.value_percentiles(events).collect()}
+    approx = {r.event_type: (r.p50, r.p90, r.p99)
+              for r in analytics.sampled_value_percentiles(events).collect()}
+    for t, (e50, e90, e99) in exact.items():
+        a50, a90, a99 = approx[t]
+        # 256-point sample: generous value tolerance on the synthetic range
+        assert abs(a50 - e50) <= max(10.0, 0.25 * abs(e50)), (t, a50, e50)
+        assert abs(a90 - e90) <= max(15.0, 0.30 * abs(e90)), (t, a90, e90)

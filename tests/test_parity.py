@@ -55,6 +55,8 @@ SF01_KEYS = [
     "kmv_daily_merge_distinct_users",
     "kmv_view_purchase_overlap",
     "events_hourly_anomalies",
+    "sampled_value_percentiles",
+    "sampled_daily_merge_percentiles",
     "lineitem_column_stats",
     "knn_label_vote",
     "weighted_sample_documents",
