@@ -340,6 +340,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         table(s, d, "events")
     ),
     "validate_events": lambda s, d: merge.validate_events(table(s, d, "events")),
+    "events_snapshot_diff": lambda s, d: merge.events_snapshot_diff(
+        table(s, d, "events")
+    ),
     "top_customers_per_nation": lambda s, d: analytics.top_customers_per_nation(
         table(s, d, "customer"), table(s, d, "orders"), table(s, d, "nation")
     ),

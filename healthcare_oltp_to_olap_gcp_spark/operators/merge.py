@@ -83,3 +83,56 @@ def validate_events(events: DataFrame) -> DataFrame:
         )
     )
     return wide.select(stacked.alias("r")).select("r.rule", "r.n_violations")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "event_id",
+    payload_cols: tuple[str, ...] = ("ts", "user_id", "event_type", "value", "props"),
+) -> DataFrame:
+    """CDC change feed between two table snapshots: (key, change_type ∈
+    insert/update/delete). One full-outer join on the key comparing an
+    md5 payload fingerprint — the diff a replication edge (reference
+    scheduler/dataflow_flex_body.json) would emit as its change stream.
+    Unchanged rows drop out, so the output is proportional to the
+    actual drift, not the table."""
+    def fp(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(key).alias(f"{side}_key"),
+            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in payload_cols])).alias(
+                f"{side}_fp"
+            ),
+        )
+
+    o, n = fp(old, "o"), fp(new, "n")
+    joined = o.join(n, o["o_key"] == n["n_key"], "full_outer")
+    change = (
+        F.when(F.col("o_key").isNull(), F.lit("insert"))
+        .when(F.col("n_key").isNull(), F.lit("delete"))
+        .when(F.col("o_fp") != F.col("n_fp"), F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            F.coalesce(F.col("n_key"), F.col("o_key")).alias(key),
+            "change_type",
+        )
+    )
+
+
+def events_snapshot_diff(events: DataFrame) -> DataFrame:
+    """snapshot_diff exercised on deterministic slices of the events
+    table: the 'old' snapshot lacks event_id % 7 == 0 (→ inserts), the
+    'new' snapshot drops event_id % 11 == 0 (→ deletes) and bumps value
+    for event_id % 5 == 0 (→ updates); ids hitting several rules get
+    the highest-precedence change, exactly as the operator computes."""
+    old = events.filter(F.col("event_id") % 7 != 0)
+    new = events.filter(F.col("event_id") % 11 != 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 5 == 0, F.round(F.col("value") + 1.0, 4)).otherwise(
+            F.col("value")
+        ),
+    )
+    return snapshot_diff(old, new)

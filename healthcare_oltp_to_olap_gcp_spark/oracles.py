@@ -1668,3 +1668,31 @@ SELECT event_type,
 FROM sampled GROUP BY event_type
 """
 ORACLE_SQL["sampled_daily_merge_percentiles"] = ORACLE_SQL["sampled_value_percentiles"]
+
+# CDC snapshot diff (operators/merge.snapshot_diff on deterministic
+# old/new slices of events).
+ORACLE_SQL["events_snapshot_diff"] = """
+WITH old AS (
+  SELECT event_id,
+    md5(concat_ws(chr(31), CAST(ts AS VARCHAR), CAST(user_id AS VARCHAR),
+        event_type, CAST(value AS VARCHAR), props)) AS fp
+  FROM events WHERE event_id % 7 <> 0
+),
+new AS (
+  SELECT event_id,
+    md5(concat_ws(chr(31), CAST(ts AS VARCHAR), CAST(user_id AS VARCHAR),
+        event_type, CAST(CASE WHEN event_id % 5 = 0 THEN ROUND(value + 1.0, 4)
+                              ELSE value END AS VARCHAR), props)) AS fp
+  FROM events WHERE event_id % 11 <> 0
+),
+j AS (
+  SELECT old.event_id AS o_key, old.fp AS o_fp, new.event_id AS n_key, new.fp AS n_fp
+  FROM old FULL OUTER JOIN new ON old.event_id = new.event_id
+)
+SELECT COALESCE(n_key, o_key) AS event_id,
+  CASE WHEN o_key IS NULL THEN 'insert'
+       WHEN n_key IS NULL THEN 'delete'
+       WHEN o_fp <> n_fp THEN 'update' END AS change_type
+FROM j
+WHERE (o_key IS NULL) OR (n_key IS NULL) OR (o_fp <> n_fp)
+"""

@@ -41,6 +41,7 @@ SF01_KEYS = [
     "q18_large_orders",
     "docs_repetition",
     "fact_events_incremental",
+    "events_snapshot_diff",
     # round-2 additions whose semantics could shift with more data
     "ann_lsh_topk",
     "ann_gemm_topk",
