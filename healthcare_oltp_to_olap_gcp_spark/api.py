@@ -195,6 +195,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_retention_cohorts": lambda s, d: analytics.user_retention_cohorts(
         table(s, d, "events")
     ),
+    "customer_rfm_segments": lambda s, d: analytics.customer_rfm_segments(
+        table(s, d, "customer"), table(s, d, "orders")
+    ),
     "event_type_transitions": lambda s, d: analytics.event_type_transitions(
         table(s, d, "events")
     ),

@@ -1696,3 +1696,30 @@ SELECT COALESCE(n_key, o_key) AS event_id,
 FROM j
 WHERE (o_key IS NULL) OR (n_key IS NULL) OR (o_fp <> n_fp)
 """
+
+# RFM segmentation (plans/analytics.customer_rfm_segments).
+ORACLE_SQL["customer_rfm_segments"] = f"""
+WITH per_cust AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         {_dsum('o_totalprice')} AS monetary
+  FROM orders GROUP BY o_custkey
+),
+b AS (SELECT MAX(o_orderdate) AS gmax FROM orders),
+base AS (
+  SELECT o_custkey,
+    CAST(date_diff('day', last_order, gmax) AS BIGINT) AS recency_days,
+    frequency, monetary
+  FROM per_cust, b
+),
+scored AS (
+  SELECT *,
+    ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_q,
+    ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+    ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+  FROM base
+)
+SELECT c_custkey, c_name, recency_days, frequency, monetary,
+  CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR) AS rfm_segment
+FROM scored JOIN customer ON o_custkey = c_custkey
+"""

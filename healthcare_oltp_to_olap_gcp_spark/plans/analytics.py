@@ -1347,3 +1347,51 @@ def sampled_daily_merge_percentiles(
         F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
     )
+
+
+def customer_rfm_segments(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """RFM segmentation: per customer the recency (days since last
+    order, against the global max order date), frequency (order count)
+    and monetary (exact-decimal total spend), each cut into quartiles
+    by ntile(4) with deterministic tie-breaks, concatenated into the
+    classic 'RFM' segment code. One aggregation over orders, one
+    broadcast of the one-row global max date, three tiny window passes
+    over the per-customer rollup (≤ |customers| rows)."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("_last"),
+        F.count("*").alias("frequency"),
+        money_sum(F.col("o_totalprice")).alias("monetary"),
+    )
+    bounds = orders.agg(F.max("o_orderdate").alias("_gmax"))
+    base = per_cust.join(F.broadcast(bounds)).select(
+        "o_custkey",
+        F.datediff(F.col("_gmax"), F.col("_last")).cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary",
+    )
+    w_r = Window.orderBy(F.col("recency_days"), F.col("o_custkey"))
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    w_m = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    scored = (
+        base.withColumn("r_q", F.ntile(4).over(w_r))
+        .withColumn("f_q", F.ntile(4).over(w_f))
+        .withColumn("m_q", F.ntile(4).over(w_m))
+    )
+    return (
+        scored.join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "recency_days",
+            "frequency",
+            "monetary",
+            F.concat(
+                F.col("r_q").cast("string"),
+                F.col("f_q").cast("string"),
+                F.col("m_q").cast("string"),
+            ).alias("rfm_segment"),
+        )
+    )

@@ -58,6 +58,7 @@ SF01_KEYS = [
     "events_hourly_anomalies",
     "sampled_value_percentiles",
     "sampled_daily_merge_percentiles",
+    "customer_rfm_segments",
     "lineitem_column_stats",
     "knn_label_vote",
     "weighted_sample_documents",
