@@ -72,6 +72,12 @@ BENCH_QUERIES = (
     "q20_promotable_suppliers",
     "q21_waiting_suppliers",
     "chunk_documents",
+    "events_snapshot_diff",
+    "customer_rfm_segments",
+    "lineitem_column_stats",
+    "sampled_value_percentiles",
+    "events_hourly_anomalies",
+    "pack_documents",
 )
 
 
