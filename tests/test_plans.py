@@ -185,6 +185,7 @@ _BNLJ_ALLOWED = {
     "mon_7d_summary",
     "mon_errors",
     "ivf_flat_ann_topk",  # 16-row centroid table cross
+    "customer_rfm_segments",  # one-row global max-order-date cross
 }
 # These two run eager work (KMeans fit / query collect) at plan-build
 # time; their plan shape is asserted in their own tests.
