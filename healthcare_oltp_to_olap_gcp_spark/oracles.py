@@ -13,12 +13,16 @@ cannot drift. Engine-semantics deltas that ARE accounted for:
 - cosine similarity: the oracle mirrors the Spark formulation exactly
   (normalize each vector once, then one sequential-fold dot per pair).
 
-Non-SQL-expressible ops (simhash/xxhash-based LSH internals, winnowing,
-hyperplane ANN) are deliberately absent → the driver applies its
-rows-only check. ``minhash_lsh_dup_pairs`` IS included: its verified
-output provably equals the exact n-gram Jaccard baseline at the 0.8
-threshold (recall 1-(1-j²)^16 ≈ 1-8e-8; everything is deterministic,
-and tests assert the equality at sf0.001 and sf0.01).
+Even the hash-based operators carry exact oracles (SimHash from md5
+nibble bits, hyperplane LSH with the md5-derived planes inlined as
+list literals, winnowing via positional polynomial gram hashes, the
+GEMM ANN via exact fold-order rerank); only genuinely
+non-SQL-expressible ops (KMeans IVF) and approximate-by-design
+sketches (HLL, t-digest) are absent → the driver applies its rows-only
+check there. ``minhash_lsh_dup_pairs``'s verified output provably
+equals the exact n-gram Jaccard baseline at the 0.8 threshold (recall
+1-(1-j²)^16 ≈ 1-8e-8; everything is deterministic, and tests assert
+the equality at sf0.001 and sf0.01).
 """
 
 from __future__ import annotations
