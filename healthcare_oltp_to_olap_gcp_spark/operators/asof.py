@@ -17,12 +17,19 @@ def asof_last_view_before_purchase(events: DataFrame) -> DataFrame:
     """For every purchase event: the timestamp of the same user's most
     recent strictly-earlier 'view' event (NULL if none) — the classic
     as-of join, computed with one partitioned running-max instead of a
-    pairwise range join."""
+    pairwise range join.
+
+    The frame is a RANGE over epoch micros ending 1 PRECEDING, i.e.
+    true strict-< semantics: a view at the exact purchase timestamp is
+    NOT visible, matching ``asof_join(strict=True)`` and the pandas
+    twin's ``allow_exact_matches=False`` — all three share one oracle
+    with no tie-order divergence (a ROWS frame over (ts, event_id)
+    would instead expose equal-ts views with smaller ids)."""
     us = F.unix_micros("ts")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(us, F.col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .orderBy(us)
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
     enriched = events.withColumn(
         "last_view_us",

@@ -96,13 +96,20 @@ def snapshot_diff(
     md5 payload fingerprint — the diff a replication edge (reference
     scheduler/dataflow_flex_body.json) would emit as its change stream.
     Unchanged rows drop out, so the output is proportional to the
-    actual drift, not the table."""
+    actual drift, not the table.
+
+    NULL handling: concat_ws SKIPS null arguments, so a bare concat
+    fingerprint would hash (NULL, 'x') and ('x', NULL) identically and
+    silently drop that update. Every payload column is therefore
+    coalesced to a \\x1e sentinel (a control char no cast value
+    contains) so NULL *position* participates in the fingerprint."""
     def fp(df: DataFrame, side: str) -> DataFrame:
+        cols = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x1e")) for c in payload_cols
+        ]
         return df.select(
             F.col(key).alias(f"{side}_key"),
-            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in payload_cols])).alias(
-                f"{side}_fp"
-            ),
+            F.md5(F.concat_ws("\x1f", *cols)).alias(f"{side}_fp"),
         )
 
     o, n = fp(old, "o"), fp(new, "n")

@@ -346,19 +346,27 @@ def ann_lsh_topk(embeddings: DataFrame, k: int = DEFAULT_K, dim: int = 64) -> Da
     )
 
 
-def knn_label_vote(embeddings: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+def knn_label_vote(embeddings: DataFrame, k: int = DEFAULT_K, topk_fn=None) -> DataFrame:
     """k-NN classification by majority vote: each query's top-k cosine
-    neighbors (the ``ann_brute_topk`` plan — query side broadcast, the
-    corpus never shuffles) vote with their ``label``; ties break to the
-    smaller label. The label lookup joins the tiny top-k result (|Q|·k
-    rows) against the corpus — at scale that join is broadcast-able
-    from the top-k side, so the big table still only streams once."""
-    topk = ann_brute_topk(embeddings, k)
+    neighbors vote with their ``label``; ties break to the smaller
+    label.
+
+    ``topk_fn`` selects the neighbor source. The default is
+    ``ivf_flat_ann_topk`` — the bucketed inverted-file path, so the
+    classifier inherits its scale shape (corpus streams once, per-query
+    work ~n_probe/n_centroids of the corpus) instead of composing over
+    the O(|Q|·n) brute scan; pass ``ann_brute_topk`` to reproduce the
+    exact-neighbor vote (the test oracle asserts agreement between the
+    two). The label lookup is a plain equi-join of the corpus labels
+    against the |Q|·k top-k frame — shuffle-on-key, deliberately NOT a
+    broadcast: the query set is corpus-proportional (vec_id % 50), so
+    broadcasting |Q|·k rows would be an O(n) driver ship at 100 TB."""
+    topk = (topk_fn or ivf_flat_ann_topk)(embeddings, k)
     labels = embeddings.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").cast("long").alias("label")
     )
     votes = (
-        labels.join(F.broadcast(topk), "neighbor_id")
+        labels.join(topk.select("query_id", "neighbor_id"), "neighbor_id")
         .groupBy("query_id", "label")
         .agg(F.count("*").alias("votes"))
     )

@@ -421,8 +421,8 @@ GROUP BY a.event_id
 WITH e AS (
   SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS us,
     MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) OVER (
-      PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
     ) AS last_view_us
   FROM events
 )
@@ -868,6 +868,10 @@ SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <=
 # window re-ranks base ∪ new-slice; see plans/star.fact_events_incremental).
 ORACLE_SQL["fact_events_incremental"] = ORACLE_SQL["fact_events"]
 
+# The streaming foreachBatch MERGE converges to the batch dedup
+# (streaming/pipeline.fact_events_streamed) — same oracle.
+ORACLE_SQL["fact_events_streamed"] = ORACLE_SQL["fact_events"]
+
 ORACLE_SQL["q10_returned_items"] = f"""
 SELECT c_custkey, c_name, n_name,
   {_dsum("l_extendedprice * (1 - l_discount)")} AS lost_revenue
@@ -1208,19 +1212,11 @@ SELECT doc_id, n_tokens, distinct_tokens,
 FROM agg
 """
 
+# Composes over the IVF-Flat top-k oracle (the classifier's default
+# neighbor source since round 3 — operators/similarity.knn_label_vote);
+# the brute-composed vote remains the agreement oracle in tests.
 ORACLE_SQL["knn_label_vote"] = f"""
-WITH {_NORM_CTE},
-q AS (SELECT vec_id, nv FROM e WHERE vec_id % 50 = 0),
-s AS (
-  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         ROUND(list_dot_product(q.nv, e.nv), 6) AS sim
-  FROM q JOIN e ON e.vec_id <> q.vec_id
-),
-r AS (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
-  FROM s
-),
-topk AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 10),
+WITH topk AS ({ORACLE_SQL["ivf_flat_ann_topk"]}),
 v AS (
   SELECT query_id, CAST(l.label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS votes
   FROM topk JOIN embeddings l ON neighbor_id = l.vec_id GROUP BY 1, 2
@@ -1640,12 +1636,14 @@ scored AS (
   SELECT h.event_type, h.hour_ts, h.n_events,
     ROUND(
       (h.n_events - CAST(s AS DOUBLE) / hours)
-      / sqrt((CAST(sq AS DOUBLE) - CAST(s * s AS DOUBLE) / hours) / (hours - 1)),
+      / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / hours)
+             / (hours - 1)),
       6
     ) AS z_score
   FROM hourly h JOIN stats st USING (event_type)
   WHERE hours > 1
-    AND (CAST(sq AS DOUBLE) - CAST(s * s AS DOUBLE) / hours) / (hours - 1) > 0
+    AND (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / hours)
+        / (hours - 1) > 0
 )
 SELECT event_type, hour_ts, n_events, z_score
 FROM scored WHERE abs(z_score) > 2.0
@@ -1678,15 +1676,23 @@ ORACLE_SQL["sampled_daily_merge_percentiles"] = ORACLE_SQL["sampled_value_percen
 ORACLE_SQL["events_snapshot_diff"] = """
 WITH old AS (
   SELECT event_id,
-    md5(concat_ws(chr(31), CAST(ts AS VARCHAR), CAST(user_id AS VARCHAR),
-        event_type, CAST(value AS VARCHAR), props)) AS fp
+    md5(concat_ws(chr(31),
+        COALESCE(CAST(ts AS VARCHAR), chr(30)),
+        COALESCE(CAST(user_id AS VARCHAR), chr(30)),
+        COALESCE(event_type, chr(30)),
+        COALESCE(CAST(value AS VARCHAR), chr(30)),
+        COALESCE(props, chr(30)))) AS fp
   FROM events WHERE event_id % 7 <> 0
 ),
 new AS (
   SELECT event_id,
-    md5(concat_ws(chr(31), CAST(ts AS VARCHAR), CAST(user_id AS VARCHAR),
-        event_type, CAST(CASE WHEN event_id % 5 = 0 THEN ROUND(value + 1.0, 4)
-                              ELSE value END AS VARCHAR), props)) AS fp
+    md5(concat_ws(chr(31),
+        COALESCE(CAST(ts AS VARCHAR), chr(30)),
+        COALESCE(CAST(user_id AS VARCHAR), chr(30)),
+        COALESCE(event_type, chr(30)),
+        COALESCE(CAST(CASE WHEN event_id % 5 = 0 THEN ROUND(value + 1.0, 4)
+                           ELSE value END AS VARCHAR), chr(30)),
+        COALESCE(props, chr(30)))) AS fp
   FROM events WHERE event_id % 11 <> 0
 ),
 j AS (
@@ -1700,6 +1706,57 @@ SELECT COALESCE(n_key, o_key) AS event_id,
 FROM j
 WHERE (o_key IS NULL) OR (n_key IS NULL) OR (o_fp <> n_fp)
 """
+
+def _hist_percentile_oracle() -> str:
+    """Fixed-bin histogram quantile sketch (plans/analytics.
+    hist_value_percentiles): bucket = floor(value/16) with a
+    power-of-two width, estimate = linear interpolation inside the
+    target cumulative bucket — every step exact IEEE arithmetic, so
+    the approximate sketch still value-hash-matches. The daily-merge
+    twin sums the same buckets (provably lossless), one oracle serves
+    both."""
+    w = 16.0
+    cases = []
+    for p in (0.5, 0.9, 0.99):
+        r = f"ceil({p} * n)"
+        cases.append(
+            f"MAX(CASE WHEN cumc >= {r} AND cum_prev < {r}\n"
+            f"    THEN bucket * {w} + {w} * ({r} - cum_prev) / c END) AS p{int(p * 100)}"
+        )
+    case_sql = ",\n    ".join(cases)
+    return f"""
+WITH hist AS (
+  SELECT event_type, CAST(floor(value / {w}) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT *, SUM(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cumc
+  FROM hist
+),
+tot AS (SELECT event_type, SUM(c) AS n FROM hist GROUP BY 1),
+j AS (
+  SELECT cum.event_type, bucket, c, cumc, cumc - c AS cum_prev, n
+  FROM cum JOIN tot USING (event_type)
+),
+est AS (
+  SELECT event_type, MAX(n) AS n,
+    {case_sql}
+  FROM j GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_values,
+  ROUND(p50, 4) AS p50, ROUND(p90, 4) AS p90, ROUND(p99, 4) AS p99
+FROM est
+"""
+
+
+ORACLE_SQL["hist_value_percentiles"] = _hist_percentile_oracle()
+ORACLE_SQL["hist_daily_merge_percentiles"] = ORACLE_SQL["hist_value_percentiles"]
+
+# The two-pass distributed selection reproduces percentile() exactly
+# (plans/analytics.value_percentiles_2pass) — approximation-free, so it
+# shares the exact twin's oracle.
+ORACLE_SQL["value_percentiles_2pass"] = ORACLE_SQL["value_percentiles"]
 
 # RFM segmentation (plans/analytics.customer_rfm_segments).
 ORACLE_SQL["customer_rfm_segments"] = f"""
@@ -1716,12 +1773,29 @@ base AS (
     frequency, monetary
   FROM per_cust, b
 ),
-scored AS (
-  SELECT *,
-    ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_q,
-    ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
-    ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+qb AS (
+  SELECT
+    quantile_cont(recency_days, 0.25) AS rb1, quantile_cont(recency_days, 0.5) AS rb2,
+    quantile_cont(recency_days, 0.75) AS rb3,
+    quantile_cont(frequency, 0.25) AS fb1, quantile_cont(frequency, 0.5) AS fb2,
+    quantile_cont(frequency, 0.75) AS fb3,
+    quantile_cont(CAST(monetary AS DOUBLE), 0.25) AS mb1,
+    quantile_cont(CAST(monetary AS DOUBLE), 0.5) AS mb2,
+    quantile_cont(CAST(monetary AS DOUBLE), 0.75) AS mb3
   FROM base
+),
+scored AS (
+  SELECT base.*,
+    1 + CASE WHEN recency_days > rb1 THEN 1 ELSE 0 END
+      + CASE WHEN recency_days > rb2 THEN 1 ELSE 0 END
+      + CASE WHEN recency_days > rb3 THEN 1 ELSE 0 END AS r_q,
+    1 + CASE WHEN frequency < fb1 THEN 1 ELSE 0 END
+      + CASE WHEN frequency < fb2 THEN 1 ELSE 0 END
+      + CASE WHEN frequency < fb3 THEN 1 ELSE 0 END AS f_q,
+    1 + CASE WHEN CAST(monetary AS DOUBLE) < mb1 THEN 1 ELSE 0 END
+      + CASE WHEN CAST(monetary AS DOUBLE) < mb2 THEN 1 ELSE 0 END
+      + CASE WHEN CAST(monetary AS DOUBLE) < mb3 THEN 1 ELSE 0 END AS m_q
+  FROM base, qb
 )
 SELECT c_custkey, c_name, recency_days, frequency, monetary,
   CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR) AS rfm_segment

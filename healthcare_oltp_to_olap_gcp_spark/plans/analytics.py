@@ -1055,13 +1055,16 @@ def q21_waiting_suppliers(
         "left_anti",
     )
     counts = sole.groupBy("l_suppkey").agg(F.count("*").alias("numwait"))
-    w = Window.orderBy(F.col("numwait").desc(), F.col("s_name"))
+    # Global top-k via orderBy().limit() → TakeOrderedAndProject: each
+    # partition ships only its local top-k, so no single-reducer sort
+    # even when |suppliers| scales with the corpus (s_name is unique per
+    # supplier, so the order — and the selected set — is deterministic).
     return (
         counts.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= top)
         .select("s_name", "n_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(top)
     )
 
 
@@ -1269,15 +1272,20 @@ def events_hourly_anomalies(events: DataFrame) -> DataFrame:
         F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
         "event_type",
     ).agg(F.count("*").alias("n_events"))
+    # Squared terms accumulate in DECIMAL(38,0) (Spark) / HUGEINT
+    # (DuckDB): exact at any realistic scale, and the later cast to
+    # double is the same IEEE rounding in both engines. The s² term is
+    # computed double×double — NOT in 64-bit integers, which would wrap
+    # once a type's total count passes ~3e9 (√LONG_MAX).
     stats = hourly.groupBy("event_type").agg(
         F.count("*").alias("_hours"),
         F.sum("n_events").alias("_s"),
-        F.sum(F.col("n_events") * F.col("n_events")).alias("_sq"),
+        F.sum(F.col("n_events").cast("decimal(19,0)") * F.col("n_events")).alias("_sq"),
     )
     mean = F.col("_s").cast("double") / F.col("_hours")
     var = (
         F.col("_sq").cast("double")
-        - (F.col("_s") * F.col("_s")).cast("double") / F.col("_hours")
+        - F.col("_s").cast("double") * F.col("_s").cast("double") / F.col("_hours")
     ) / (F.col("_hours") - 1)
     z = (F.col("n_events") - mean) / F.sqrt(var)
     return (
@@ -1349,33 +1357,266 @@ def sampled_daily_merge_percentiles(
     )
 
 
+# Power-of-two bin width: value / W, bucket * W and the in-bucket
+# interpolation are all exact IEEE operations, so the estimate is
+# bit-identical in any engine — which is what gives this approximate
+# sketch a full value-hash oracle (unlike t-digest/KLL, whose
+# compactions are order- or RNG-dependent).
+HIST_BIN_WIDTH = 16.0
+HIST_PCTS = (0.5, 0.9, 0.99)
+
+
+def _hist_percentiles_from(hist: DataFrame, width: float) -> DataFrame:
+    """Percentile estimates from an (event_type, bucket, c) histogram:
+    cumulative counts locate the target bucket for each percentile, a
+    linear interpolation inside it refines the estimate (error ≤ one
+    bin width, asserted vs the exact twin in tests). The cumulative
+    window is partitioned by event_type over ≤ range/width bucket rows
+    per type — never a global or data-proportional sort."""
+    wc = Window.partitionBy("event_type").orderBy("bucket")
+    cum = hist.withColumn("cum", F.sum("c").over(wc)).withColumn(
+        "cum_prev", F.col("cum") - F.col("c")
+    )
+    tot = hist.groupBy("event_type").agg(F.sum("c").alias("n"))
+    j = cum.join(F.broadcast(tot), "event_type")
+    outs = []
+    for p in HIST_PCTS:
+        rank = F.ceil(F.lit(p) * F.col("n")).cast("double")
+        est = F.when(
+            (F.col("cum") >= rank) & (F.col("cum_prev") < rank),
+            F.col("bucket") * F.lit(width)
+            + F.lit(width) * (rank - F.col("cum_prev")) / F.col("c"),
+        )
+        outs.append(F.round(F.max(est), 4).alias(f"p{int(p * 100)}"))
+    return j.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_values"), *outs
+    )
+
+
+def hist_value_percentiles(
+    events: DataFrame, width: float = HIST_BIN_WIDTH
+) -> DataFrame:
+    """Fixed-bin histogram quantile sketch (the deterministic analog of
+    DDSketch's bucketed quantiles — Masson et al., VLDB 2019 — with
+    linear power-of-two bins instead of log-γ ones so both engines
+    compute identical buckets): one map-side-combining aggregation
+    builds per-type bucket counts, percentiles read off the cumulative
+    histogram. State is O(range/width) per type regardless of row
+    count, and the sketch is trivially mergeable (bucket-count sums) —
+    see ``hist_daily_merge_percentiles`` for the provably lossless
+    rollup form."""
+    hist = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.col("value") / F.lit(width)).cast("long").alias("bucket"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    return _hist_percentiles_from(hist, width)
+
+
+def hist_daily_merge_percentiles(
+    events: DataFrame, width: float = HIST_BIN_WIDTH
+) -> DataFrame:
+    """Mergeable-rollup form of ``hist_value_percentiles``: per
+    (day, type) bucket counts — the KB-sized daily sketch table a
+    100 TB pipeline would persist — merged per type by SUMMING bucket
+    counts. Integer count addition is exact and commutative, so the
+    merged histogram is bit-identical to the direct one and the
+    estimates are provably lossless under any merge order/partitioning:
+    same oracle, equality asserted in tests."""
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.to_date("ts").alias("_day"),
+            "event_type",
+            F.floor(F.col("value") / F.lit(width)).cast("long").alias("bucket"),
+        )
+        .agg(F.count("*").alias("_dc"))
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(F.sum("_dc").alias("c"))
+    return _hist_percentiles_from(merged, width)
+
+
+def value_percentiles_2pass(events: DataFrame, n_bins: int = 1024) -> DataFrame:
+    """EXACT p50/p90/p99 per event type without any per-group sort —
+    the distributed selection algorithm (two histogram passes, in the
+    spirit of Munro & Paterson's selection-in-rounds):
+
+    1. per-type count/min/max (one agg);
+    2. per-type fixed-bin histogram over [min, max] (one agg) →
+       cumulative counts locate, for every percentile, the bucket
+       holding each needed order statistic;
+    3. only rows in those target buckets (expected n/n_bins per type)
+       are re-ranked with a small partitioned window; the global rank
+       = bucket offset + local rank picks the two order statistics,
+       and the standard idx = p·(n−1) linear interpolation reproduces
+       ``percentile()`` bit-for-bit — so this APPROXIMATION-FREE scale
+       path shares the exact oracle of ``value_percentiles``.
+
+    At 100 TB: every stage is a hash-shuffle agg or a broadcast of
+    per-type bucket metadata (≤ n_bins rows/type); the only sort is
+    within target buckets (data/n_bins rows, worst-case bounded by
+    value-tie skew). The exact twin's ``percentile()`` instead sorts
+    every group's full value list in one task."""
+    from ..session import scoped_persist
+
+    vals = scoped_persist(
+        events.filter(F.col("value").isNotNull()).select("event_type", "value")
+    )
+    stats = vals.groupBy("event_type").agg(
+        F.count("*").alias("_n"), F.min("value").alias("_mn"), F.max("value").alias("_mx")
+    )
+    bwidth = (F.col("_mx") - F.col("_mn")) / n_bins
+    bucket = F.when(F.col("_mx") > F.col("_mn"),
+        F.least(F.lit(n_bins - 1), F.floor((F.col("value") - F.col("_mn")) / bwidth)),
+    ).otherwise(F.lit(0)).cast("long")
+    hist = (
+        vals.join(F.broadcast(stats), "event_type")
+        .withColumn("_b", bucket)
+        .groupBy("event_type", "_b")
+        .agg(F.count("*").alias("_c"))
+    )
+    wc = Window.partitionBy("event_type").orderBy("_b")
+    cum = hist.withColumn("_cum_prev", F.sum("_c").over(wc) - F.col("_c"))
+
+    # (type, percentile) → the two 1-indexed order-statistic ranks the
+    # interpolation needs: r1 = floor(p·(n−1))+1 and r2 = min(n, r1+1).
+    pct_rows = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(p).alias("_p"),
+                (F.floor(F.lit(p) * (F.col("_n") - 1)) + 1).alias("_r1"),
+            )
+            for p in (0.5, 0.9, 0.99)
+        ])
+    )
+    targets = (
+        stats.select("event_type", "_n", pct_rows.alias("_t"))
+        .select(
+            "event_type", "_n", F.col("_t._p").alias("_p"),
+            F.col("_t._r1").alias("_r1"),
+            F.least(F.col("_n"), F.col("_t._r1") + 1).alias("_r2"),
+        )
+    )
+    # ranks → containing buckets (needs = one row per needed rank)
+    needs = targets.select(
+        "event_type", "_n", "_p", F.explode(F.array("_r1", "_r2")).alias("_r")
+    ).distinct()
+    located = needs.join(
+        cum,
+        (needs["event_type"] == cum["event_type"])
+        & (F.col("_cum_prev") < F.col("_r"))
+        & (F.col("_r") <= F.col("_cum_prev") + F.col("_c")),
+    ).select(needs["event_type"], "_r", "_b", "_cum_prev")
+
+    # refine: rank only the rows inside target buckets
+    tb = located.select("event_type", "_b").distinct()
+    cand = (
+        vals.join(F.broadcast(stats), "event_type")
+        .withColumn("_b", bucket)
+        .join(F.broadcast(tb), ["event_type", "_b"], "left_semi")
+    )
+    wv = Window.partitionBy("event_type", "_b").orderBy("value")
+    ranked = cand.select("event_type", "_b", "value").withColumn(
+        "_rk", F.row_number().over(wv)
+    )
+    os_vals = ranked.join(
+        F.broadcast(located),
+        ["event_type", "_b"],
+    ).filter(F.col("_cum_prev") + F.col("_rk") == F.col("_r")).select(
+        "event_type", "_r", F.col("value").alias("_v")
+    )
+
+    # assemble: v1 + (idx − floor(idx)) · (v2 − v1), idx = p·(n−1)
+    j = targets.join(
+        os_vals.select(
+            F.col("event_type").alias("_e1"), F.col("_r").alias("_jr1"),
+            F.col("_v").alias("_v1"),
+        ),
+        (F.col("event_type") == F.col("_e1")) & (F.col("_r1") == F.col("_jr1")),
+    ).join(
+        os_vals.select(
+            F.col("event_type").alias("_e2"), F.col("_r").alias("_jr2"),
+            F.col("_v").alias("_v2"),
+        ),
+        (F.col("event_type") == F.col("_e2")) & (F.col("_r2") == F.col("_jr2")),
+    )
+    idx = F.lit(1.0) * F.col("_p") * (F.col("_n") - 1)
+    est = F.col("_v1") + (idx - F.floor(idx)) * (F.col("_v2") - F.col("_v1"))
+    per_pct = j.select("event_type", "_p", est.alias("_est"))
+    return per_pct.groupBy("event_type").agg(
+        *[
+            F.round(F.max(F.when(F.col("_p") == p, F.col("_est"))), 4).alias(
+                f"p{int(p * 100)}"
+            )
+            for p in (0.5, 0.9, 0.99)
+        ]
+    )
+
+
 def customer_rfm_segments(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """RFM segmentation: per customer the recency (days since last
     order, against the global max order date), frequency (order count)
     and monetary (exact-decimal total spend), each cut into quartiles
-    by ntile(4) with deterministic tie-breaks, concatenated into the
-    classic 'RFM' segment code. One aggregation over orders, one
-    broadcast of the one-row global max date, three tiny window passes
-    over the per-customer rollup (≤ |customers| rows)."""
+    by VALUE against the exact 25/50/75th-percentile boundaries,
+    concatenated into the classic 'RFM' segment code.
+
+    Scale shape: one aggregation over orders, then ONE one-row
+    percentile aggregate over the (scope-persisted) per-customer
+    rollup, broadcast back for a CASE-style bucket assignment — no
+    global sort anywhere, so the plan holds when |customers| is
+    hundreds of millions (the previous ntile(4) formulation was three
+    single-partition sorts). Boundary semantics: quartile k+1 starts
+    strictly above the k·25th interpolated percentile (ties at a
+    boundary share the lower bucket); both engines compute the same
+    linear-interpolated percentile over exact inputs, so the oracle is
+    a value-hash match, not approximate."""
+    from ..session import scoped_persist
+
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("_last"),
         F.count("*").alias("frequency"),
         money_sum(F.col("o_totalprice")).alias("monetary"),
     )
     bounds = orders.agg(F.max("o_orderdate").alias("_gmax"))
-    base = per_cust.join(F.broadcast(bounds)).select(
-        "o_custkey",
-        F.datediff(F.col("_gmax"), F.col("_last")).cast("long").alias("recency_days"),
-        F.col("frequency").cast("long").alias("frequency"),
-        "monetary",
+    base = scoped_persist(
+        per_cust.join(F.broadcast(bounds)).select(
+            "o_custkey",
+            F.datediff(F.col("_gmax"), F.col("_last")).cast("long").alias("recency_days"),
+            F.col("frequency").cast("long").alias("frequency"),
+            "monetary",
+        )
     )
-    w_r = Window.orderBy(F.col("recency_days"), F.col("o_custkey"))
-    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
-    w_m = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
-    scored = (
-        base.withColumn("r_q", F.ntile(4).over(w_r))
-        .withColumn("f_q", F.ntile(4).over(w_f))
-        .withColumn("m_q", F.ntile(4).over(w_m))
+    qb = base.agg(
+        F.expr("percentile(recency_days, array(0.25, 0.5, 0.75))").alias("_rb"),
+        F.expr("percentile(frequency, array(0.25, 0.5, 0.75))").alias("_fb"),
+        F.expr("percentile(cast(monetary as double), array(0.25, 0.5, 0.75))").alias(
+            "_mb"
+        ),
+    )
+
+    def _bucket_up(col: F.Column, b: str) -> F.Column:
+        # ascending metric: quartile 1 = smallest values
+        return sum(
+            (F.when(col > F.col(b)[i], 1).otherwise(0) for i in range(3)), F.lit(1)
+        )
+
+    def _bucket_down(col: F.Column, b: str) -> F.Column:
+        # descending metric: quartile 1 = largest values
+        return sum(
+            (F.when(col < F.col(b)[i], 1).otherwise(0) for i in range(3)), F.lit(1)
+        )
+
+    scored = base.join(F.broadcast(qb)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        _bucket_up(F.col("recency_days"), "_rb").alias("r_q"),
+        _bucket_down(F.col("frequency"), "_fb").alias("f_q"),
+        _bucket_down(F.col("monetary").cast("double"), "_mb").alias("m_q"),
     )
     return (
         scored.join(

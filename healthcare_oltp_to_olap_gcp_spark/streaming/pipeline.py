@@ -303,3 +303,36 @@ def read_fact_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
     if not versions:
         return None
     return spark.read.parquet(f"{store_dir}/v={max(versions)}")
+
+
+def fact_events_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming surface as an oracle-checkable registry query:
+    stage the events table as a multi-file stream source, drain it
+    through ``incremental_fact_sink`` (several availableNow
+    micro-batches with a replication-overlap duplicate in flight), and
+    read the final store snapshot back. Converges to EXACTLY the batch
+    ``fact_events`` dedup (same oracle) — the driver-gate form of the
+    converges-to-batch streaming test, so the foreachBatch MERGE path
+    gets a hard correctness row instead of test-only coverage."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog import table
+
+    events = table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="hc_stream_fact_")
+    src, store = f"{base}/src", f"{base}/store"
+    # several files → several micro-batches; one duplicated file
+    # exercises the overlap-dedup on the way through
+    events.repartition(7).write.mode("overwrite").parquet(src)
+    first = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))[0]
+    shutil.copy(f"{src}/{first}", f"{src}/dup-copy.parquet")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    q = incremental_fact_sink(stream, store)
+    q.awaitTermination()
+    return read_fact_store(spark, store)

@@ -49,6 +49,21 @@ def test_plain_session_driver_contract():
     assert "DRIVER_CONTRACT_OK" in res.stdout, res.stdout[-2000:] + res.stderr[-2000:]
 
 
+def test_driver_window_composition():
+    """The driver's correctness gate reads the FIRST 50 registry entries:
+    they must be exactly the curated _PRIORITY list (17 never-checked +
+    5 round-3-rewritten + 4 round-3-new + risk-ranked regression picks),
+    every one of them oracle-backed."""
+    from healthcare_oltp_to_olap_gcp_spark.api import _PRIORITY, QUERIES
+    from healthcare_oltp_to_olap_gcp_spark.oracles import ORACLE_SQL
+
+    assert len(_PRIORITY) == 50
+    assert len(set(_PRIORITY)) == 50
+    assert list(QUERIES)[:50] == _PRIORITY
+    missing = [n for n in _PRIORITY if n not in ORACLE_SQL]
+    assert not missing, f"window entries without an oracle: {missing}"
+
+
 def test_cli_list_and_unknown():
     from healthcare_oltp_to_olap_gcp_spark.__main__ import main
 

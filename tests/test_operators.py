@@ -13,7 +13,7 @@ from healthcare_oltp_to_olap_gcp_spark.operators import (
     textquality,
 )
 
-from .conftest import SF001
+from .conftest import SF001, SF01
 from .helpers import normalize
 
 
@@ -204,6 +204,19 @@ def test_gemm_topk_equals_codegen_topk(spark):
     assert a == b
 
 
+def test_gemm_topk_equals_codegen_topk_sf01(spark):
+    """Same set-equality at the 10× corpus: guards the fixed k+8
+    candidate margin against BLAS-vs-fold-order rank perturbation on a
+    denser similarity distribution (the condition under which the GEMM
+    twin is allowed to share the brute oracle)."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import similarity
+
+    emb = table(spark, SF01, "embeddings")
+    a = {(r.query_id, r.neighbor_id, r.sim, r.rank) for r in similarity.ann_brute_topk(emb).collect()}
+    b = {(r.query_id, r.neighbor_id, r.sim, r.rank) for r in similarity.ann_gemm_topk(emb).collect()}
+    assert a == b
+
+
 def test_token_typo_pairs_no_vocab_broadcast(spark):
     """The deletion-neighborhood blocked join must not broadcast the
     vocabulary: with the auto-broadcast threshold disabled, only a
@@ -310,14 +323,20 @@ def test_token_entropy_bounds(spark):
 
 
 def test_knn_vote_matches_brute_neighbors(spark):
-    """The vote winner must be reproducible from the brute-force top-k
-    neighbor lists plus the label column (count desc, label asc)."""
+    """Composed over the brute top-k, the vote winner must be
+    reproducible from the exact neighbor lists plus the label column
+    (count desc, label asc)."""
     emb = table(spark, SF001, "embeddings")
     labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
     by_query: dict = {}
     for r in similarity.ann_brute_topk(emb).collect():
         by_query.setdefault(r.query_id, []).append(r.neighbor_id)
-    got = {r.query_id: (r.pred_label, r.votes) for r in similarity.knn_label_vote(emb).collect()}
+    got = {
+        r.query_id: (r.pred_label, r.votes)
+        for r in similarity.knn_label_vote(
+            emb, topk_fn=similarity.ann_brute_topk
+        ).collect()
+    }
     assert set(got) == set(by_query)
     for q, neigh in by_query.items():
         counts: dict = {}
@@ -325,6 +344,37 @@ def test_knn_vote_matches_brute_neighbors(spark):
             counts[labels[n]] = counts.get(labels[n], 0) + 1
         best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         assert got[q] == best, (q, got[q], best)
+
+
+def test_knn_vote_default_source_agrees_with_brute(spark):
+    """The composition must be exact under an exact source — the GEMM
+    twin (hash-exact to brute) yields the identical vote — and the
+    bucketed IVF-Flat default must answer every query with agreement
+    well above the 1/|labels| random-label baseline (the test labels
+    are random w.r.t. embedding geometry, so agreement tracks the
+    source's ~0.5 neighbor recall, not classifier quality; production
+    quality is governed by the ANN recall tests + n_probe tuning)."""
+    emb = table(spark, SF001, "embeddings")
+    exact = {
+        (r.query_id, r.pred_label, r.votes)
+        for r in similarity.knn_label_vote(
+            emb, topk_fn=similarity.ann_brute_topk
+        ).collect()
+    }
+    via_gemm = {
+        (r.query_id, r.pred_label, r.votes)
+        for r in similarity.knn_label_vote(
+            emb, topk_fn=similarity.ann_gemm_topk
+        ).collect()
+    }
+    assert via_gemm == exact  # exact source → identical vote
+    exact_lbl = {q: lbl for q, lbl, _ in exact}
+    fast = {
+        r.query_id: r.pred_label for r in similarity.knn_label_vote(emb).collect()
+    }
+    assert set(fast) == set(exact_lbl)
+    agree = sum(1 for q in exact_lbl if fast[q] == exact_lbl[q]) / len(exact_lbl)
+    assert agree >= 0.25, f"label agreement {agree:.2%} at random-label baseline"
 
 
 def test_kmv_bounded_error_and_lossless_merge(spark):
@@ -362,6 +412,51 @@ def test_generic_asof_equals_specific(spark):
     want = sorted(map(tuple, asof_last_view_before_purchase(events).collect()))
     got = sorted(map(tuple, QUERIES["asof_generic_last_view"](spark, SF001).collect()))
     assert got == want
+
+
+def test_hist_percentiles_merge_lossless_and_bounded_error(spark):
+    """Histogram sketch: the daily-merge rollup must be bit-identical
+    to the direct sketch (integer bucket-count sums are exact under any
+    merge order), and every estimate must sit within one bin width of
+    the exact percentile (the sketch's error bound)."""
+    from healthcare_oltp_to_olap_gcp_spark.plans import analytics
+
+    events = table(spark, SF001, "events")
+    direct = normalize(analytics.hist_value_percentiles(events).toPandas())
+    merged = normalize(analytics.hist_daily_merge_percentiles(events).toPandas())
+    assert direct == merged  # provably lossless merge
+    # The sketch's guarantee: each estimate lies within one bin width of
+    # the order statistic at rank ceil(p·n) — the rank the cumulative
+    # histogram targets. (The interpolated percentile() value can sit a
+    # sparse value-gap away from that order statistic, so comparing to
+    # it directly would test the data, not the sketch.)
+    import math
+
+    vals: dict = {}
+    for r in events.select("event_type", "value").collect():
+        if r.value is not None:
+            vals.setdefault(r.event_type, []).append(r.value)
+    approx = {r.event_type: (r.p50, r.p90, r.p99)
+              for r in analytics.hist_value_percentiles(events).collect()}
+    w = analytics.HIST_BIN_WIDTH
+    for t, vs in vals.items():
+        vs.sort()
+        for a, p in zip(approx[t], analytics.HIST_PCTS):
+            v_r = vs[math.ceil(p * len(vs)) - 1]
+            assert abs(a - v_r) <= w, (t, p, a, v_r)
+
+
+def test_value_percentiles_2pass_exact(spark):
+    """The two-pass distributed selection must reproduce percentile()
+    exactly (same rounded values per type) at both test scales — it is
+    an exact algorithm, not a sketch."""
+    from healthcare_oltp_to_olap_gcp_spark.plans import analytics
+
+    for sf in (SF001, SF01):
+        events = table(spark, sf, "events")
+        exact = normalize(analytics.value_percentiles(events).toPandas())
+        twopass = normalize(analytics.value_percentiles_2pass(events).toPandas())
+        assert twopass == exact, sf
 
 
 def test_sampled_percentiles_merge_lossless_and_near_exact(spark):

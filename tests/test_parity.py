@@ -71,6 +71,11 @@ SF01_KEYS = [
     "orders_revenue_7d_ma",
     "docs_quality_filter",
     "curated_documents",
+    # round-3 additions
+    "hist_value_percentiles",
+    "hist_daily_merge_percentiles",
+    "value_percentiles_2pass",
+    "fact_events_streamed",
 ]
 
 

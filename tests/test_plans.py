@@ -108,11 +108,25 @@ def test_q20_broadcasts_part_filter_and_threshold(spark):
 
 def test_q21_semi_anti_share_order_key(spark):
     """The EXISTS/NOT EXISTS pair must appear as semi + anti joins (no
-    row-widening inner joins of the fact against itself)."""
+    row-widening inner joins of the fact against itself), and the final
+    top-k must compile to TakeOrderedAndProject — per-partition local
+    top-k, never a single-reducer global sort over the per-supplier
+    counts."""
     plan = _plan(spark, "q21_waiting_suppliers")
     low = plan.lower()
     assert "leftsemi" in low
     assert "leftanti" in low
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rfm_has_no_global_sort_or_window(spark):
+    """customer_rfm_segments must assign quartiles from broadcast value
+    boundaries — the plan may contain NO Window and NO global Sort over
+    the per-customer rollup (the former three unpartitioned ntile(4)
+    passes were single-reducer sorts at 100 TB)."""
+    plan = _plan(spark, "customer_rfm_segments")
+    assert "Window" not in plan, plan
+    assert "TakeOrdered" in plan or "Sort [" not in plan, plan
 
 
 def test_neardup_lsh_broadcasts_candidates(spark):
@@ -173,7 +187,7 @@ _BNLJ_ALLOWED = {
     "ngram_dup_pairs",
     "embedding_neardup_pairs",
     "ann_topk",
-    "knn_label_vote",  # votes over the brute baseline
+    "knn_label_vote",  # inherits ivf_flat's 16-row centroid cross
     # one-row-scalar broadcast crosses
     "q11_important_parts",  # global value total
     "q22_global_sales_opportunity",  # global average balance
@@ -185,11 +199,11 @@ _BNLJ_ALLOWED = {
     "mon_7d_summary",
     "mon_errors",
     "ivf_flat_ann_topk",  # 16-row centroid table cross
-    "customer_rfm_segments",  # one-row global max-order-date cross
+    "customer_rfm_segments",  # one-row max-date + quartile-bounds crosses
 }
-# These two run eager work (KMeans fit / query collect) at plan-build
-# time; their plan shape is asserted in their own tests.
-_EAGER_BUILD = {"ivf_ann_topk", "ann_gemm_topk"}
+# These run eager work (KMeans fit / query collect / stream drain) at
+# plan-build time; their plan shape is asserted in their own tests.
+_EAGER_BUILD = {"ivf_ann_topk", "ann_gemm_topk", "fact_events_streamed"}
 
 
 def test_registry_wide_no_accidental_cartesian(spark):
