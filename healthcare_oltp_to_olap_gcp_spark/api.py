@@ -393,6 +393,15 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fact_events_streamed": lambda s, d: _streaming_pipeline().fact_events_streamed(
         s, d
     ),
+    "docs_source_stats": lambda s, d: textquality.source_stats(
+        table(s, d, "documents")
+    ),
+    "kmv_view_not_purchase": lambda s, d: analytics.kmv_view_not_purchase(
+        table(s, d, "events")
+    ),
+    "label_centroids": lambda s, d: similarity.label_centroids(
+        table(s, d, "embeddings")
+    ),
 }
 
 
@@ -408,8 +417,8 @@ def _streaming_pipeline():
 #         (VERDICT r2 "next round" item 1);
 #   18-22 operators whose semantics/oracles changed in round 3 (RFM
 #         value-quartiles, q21 TakeOrdered, strict-< as-of alignment);
-#   23-26 new round-3 operators;
-#   27-50 risk-ranked regression picks: data-dependent threshold ops
+#   23-29 new round-3 operators;
+#   30-50 risk-ranked regression picks: data-dependent threshold ops
 #         (LSH/SimHash/near-dup), tie-sensitive windows, margin-sensitive
 #         GEMM — the ones a fresh driver data round could plausibly flip.
 # Everything not in the window keeps identical coverage through
@@ -444,6 +453,9 @@ _PRIORITY = [
     "hist_daily_merge_percentiles",
     "value_percentiles_2pass",
     "fact_events_streamed",
+    "docs_source_stats",
+    "kmv_view_not_purchase",
+    "label_centroids",
     # -- risk-ranked regression picks --
     "ann_gemm_topk",
     "sessionize",
@@ -466,9 +478,6 @@ _PRIORITY = [
     "token_entropy",
     "chunk_documents",
     "stratified_sample_by_lang",
-    "sample_documents",
-    "clean_documents",
-    "dedup_exact",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

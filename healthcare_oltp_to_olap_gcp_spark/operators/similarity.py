@@ -378,6 +378,30 @@ def knn_label_vote(embeddings: DataFrame, k: int = DEFAULT_K, topk_fn=None) -> D
     )
 
 
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroids of the normalized embeddings (class
+    prototypes — the training half of a nearest-centroid classifier,
+    and the seeding step IVF-style indexes use at scale). Long format
+    (label, pos, centroid): one posexplode + one map-side-combined
+    aggregation, components summed as ROUNDED exact decimals so the
+    centroid is order-independent under any partitioning — which is
+    what lets an averaging operator over floats carry a value-hash
+    oracle."""
+    nv = embeddings.select(
+        F.col("label").cast("long").alias("label"),
+        normalized(as_double("embedding")).alias("nv"),
+    )
+    comp = nv.select("label", F.posexplode("nv").alias("pos", "x"))
+    return comp.groupBy("label", F.col("pos").cast("long").alias("pos")).agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.round(
+            F.sum(F.round(F.col("x"), 9).cast("decimal(18,9)"))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("centroid"),
+    )
+
+
 # Hard cap on query rows collected to the driver per GEMM round
 # (4096 × 64 doubles ≈ 2 MB). The query subset is vec_id % QUERY_MOD,
 # i.e. corpus-proportional, so it is processed in hash blocks of at

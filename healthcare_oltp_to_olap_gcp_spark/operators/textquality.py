@@ -70,6 +70,39 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+def source_stats(docs: DataFrame) -> DataFrame:
+    """Per-(source, lang) curation dashboard — the per-domain rollup a
+    Common-Crawl-style pipeline watches while tuning filters: document
+    and token volumes, average length, and the exact-duplicate rate
+    from normalized-content fingerprints. One aggregation (map-side
+    combined); distinct-fingerprint counting shuffles (source, lang,
+    fp) partials only — at 100 TB swap the exact distinct for
+    approx_count_distinct exactly like the other profilers."""
+    return (
+        docs.select(
+            "source",
+            "lang",
+            token_count("text").alias("_nt"),
+            F.char_length("text").cast("long").alias("_nc"),
+            F.md5(normalized("text")).alias("_fp"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("_nc").cast("decimal(18,2)"))
+                / F.count("*").cast("double"),
+                4,
+            ).alias("avg_chars"),
+            F.countDistinct("_fp").cast("long").alias("n_unique"),
+            F.round(
+                F.lit(1.0) - F.countDistinct("_fp") / F.count("*").cast("double"), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
 def langid(docs: DataFrame) -> DataFrame:
     """Deterministic language-ID heuristic: CJK char presence → zh,
     otherwise argmax of per-language stopword hits (cascade order

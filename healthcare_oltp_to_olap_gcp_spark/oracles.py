@@ -1212,6 +1212,22 @@ SELECT doc_id, n_tokens, distinct_tokens,
 FROM agg
 """
 
+# Per-label centroids of normalized embeddings
+# (operators/similarity.label_centroids): rounded-decimal component
+# sums keep the float average order-independent in both engines.
+ORACLE_SQL["label_centroids"] = f"""
+WITH {_NORM_CTE},
+lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+comp AS (
+  SELECT label, CAST(r.pos AS BIGINT) AS pos, nv[r.pos + 1] AS x
+  FROM e JOIN lbl USING (vec_id), LATERAL unnest(range(len(nv))) AS r(pos)
+)
+SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  ROUND(CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+    AS centroid
+FROM comp GROUP BY 1, 2
+"""
+
 # Composes over the IVF-Flat top-k oracle (the classifier's default
 # neighbor source since round 3 — operators/similarity.knn_label_vote);
 # the brute-composed vote remains the agreement oracle in tests.
@@ -1562,6 +1578,43 @@ SELECT sketch_size, n_in_both,
 FROM agg
 """
 
+# Theta A-NOT-B from the same union-sketch machinery
+# (plans/analytics.kmv_view_not_purchase).
+ORACLE_SQL["kmv_view_not_purchase"] = f"""
+WITH d AS (
+  SELECT DISTINCT event_type,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT AS u
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+sk AS (
+  SELECT * FROM d
+  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY u) <= {_KK}
+),
+per_u AS (
+  SELECT u,
+    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS in_a,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+  FROM sk GROUP BY u
+),
+uk AS (
+  SELECT * FROM per_u QUALIFY row_number() OVER (ORDER BY u) <= {_KK}
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS sketch_size, MAX(u) AS kth,
+         CAST(SUM(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a_not_b
+  FROM uk
+)
+SELECT sketch_size, n_a_not_b,
+  ROUND(n_a_not_b / CAST(sketch_size AS DOUBLE), 6) AS a_not_b_frac,
+  ROUND(CASE WHEN sketch_size < {_KK} THEN CAST(sketch_size AS DOUBLE)
+       ELSE {float(_KK - 1)} / ((kth + 1) / 4294967296.0) END, 4) AS union_est,
+  ROUND(n_a_not_b / CAST(sketch_size AS DOUBLE)
+        * (CASE WHEN sketch_size < {_KK} THEN CAST(sketch_size AS DOUBLE)
+           ELSE {float(_KK - 1)} / ((kth + 1) / 4294967296.0) END), 4) AS difference_est
+FROM agg
+"""
+
 
 def _split_oracle() -> str:
     from .operators.dedup import _SPLIT_SCALE, TEST_PCT, VAL_PCT
@@ -1706,6 +1759,28 @@ SELECT COALESCE(n_key, o_key) AS event_id,
 FROM j
 WHERE (o_key IS NULL) OR (n_key IS NULL) OR (o_fp <> n_fp)
 """
+
+# Per-(source, lang) curation rollup (operators/textquality.
+# source_stats): token totals via the shared TOKS tokenizer, exact
+# decimal char mean, dup rate from the same normalized-md5 fingerprint
+# as docs_fingerprint.
+ORACLE_SQL["docs_source_stats"] = f"""
+WITH d AS (
+  SELECT source, lang,
+    CAST(len({TOKS}) AS BIGINT) AS nt,
+    CAST(length(text) AS BIGINT) AS nc,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT source, lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+  ROUND(CAST(SUM(CAST(nc AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
+  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+  ROUND(1.0 - COUNT(DISTINCT fp) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+FROM d GROUP BY 1, 2
+"""
+
 
 def _hist_percentile_oracle() -> str:
     """Fixed-bin histogram quantile sketch (plans/analytics.

@@ -1254,6 +1254,49 @@ def kmv_view_purchase_overlap(events: DataFrame, k: int = KMV_K) -> DataFrame:
     )
 
 
+def kmv_view_not_purchase(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Theta-style A-NOT-B set difference from KMV sketches: distinct
+    users who VIEWED but never PURCHASED. Same union-sketch shape as
+    ``kmv_view_purchase_overlap`` (a union-top-k hash that belongs to a
+    side is provably inside that side's own top-k sketch, so membership
+    flags are exact); the difference estimate is the A∧¬B fraction of
+    the union sketch × the union estimate. Deterministic md5 hashing ⇒
+    full value-hash oracle despite being an approximate operator."""
+    d = (
+        events.filter(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", _kmv_hash(F.col("user_id")).alias("u"))
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("u")
+    sketches = d.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
+    per_u = sketches.groupBy("u").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("_in_a"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("_in_b"),
+    )
+    wu = Window.orderBy("u")
+    union_k = per_u.withColumn("_r", F.row_number().over(wu)).filter(F.col("_r") <= k)
+    agg = union_k.agg(
+        F.count("*").alias("sketch_size"),
+        F.max("u").alias("_kth"),
+        F.sum(
+            F.when((F.col("_in_a") == 1) & (F.col("_in_b") == 0), 1).otherwise(0)
+        ).alias("_a_not_b"),
+    )
+    exact_union = F.col("sketch_size") < k
+    union_est = F.when(exact_union, F.col("sketch_size").cast("double")).otherwise(
+        F.lit(float(k - 1)) / ((F.col("_kth") + 1) / F.lit(_KMV_SCALE))
+    )
+    return agg.select(
+        F.col("sketch_size").cast("long").alias("sketch_size"),
+        F.col("_a_not_b").cast("long").alias("n_a_not_b"),
+        F.round(F.col("_a_not_b") / F.col("sketch_size"), 6).alias("a_not_b_frac"),
+        F.round(union_est, 4).alias("union_est"),
+        F.round(F.col("_a_not_b") / F.col("sketch_size") * union_est, 4).alias(
+            "difference_est"
+        ),
+    )
+
+
 ANOMALY_Z = 2.0
 
 
@@ -1572,22 +1615,24 @@ def customer_rfm_segments(customer: DataFrame, orders: DataFrame) -> DataFrame:
     strictly above the k·25th interpolated percentile (ties at a
     boundary share the lower bucket); both engines compute the same
     linear-interpolated percentile over exact inputs, so the oracle is
-    a value-hash match, not approximate."""
-    from ..session import scoped_persist
+    a value-hash match, not approximate.
 
+    The rollup subtree feeds both the boundary aggregate and the
+    scoring pass; it is deliberately NOT cached here — at bench scale
+    recomputing the map-side-combined agg is ~2× cheaper than a cache
+    materialization (measured), while a 100 TB deployment would persist
+    the (tiny) rollup output to avoid a second raw-orders scan."""
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("_last"),
         F.count("*").alias("frequency"),
         money_sum(F.col("o_totalprice")).alias("monetary"),
     )
     bounds = orders.agg(F.max("o_orderdate").alias("_gmax"))
-    base = scoped_persist(
-        per_cust.join(F.broadcast(bounds)).select(
-            "o_custkey",
-            F.datediff(F.col("_gmax"), F.col("_last")).cast("long").alias("recency_days"),
-            F.col("frequency").cast("long").alias("frequency"),
-            "monetary",
-        )
+    base = per_cust.join(F.broadcast(bounds)).select(
+        "o_custkey",
+        F.datediff(F.col("_gmax"), F.col("_last")).cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary",
     )
     qb = base.agg(
         F.expr("percentile(recency_days, array(0.25, 0.5, 0.75))").alias("_rb"),

@@ -76,6 +76,9 @@ SF01_KEYS = [
     "hist_daily_merge_percentiles",
     "value_percentiles_2pass",
     "fact_events_streamed",
+    "docs_source_stats",
+    "kmv_view_not_purchase",
+    "label_centroids",
 ]
 
 
