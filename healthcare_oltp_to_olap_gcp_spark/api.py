@@ -402,6 +402,9 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_centroids": lambda s, d: similarity.label_centroids(
         table(s, d, "embeddings")
     ),
+    "nearest_centroid_assign": lambda s, d: similarity.nearest_centroid_assign(
+        table(s, d, "embeddings")
+    ),
 }
 
 
@@ -417,8 +420,8 @@ def _streaming_pipeline():
 #         (VERDICT r2 "next round" item 1);
 #   18-22 operators whose semantics/oracles changed in round 3 (RFM
 #         value-quartiles, q21 TakeOrdered, strict-< as-of alignment);
-#   23-29 new round-3 operators;
-#   30-50 risk-ranked regression picks: data-dependent threshold ops
+#   23-30 new round-3 operators;
+#   31-50 risk-ranked regression picks: data-dependent threshold ops
 #         (LSH/SimHash/near-dup), tie-sensitive windows, margin-sensitive
 #         GEMM — the ones a fresh driver data round could plausibly flip.
 # Everything not in the window keeps identical coverage through
@@ -456,6 +459,7 @@ _PRIORITY = [
     "docs_source_stats",
     "kmv_view_not_purchase",
     "label_centroids",
+    "nearest_centroid_assign",
     # -- risk-ranked regression picks --
     "ann_gemm_topk",
     "sessionize",
@@ -477,7 +481,6 @@ _PRIORITY = [
     "winnow_fingerprint",
     "token_entropy",
     "chunk_documents",
-    "stratified_sample_by_lang",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

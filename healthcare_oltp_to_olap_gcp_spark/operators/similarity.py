@@ -402,6 +402,48 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def nearest_centroid_assign(embeddings: DataFrame) -> DataFrame:
+    """Nearest-centroid classification: every vector gets the label of
+    the closest class prototype from ``label_centroids`` (cosine of the
+    NORMALIZED centroid, ties to the smaller label).
+
+    Scale shape: the per-label centroid table collapses to ONE row of
+    (label, centroid) structs, broadcast-crossed onto the corpus; the
+    argmax runs per-row over that array with higher-order functions —
+    the corpus never shuffles at all (compare kNN: this is the O(n·L)
+    linear classifier a 100 TB pipeline uses when L labels ≪ corpus).
+    Everything is rounded-deterministic, so the composed operator keeps
+    a full value-hash oracle."""
+    cent_long = label_centroids(embeddings)
+    cents_row = (
+        cent_long.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+                lambda s: s["centroid"],
+            ).alias("cv")
+        )
+        .select("label", normalized(F.col("cv")).alias("cnv"))
+        .agg(F.collect_list(F.struct("label", "cnv")).alias("_cents"))
+    )
+    corpus = embeddings.select(
+        "vec_id", normalized(as_double("embedding")).alias("nv")
+    )
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            F.round(dot(F.col("nv"), c["cnv"]), 6).alias("sim"),
+            (-c["label"]).alias("_neg_label"),
+        ),
+    )
+    best = F.array_max(scored)
+    return corpus.join(F.broadcast(cents_row)).select(
+        "vec_id",
+        (-best["_neg_label"]).cast("long").alias("pred_label"),
+        best["sim"].alias("sim"),
+    )
+
+
 # Hard cap on query rows collected to the driver per GEMM round
 # (4096 × 64 doubles ≈ 2 MB). The query subset is vec_id % QUERY_MOD,
 # i.e. corpus-proportional, so it is processed in hash blocks of at

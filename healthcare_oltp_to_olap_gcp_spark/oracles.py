@@ -1228,6 +1228,32 @@ SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n_vecs,
 FROM comp GROUP BY 1, 2
 """
 
+# Nearest-centroid classification composed over the label_centroids
+# oracle (operators/similarity.nearest_centroid_assign): centroids
+# re-assembled per label, normalized, exact cosine argmax with the
+# same (sim desc, label asc) tie rule.
+ORACLE_SQL["nearest_centroid_assign"] = f"""
+WITH cent0 AS ({ORACLE_SQL["label_centroids"]}),
+cent AS (
+  SELECT label, list(centroid ORDER BY pos) AS cv FROM cent0 GROUP BY label
+),
+cn AS (
+  SELECT label,
+         list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cnv
+  FROM cent
+),
+{_NORM_CTE},
+s AS (
+  SELECT e.vec_id, cn.label, ROUND(list_dot_product(e.nv, cn.cnv), 6) AS sim
+  FROM e CROSS JOIN cn
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, label) AS rn
+  FROM s
+)
+SELECT vec_id, label AS pred_label, sim FROM r WHERE rn = 1
+"""
+
 # Composes over the IVF-Flat top-k oracle (the classifier's default
 # neighbor source since round 3 — operators/similarity.knn_label_vote);
 # the brute-composed vote remains the agreement oracle in tests.

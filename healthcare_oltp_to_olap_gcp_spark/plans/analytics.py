@@ -1525,7 +1525,11 @@ def value_percentiles_2pass(events: DataFrame, n_bins: int = 1024) -> DataFrame:
     cum = hist.withColumn("_cum_prev", F.sum("_c").over(wc) - F.col("_c"))
 
     # (type, percentile) → the two 1-indexed order-statistic ranks the
-    # interpolation needs: r1 = floor(p·(n−1))+1 and r2 = min(n, r1+1).
+    # interpolation needs, tagged lo/hi: r1 = floor(p·(n−1))+1 and
+    # r2 = min(n, r1+1). One exploded frame serves bucket location AND
+    # result assembly, so the ranked-candidates subtree below is built
+    # exactly once (joining it twice — once per order statistic — would
+    # instantiate the whole refine pass twice).
     pct_rows = F.explode(
         F.array(*[
             F.struct(
@@ -1543,16 +1547,22 @@ def value_percentiles_2pass(events: DataFrame, n_bins: int = 1024) -> DataFrame:
             F.least(F.col("_n"), F.col("_t._r1") + 1).alias("_r2"),
         )
     )
-    # ranks → containing buckets (needs = one row per needed rank)
-    needs = targets.select(
-        "event_type", "_n", "_p", F.explode(F.array("_r1", "_r2")).alias("_r")
-    ).distinct()
-    located = needs.join(
+    lo_hi = F.explode(
+        F.array(
+            F.struct(F.lit(1).alias("_w"), F.col("_r1").alias("_r")),
+            F.struct(F.lit(2).alias("_w"), F.col("_r2").alias("_r")),
+        )
+    )
+    needs = targets.select("event_type", "_n", "_p", lo_hi.alias("_t")).select(
+        "event_type", "_n", "_p", F.col("_t._w").alias("_w"), F.col("_t._r").alias("_r")
+    )
+    ranks = needs.select("event_type", "_r").distinct()
+    located = ranks.join(
         cum,
-        (needs["event_type"] == cum["event_type"])
+        (ranks["event_type"] == cum["event_type"])
         & (F.col("_cum_prev") < F.col("_r"))
         & (F.col("_r") <= F.col("_cum_prev") + F.col("_c")),
-    ).select(needs["event_type"], "_r", "_b", "_cum_prev")
+    ).select(ranks["event_type"], "_r", "_b", "_cum_prev")
 
     # refine: rank only the rows inside target buckets
     tb = located.select("event_type", "_b").distinct()
@@ -1573,22 +1583,18 @@ def value_percentiles_2pass(events: DataFrame, n_bins: int = 1024) -> DataFrame:
     )
 
     # assemble: v1 + (idx − floor(idx)) · (v2 − v1), idx = p·(n−1)
-    j = targets.join(
-        os_vals.select(
-            F.col("event_type").alias("_e1"), F.col("_r").alias("_jr1"),
-            F.col("_v").alias("_v1"),
+    hits = os_vals.join(F.broadcast(needs), ["event_type", "_r"])
+    idx = F.col("_p") * (F.col("_n") - 1)
+    per_pct = hits.groupBy("event_type", "_p").agg(
+        F.max("_n").alias("_n"),
+        F.max(F.when(F.col("_w") == 1, F.col("_v"))).alias("_v1"),
+        F.max(F.when(F.col("_w") == 2, F.col("_v"))).alias("_v2"),
+    ).select(
+        "event_type", "_p",
+        (F.col("_v1") + (idx - F.floor(idx)) * (F.col("_v2") - F.col("_v1"))).alias(
+            "_est"
         ),
-        (F.col("event_type") == F.col("_e1")) & (F.col("_r1") == F.col("_jr1")),
-    ).join(
-        os_vals.select(
-            F.col("event_type").alias("_e2"), F.col("_r").alias("_jr2"),
-            F.col("_v").alias("_v2"),
-        ),
-        (F.col("event_type") == F.col("_e2")) & (F.col("_r2") == F.col("_jr2")),
     )
-    idx = F.lit(1.0) * F.col("_p") * (F.col("_n") - 1)
-    est = F.col("_v1") + (idx - F.floor(idx)) * (F.col("_v2") - F.col("_v1"))
-    per_pct = j.select("event_type", "_p", est.alias("_est"))
     return per_pct.groupBy("event_type").agg(
         *[
             F.round(F.max(F.when(F.col("_p") == p, F.col("_est"))), 4).alias(

@@ -377,6 +377,28 @@ def test_knn_vote_default_source_agrees_with_brute(spark):
     assert agree >= 0.25, f"label agreement {agree:.2%} at random-label baseline"
 
 
+def test_nearest_centroid_recovers_separable_labels(spark):
+    """On a corpus of three well-separated clusters the centroid
+    classifier must recover the generating label for every vector —
+    the semantic check the parity oracle (which only proves both
+    engines agree) can't provide."""
+    rows = []
+    for i in range(60):
+        label = i % 3
+        base = [0.0] * 8
+        base[label] = 1.0
+        # deterministic small perturbation, different per vector
+        base[3 + (i % 5)] += 0.05 + (i % 7) * 0.01
+        rows.append((i, base, label))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {r.vec_id: r.pred_label for r in similarity.nearest_centroid_assign(emb).collect()}
+    assert len(got) == 60
+    for i in range(60):
+        assert got[i] == i % 3, (i, got[i])
+
+
 def test_kmv_bounded_error_and_lossless_merge(spark):
     """KMV estimate within sketch error of the exact count; the daily
     merge must be bit-identical to the direct sketch (lossless)."""

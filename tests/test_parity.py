@@ -79,6 +79,7 @@ SF01_KEYS = [
     "docs_source_stats",
     "kmv_view_not_purchase",
     "label_centroids",
+    "nearest_centroid_assign",
 ]
 
 

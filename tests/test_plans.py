@@ -119,6 +119,28 @@ def test_q21_semi_anti_share_order_key(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_2pass_percentiles_all_broadcast_no_smj(spark):
+    """value_percentiles_2pass: every join carries tiny bucket/target
+    metadata and must broadcast — a SortMergeJoin would mean the refine
+    subtree got joined as a shuffled side (the double-instantiation
+    shape this operator was specifically structured to avoid); windows
+    must all be partitioned (per-type cumulative / per-bucket rank)."""
+    plan = _plan(spark, "value_percentiles_2pass")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 5
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        assert frag.startswith("event_type"), frag[:80]
+
+
+def test_hist_sketch_partial_agg_and_broadcast(spark):
+    """Histogram sketch: bucket counts must combine map-side, and the
+    per-type total joins back as a broadcast."""
+    plan = _plan(spark, "hist_value_percentiles")
+    assert "partial" in plan.lower()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_rfm_has_no_global_sort_or_window(spark):
     """customer_rfm_segments must assign quartiles from broadcast value
     boundaries — the plan may contain NO Window and NO global Sort over
@@ -200,6 +222,7 @@ _BNLJ_ALLOWED = {
     "mon_errors",
     "ivf_flat_ann_topk",  # 16-row centroid table cross
     "customer_rfm_segments",  # one-row max-date + quartile-bounds crosses
+    "nearest_centroid_assign",  # one-row centroid-struct-array cross
 }
 # These run eager work (KMeans fit / query collect / stream drain) at
 # plan-build time; their plan shape is asserted in their own tests.
