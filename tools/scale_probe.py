@@ -40,6 +40,14 @@ PROBES = {
     "embedding_neardup_lsh_pairs": {"embeddings": ["vec_id"]},
     "chunk_documents": {"documents": ["doc_id"]},
     "token_freq": {"documents": ["doc_id"]},
+    # round-3 additions
+    "value_percentiles_2pass": {"events": ["event_id", "user_id"]},
+    "hist_value_percentiles": {"events": ["event_id", "user_id"]},
+    "customer_rfm_segments": {"orders": ["o_orderkey", "o_custkey"],
+                              "customer": ["c_custkey"]},
+    "nearest_centroid_assign": {"embeddings": ["vec_id"]},
+    "q21_waiting_suppliers": {"lineitem": ["l_orderkey"],
+                              "orders": ["o_orderkey"]},
 }
 
 ID_SPAN = 100_000_000  # shift per copy; far above any real id
