@@ -405,6 +405,19 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nearest_centroid_assign": lambda s, d: similarity.nearest_centroid_assign(
         table(s, d, "embeddings")
     ),
+    "docs_rare_token_ratio": lambda s, d: textquality.rare_token_ratio(
+        table(s, d, "documents")
+    ),
+    "token_bigram_rates": lambda s, d: textquality.token_bigram_rates(
+        table(s, d, "documents")
+    ),
+    "events_hourly_gapfill": lambda s, d: analytics.events_hourly_gapfill(
+        table(s, d, "events")
+    ),
+    "kmv_type_overlap_matrix": lambda s, d: analytics.kmv_type_overlap_matrix(
+        table(s, d, "events")
+    ),
+    "sq8_ann_topk": lambda s, d: similarity.sq8_ann_topk(table(s, d, "embeddings")),
 }
 
 
@@ -451,7 +464,7 @@ _PRIORITY = [
     "asof_last_view_before_purchase",
     "asof_pandas_last_view",
     "asof_generic_last_view",
-    # -- new in round 3 --
+    # -- new in round 3 (incl. the late-round additions) --
     "hist_value_percentiles",
     "hist_daily_merge_percentiles",
     "value_percentiles_2pass",
@@ -460,6 +473,11 @@ _PRIORITY = [
     "kmv_view_not_purchase",
     "label_centroids",
     "nearest_centroid_assign",
+    "docs_rare_token_ratio",
+    "token_bigram_rates",
+    "events_hourly_gapfill",
+    "kmv_type_overlap_matrix",
+    "sq8_ann_topk",
     # -- risk-ranked regression picks --
     "ann_gemm_topk",
     "sessionize",
@@ -474,13 +492,8 @@ _PRIORITY = [
     "ann_lsh_topk",
     "docs_contamination",
     "ngram_containment_pairs",
-    "multimodal_meta",
-    "multimodal_frames",
     "token_typo_pairs",
-    "tfidf_top_terms",
     "winnow_fingerprint",
-    "token_entropy",
-    "chunk_documents",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

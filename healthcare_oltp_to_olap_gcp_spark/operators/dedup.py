@@ -90,18 +90,52 @@ def doc_shingle_hashes(docs: DataFrame, n: int = SHINGLE_WORDS) -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
-    """Exact all-pairs word-shingle Jaccard.
+    """EXACT word-shingle Jaccard pairs via an inverted-index self-join.
 
-    **BASELINE-ONLY — never the production path.** O(n²) with a
-    full-table broadcast; it exists as ground truth for
-    ``minhash_lsh_dup_pairs`` (the scale path) at test scale. At 100 TB
-    run the MinHash+LSH twin instead (see SCALING.md)."""
-    sh = doc_shingles(docs)
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    Identical output to the all-pairs form (the DuckDB oracle is the
+    quadratic formulation): shingles are distinct per document
+    (``word_shingles`` applies array_distinct), so the per-pair posting
+    count IS |A∩B|, and |A∪B| = |A| + |B| − |A∩B| — the same integers
+    the array_intersect/array_union baseline divides, hence the same
+    rounded double. Any pair sharing zero shingles has Jaccard 0 and
+    can never reach a positive ``threshold``, so skipping non-colliding
+    pairs loses nothing (requires ``threshold`` > 0).
+
+    Scale shape: work ∝ Σ df² per shingle (df = posting-list length),
+    not docs² — near-linear on natural text where most 3-grams are
+    rare. The skew caveat of ``ngram_containment_pairs`` applies: at
+    web scale, cap document frequency per shingle first (boilerplate
+    posting lists explode the join); with heavy boilerplate prefer the
+    MinHash+LSH twin (``minhash_lsh_dup_pairs``), whose candidate
+    volume is bounded by the band structure instead of df²."""
+    sh = scoped_persist(doc_shingles(docs))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), "s")
+    b = ex.select(F.col("doc_id").alias("doc_b"), "s")
+    shared = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
     return (
-        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
-        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+                6,
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

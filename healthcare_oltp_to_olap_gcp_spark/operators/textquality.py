@@ -454,3 +454,104 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
             ),
         )
     return out.drop("_t")
+
+
+RARE_DF_MAX = 1
+
+
+def rare_token_ratio(docs: DataFrame, df_max: int = RARE_DF_MAX) -> DataFrame:
+    """Per-document rare-token fraction: the share of a document's
+    DISTINCT tokens whose corpus document-frequency is ≤ ``df_max``
+    (default 1 = hapax-in-corpus). High ratios flag OCR garbage, random
+    identifiers, or language the corpus doesn't otherwise contain —
+    a standard curation signal next to entropy and repetition.
+
+    Scale shape: one explode + distinct (the same (doc_id, term) stream
+    ``tfidf_top_terms`` builds), a token-keyed doc-frequency aggregate,
+    and one join back on the token key — work ∝ corpus token volume
+    with map-side partial aggregation; no window, no driver collect.
+    All outputs are exact integers + one rounded double division."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    tok = (
+        docs.repartition(par)
+        .select("doc_id", F.explode(tokens("text")).alias("term"))
+        .distinct()
+    )
+    df = tok.groupBy("term").agg(F.count("*").alias("df"))
+    per_doc = (
+        tok.join(df, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("distinct_tokens"),
+            F.sum(F.when(F.col("df") <= df_max, 1).otherwise(0)).alias("n_rare"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("distinct_tokens").cast("long").alias("distinct_tokens"),
+        F.col("n_rare").cast("long").alias("n_rare"),
+        F.round(F.col("n_rare") / F.col("distinct_tokens").cast("double"), 6).alias(
+            "rare_ratio"
+        ),
+    )
+
+
+BIGRAM_TOP_K = 50
+
+
+def token_bigram_rates(docs: DataFrame, k: int = BIGRAM_TOP_K) -> DataFrame:
+    """Top-k adjacent-token bigrams with conditional co-occurrence
+    rates — the collocation table of a corpus-analysis pipeline:
+    P(y|x) = n_xy / n_x and P(x|y) = n_xy / n_y over corpus occurrence
+    counts (high both ways ⇒ a fixed phrase).
+
+    Rates are single bigint/bigint→double divisions rounded once, so
+    the values are engine-portable without decimal gymnastics (unlike
+    chained float products, one IEEE division is deterministic).
+
+    Scale shape: bigrams are built per-row with a zero-shuffle
+    higher-order transform, counted with map-side partials, and the
+    two unigram joins run on the (vocab-sized) count tables, not the
+    corpus; top-k is TakeOrdered (count desc, then bigram) — never a
+    single-partition global sort."""
+    toks = tokens("text")
+    bigrams = F.filter(
+        F.transform(
+            toks,
+            lambda t, i: F.when(
+                i < F.size(toks) - 1,
+                F.struct(t.alias("x"), F.element_at(toks, i + 2).alias("y")),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.repartition(par)
+    uni = (
+        base.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    bi = (
+        base.select(F.explode(bigrams).alias("b"))
+        .select(F.col("b.x").alias("x"), F.col("b.y").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n_xy"))
+    )
+    joined = (
+        bi.join(uni.select(F.col("term").alias("x"), F.col("n").alias("n_x")), "x")
+        .join(uni.select(F.col("term").alias("y"), F.col("n").alias("n_y")), "y")
+    )
+    return (
+        joined.orderBy(F.col("n_xy").desc(), "x", "y")
+        .limit(k)
+        .select(
+            "x",
+            "y",
+            F.col("n_xy").cast("long").alias("n_xy"),
+            F.col("n_x").cast("long").alias("n_x"),
+            F.col("n_y").cast("long").alias("n_y"),
+            F.round(F.col("n_xy") / F.col("n_x").cast("double"), 6).alias("p_y_given_x"),
+            F.round(F.col("n_xy") / F.col("n_y").cast("double"), 6).alias("p_x_given_y"),
+        )
+    )

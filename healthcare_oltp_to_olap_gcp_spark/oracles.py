@@ -1902,3 +1902,154 @@ SELECT c_custkey, c_name, recency_days, frequency, monetary,
   CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR) AS rfm_segment
 FROM scored JOIN customer ON o_custkey = c_custkey
 """
+
+# Per-document rare-token (hapax) fraction
+# (operators/textquality.rare_token_ratio).
+ORACLE_SQL["docs_rare_token_ratio"] = f"""
+WITH tok AS (
+  SELECT DISTINCT * FROM (SELECT doc_id, unnest({TOKS}) AS term FROM documents)
+),
+df AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term)
+SELECT t.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+  CAST(SUM(CASE WHEN df.df <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+  ROUND(SUM(CASE WHEN df.df <= 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS rare_ratio
+FROM tok t JOIN df USING (term)
+GROUP BY t.doc_id
+"""
+
+# Top-k adjacent-token bigram collocations with conditional rates
+# (operators/textquality.token_bigram_rates). The LIMIT cut is
+# deterministic via the (count desc, x, y) tiebreak.
+ORACLE_SQL["token_bigram_rates"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+bi AS (
+  SELECT t[i] AS x, t[i + 1] AS y
+  FROM toks, LATERAL unnest(range(1, len(t))) AS u(i)
+),
+bic AS (SELECT x, y, COUNT(*) AS n_xy FROM bi GROUP BY 1, 2),
+unic AS (
+  SELECT term, COUNT(*) AS n
+  FROM (SELECT unnest(t) AS term FROM toks) GROUP BY 1
+)
+SELECT b.x, b.y, CAST(b.n_xy AS BIGINT) AS n_xy,
+  CAST(ux.n AS BIGINT) AS n_x, CAST(uy.n AS BIGINT) AS n_y,
+  ROUND(b.n_xy / CAST(ux.n AS DOUBLE), 6) AS p_y_given_x,
+  ROUND(b.n_xy / CAST(uy.n AS DOUBLE), 6) AS p_x_given_y
+FROM bic b
+JOIN unic ux ON b.x = ux.term
+JOIN unic uy ON b.y = uy.term
+ORDER BY n_xy DESC, x, y
+LIMIT 50
+"""
+
+# Dense hourly grid with zero-filled gaps
+# (plans/analytics.events_hourly_gapfill).
+ORACLE_SQL["events_hourly_gapfill"] = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour_ts, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+  FROM (SELECT DISTINCT event_type FROM events) t, bounds
+)
+SELECT g.event_type, g.hour_ts,
+  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+  h.n IS NULL AS is_gap
+FROM grid g
+LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hour_ts = h.hour_ts
+"""
+
+# Pairwise KMV audience-overlap matrix across all event-type pairs
+# (plans/analytics.kmv_type_overlap_matrix).
+ORACLE_SQL["kmv_type_overlap_matrix"] = f"""
+WITH d AS (
+  SELECT DISTINCT event_type,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT AS u
+  FROM events
+),
+sk AS (
+  SELECT * FROM d
+  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY u) <= {_KK}
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM d) a
+  JOIN (SELECT DISTINCT event_type FROM d) b ON a.event_type < b.event_type
+),
+per_u AS (
+  SELECT p.type_a, p.type_b, s.u,
+    MAX(CASE WHEN s.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+    MAX(CASE WHEN s.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p
+  JOIN sk s ON s.event_type = p.type_a OR s.event_type = p.type_b
+  GROUP BY 1, 2, 3
+),
+uk AS (
+  SELECT * FROM per_u
+  QUALIFY row_number() OVER (PARTITION BY type_a, type_b ORDER BY u) <= {_KK}
+),
+agg AS (
+  SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS sketch_size, MAX(u) AS kth,
+    CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_in_both
+  FROM uk GROUP BY 1, 2
+)
+SELECT type_a, type_b, sketch_size, n_in_both,
+  ROUND(n_in_both / CAST(sketch_size AS DOUBLE), 6) AS jaccard_est,
+  ROUND(CASE WHEN sketch_size < {_KK} THEN CAST(sketch_size AS DOUBLE)
+       ELSE {float(_KK - 1)} / ((kth + 1) / 4294967296.0) END, 4) AS union_est,
+  ROUND(n_in_both / CAST(sketch_size AS DOUBLE)
+        * (CASE WHEN sketch_size < {_KK} THEN CAST(sketch_size AS DOUBLE)
+           ELSE {float(_KK - 1)} / ((kth + 1) / 4294967296.0) END), 4)
+    AS intersection_est
+FROM agg
+"""
+
+# SQ8 scalar-quantized ANN (operators/similarity.sq8_ann_topk): the
+# int8 grid, the INTEGER code-dot candidate cut (k + margin), and the
+# exact rerank are all reproduced — integer dots are exact in both
+# engines, so even the candidate selection is parity-safe.
+from .operators.similarity import SQ_LEVELS as _SQL_, SQ_MARGIN as _SQM_  # noqa: E402
+
+ORACLE_SQL["sq8_ann_topk"] = f"""
+WITH {_NORM_CTE},
+sc AS (SELECT MAX(list_max(list_transform(nv, x -> abs(x)))) AS s FROM e),
+px AS (
+  SELECT vec_id, r.i AS pos, nv[r.i] AS x
+  FROM e, LATERAL unnest(range(1, 65)) AS r(i)
+),
+codes AS (
+  SELECT vec_id, pos,
+    CAST(floor(x * {float(_SQL_)} / s + 0.5) AS BIGINT) AS c
+  FROM px, sc
+),
+dots AS (
+  SELECT qc.vec_id AS query_id, cc.vec_id AS neighbor_id, SUM(qc.c * cc.c) AS idot
+  FROM codes qc JOIN codes cc ON qc.pos = cc.pos AND qc.vec_id <> cc.vec_id
+  WHERE qc.vec_id % 50 = 0
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM dots
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY idot DESC, neighbor_id)
+    <= {10 + _SQM_}
+),
+rr AS (
+  SELECT c.query_id, c.neighbor_id, ROUND(list_dot_product(qe.nv, ne.nv), 6) AS sim
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.query_id
+  JOIN e ne ON ne.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+       AS BIGINT) AS rank
+FROM rr
+QUALIFY rank <= 10
+"""

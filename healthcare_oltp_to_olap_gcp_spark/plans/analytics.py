@@ -1687,3 +1687,108 @@ def customer_rfm_segments(customer: DataFrame, orders: DataFrame) -> DataFrame:
             ).alias("rfm_segment"),
         )
     )
+
+
+def events_hourly_gapfill(events: DataFrame) -> DataFrame:
+    """Dense hourly activity grid: one row for EVERY (event_type, hour)
+    between the corpus min and max hour, with zero-filled counts and a
+    gap flag — the time-series densification step dashboards and
+    forecasting models need (sparse aggregates silently skip empty
+    hours; models must see them).
+
+    Scale shape: the corpus contributes one hour-grain aggregate (one
+    shuffle with map-side partials); the grid itself is calendar ×
+    types — ``sequence()`` on a ONE-ROW bounds aggregate cross-joined
+    with the distinct type table (both broadcast, ≤ hours×types rows ≈
+    9k/year/type), then one broadcast-able join back to the hourly
+    counts. The raw events table is scanned exactly once and never
+    materializes a dense row set."""
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("_lo"),
+        F.date_trunc("hour", F.max("ts")).alias("_hi"),
+    )
+    types = events.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_ts"),
+        )
+    )
+    return grid.join(hourly, ["event_type", "hour_ts"], "left").select(
+        "event_type",
+        "hour_ts",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.col("n").isNull().alias("is_gap"),
+    )
+
+
+def kmv_type_overlap_matrix(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Pairwise distinct-user overlap across ALL event-type pairs from
+    per-type KMV sketches — the theta-sketch similarity matrix
+    (audience overlap analysis) generalizing the two-set
+    ``kmv_view_purchase_overlap``.
+
+    For every unordered type pair, the k smallest hashes of the union
+    are re-selected from the two per-type sketches (a union-top-k hash
+    is provably inside its own side's top-k, so membership flags are
+    exact); jaccard_est is the both-sides fraction of that union
+    sketch and intersection_est scales it by the union estimate.
+
+    Scale shape: the ONLY corpus-sized stage is the initial distinct
+    on (type, user-hash). Sketches are ≤ T·k rows; the pair expansion
+    joins them to the T² pair list via broadcast, and every window
+    below runs per-pair on ≤ 2k rows — the matrix costs O(T²·k)
+    regardless of corpus size. Deterministic md5 hashing ⇒ full
+    value-hash oracle despite being an approximate operator."""
+    d = events.select("event_type", _kmv_hash(F.col("user_id")).alias("u")).distinct()
+    w = Window.partitionBy("event_type").orderBy("u")
+    sketches = d.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
+    types = d.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .crossJoin(types.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    members = pairs.join(
+        F.broadcast(sketches.select("event_type", "u")),
+        (F.col("event_type") == F.col("type_a"))
+        | (F.col("event_type") == F.col("type_b")),
+    )
+    per_u = members.groupBy("type_a", "type_b", "u").agg(
+        F.max(F.when(F.col("event_type") == F.col("type_a"), 1).otherwise(0)).alias(
+            "_in_a"
+        ),
+        F.max(F.when(F.col("event_type") == F.col("type_b"), 1).otherwise(0)).alias(
+            "_in_b"
+        ),
+    )
+    wu = Window.partitionBy("type_a", "type_b").orderBy("u")
+    union_k = per_u.withColumn("_r", F.row_number().over(wu)).filter(F.col("_r") <= k)
+    agg = union_k.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("sketch_size"),
+        F.max("u").alias("_kth"),
+        F.sum(
+            F.when((F.col("_in_a") == 1) & (F.col("_in_b") == 1), 1).otherwise(0)
+        ).alias("_in_both"),
+    )
+    exact_union = F.col("sketch_size") < k
+    union_est = F.when(exact_union, F.col("sketch_size").cast("double")).otherwise(
+        F.lit(float(k - 1)) / ((F.col("_kth") + 1) / F.lit(_KMV_SCALE))
+    )
+    return agg.select(
+        "type_a",
+        "type_b",
+        F.col("sketch_size").cast("long").alias("sketch_size"),
+        F.col("_in_both").cast("long").alias("n_in_both"),
+        F.round(F.col("_in_both") / F.col("sketch_size"), 6).alias("jaccard_est"),
+        F.round(union_est, 4).alias("union_est"),
+        F.round(F.col("_in_both") / F.col("sketch_size") * union_est, 4).alias(
+            "intersection_est"
+        ),
+    )

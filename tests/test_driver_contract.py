@@ -52,7 +52,7 @@ def test_plain_session_driver_contract():
 def test_driver_window_composition():
     """The driver's correctness gate reads the FIRST 50 registry entries:
     they must be exactly the curated _PRIORITY list (17 never-checked +
-    5 round-3-rewritten + 4 round-3-new + risk-ranked regression picks),
+    5 round-3-rewritten + 12 round-3-new + risk-ranked regression picks),
     every one of them oracle-backed."""
     from healthcare_oltp_to_olap_gcp_spark.api import _PRIORITY, QUERIES
     from healthcare_oltp_to_olap_gcp_spark.oracles import ORACLE_SQL

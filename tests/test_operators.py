@@ -497,3 +497,23 @@ def test_sampled_percentiles_merge_lossless_and_near_exact(spark):
         # 256-point sample: generous value tolerance on the synthetic range
         assert abs(a50 - e50) <= max(10.0, 0.25 * abs(e50)), (t, a50, e50)
         assert abs(a90 - e90) <= max(15.0, 0.30 * abs(e90)), (t, a90, e90)
+
+
+def test_sq8_recall_and_exact_rerank(spark):
+    from .conftest import SF001
+    from healthcare_oltp_to_olap_gcp_spark.operators import similarity
+
+    emb = table(spark, SF001, "embeddings")
+    brute = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in similarity.ann_brute_topk(emb, k=10).collect()
+    }
+    sq = similarity.sq8_ann_topk(emb).collect()
+    assert len(sq) > 0
+    for r in sq:
+        got = brute.get((r.query_id, r.neighbor_id))
+        assert got is None or got == r.sim  # rerank sims are exact
+    recall = len(set(brute) & {(r.query_id, r.neighbor_id) for r in sq}) / len(brute)
+    # int8 quantization of 64-dim unit vectors preserves ranking well;
+    # the k+margin cut keeps recall high even at test scale
+    assert recall >= 0.6, f"SQ8 recall collapsed: {recall}"

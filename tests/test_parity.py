@@ -71,6 +71,12 @@ SF01_KEYS = [
     "orders_revenue_7d_ma",
     "docs_quality_filter",
     "curated_documents",
+    # round-3 late additions (topk cuts / sketch estimates shift with data)
+    "sq8_ann_topk",
+    "token_bigram_rates",
+    "kmv_type_overlap_matrix",
+    "events_hourly_gapfill",
+    "docs_rare_token_ratio",
     # round-3 additions
     "hist_value_percentiles",
     "hist_daily_merge_percentiles",

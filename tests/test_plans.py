@@ -206,7 +206,6 @@ def test_monitoring_views_register_under_reference_names(spark):
 # plans a BNLJ must be reviewed and added here explicitly.
 _BNLJ_ALLOWED = {
     # quadratic baselines
-    "ngram_dup_pairs",
     "embedding_neardup_pairs",
     "ann_topk",
     "knn_label_vote",  # inherits ivf_flat's 16-row centroid cross
@@ -223,6 +222,9 @@ _BNLJ_ALLOWED = {
     "ivf_flat_ann_topk",  # 16-row centroid table cross
     "customer_rfm_segments",  # one-row max-date + quartile-bounds crosses
     "nearest_centroid_assign",  # one-row centroid-struct-array cross
+    "events_hourly_gapfill",  # one-row hour-bounds cross onto the type list
+    "kmv_type_overlap_matrix",  # T×T pair expansion over ≤T·k sketch rows
+    "sq8_ann_topk",  # one-row quant-bounds cross + code scan vs broadcast queries
 }
 # These run eager work (KMeans fit / query collect / stream drain) at
 # plan-build time; their plan shape is asserted in their own tests.
