@@ -418,6 +418,7 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         table(s, d, "events")
     ),
     "sq8_ann_topk": lambda s, d: similarity.sq8_ann_topk(table(s, d, "embeddings")),
+    "pq_ann_topk": lambda s, d: similarity.pq_ann_topk(table(s, d, "embeddings")),
 }
 
 
@@ -478,6 +479,7 @@ _PRIORITY = [
     "events_hourly_gapfill",
     "kmv_type_overlap_matrix",
     "sq8_ann_topk",
+    "pq_ann_topk",
     # -- risk-ranked regression picks --
     "ann_gemm_topk",
     "sessionize",
@@ -490,7 +492,6 @@ _PRIORITY = [
     "embedding_neardup_pairs",
     "ann_topk",
     "ann_lsh_topk",
-    "docs_contamination",
     "ngram_containment_pairs",
     "token_typo_pairs",
     "winnow_fingerprint",

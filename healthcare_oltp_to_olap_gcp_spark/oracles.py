@@ -2053,3 +2053,75 @@ SELECT query_id, neighbor_id, sim,
 FROM rr
 QUALIFY rank <= 10
 """
+
+# Product-quantization ANN (operators/similarity.pq_ann_topk): codebook
+# = the 16 md5-ranked corpus rows; per-subspace argmin assignment
+# (||v||^2+||c||^2-2v.c from fold-order-stable dots, tie -> cid), ADC
+# sum of per-term rounded-DECIMAL lookup dots, k+margin cut, exact
+# rerank. Integer/decimal comparisons everywhere the ranking happens.
+from .operators.similarity import (  # noqa: E402
+    PQ_CODES as _PQC_,
+    PQ_M as _PQM_,
+    PQ_MARGIN as _PQMG_,
+)
+
+_PQ_SUB = 64 // _PQM_
+
+ORACLE_SQL["pq_ann_topk"] = f"""
+WITH {_NORM_CTE},
+seeds AS (
+  SELECT vec_id AS cid, nv FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_PQC_}
+),
+cw AS (
+  SELECT r.j, cid,
+         list_slice(nv, r.j * {_PQ_SUB} + 1, r.j * {_PQ_SUB} + {_PQ_SUB}) AS csub
+  FROM seeds, LATERAL unnest(range(0, {_PQM_})) AS r(j)
+),
+vs AS (
+  SELECT vec_id, r.j,
+         list_slice(nv, r.j * {_PQ_SUB} + 1, r.j * {_PQ_SUB} + {_PQ_SUB}) AS vsub
+  FROM e, LATERAL unnest(range(0, {_PQM_})) AS r(j)
+),
+dist AS (
+  SELECT vs.vec_id, vs.j, cw.cid,
+    ROUND(list_dot_product(vsub, vsub) + list_dot_product(csub, csub)
+          - 2.0 * list_dot_product(vsub, csub), 6) AS d
+  FROM vs JOIN cw ON vs.j = cw.j
+),
+codes AS (
+  SELECT vec_id, j, cid FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, cw.j, cw.cid,
+    CAST(ROUND(list_dot_product(
+           list_slice(q.nv, cw.j * {_PQ_SUB} + 1, cw.j * {_PQ_SUB} + {_PQ_SUB}),
+           cw.csub), 8) AS DECIMAL(18,8)) AS ld
+  FROM e q, cw
+  WHERE q.vec_id % 50 = 0
+),
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, SUM(l.ld) AS a
+  FROM codes c
+  JOIN lut l ON c.j = l.j AND c.cid = l.cid AND c.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM adc
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY a DESC, neighbor_id)
+    <= {10 + _PQMG_}
+),
+rr AS (
+  SELECT c.query_id, c.neighbor_id, ROUND(list_dot_product(qe.nv, ne.nv), 6) AS sim
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.query_id
+  JOIN e ne ON ne.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+       AS BIGINT) AS rank
+FROM rr
+QUALIFY rank <= 10
+"""

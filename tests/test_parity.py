@@ -73,6 +73,7 @@ SF01_KEYS = [
     "curated_documents",
     # round-3 late additions (topk cuts / sketch estimates shift with data)
     "sq8_ann_topk",
+    "pq_ann_topk",
     "token_bigram_rates",
     "kmv_type_overlap_matrix",
     "events_hourly_gapfill",
