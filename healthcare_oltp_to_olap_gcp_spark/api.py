@@ -419,6 +419,10 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "sq8_ann_topk": lambda s, d: similarity.sq8_ann_topk(table(s, d, "embeddings")),
     "pq_ann_topk": lambda s, d: similarity.pq_ann_topk(table(s, d, "embeddings")),
+    "events_debounce": lambda s, d: sessionize.events_debounce(table(s, d, "events")),
+    "join_size_estimate": lambda s, d: analytics.join_size_estimate(
+        table(s, d, "orders"), table(s, d, "lineitem")
+    ),
 }
 
 
@@ -480,6 +484,8 @@ _PRIORITY = [
     "kmv_type_overlap_matrix",
     "sq8_ann_topk",
     "pq_ann_topk",
+    "events_debounce",
+    "join_size_estimate",
     # -- risk-ranked regression picks --
     "ann_gemm_topk",
     "sessionize",
@@ -492,9 +498,7 @@ _PRIORITY = [
     "embedding_neardup_pairs",
     "ann_topk",
     "ann_lsh_topk",
-    "ngram_containment_pairs",
     "token_typo_pairs",
-    "winnow_fingerprint",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -67,3 +67,34 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "session_value",
         )
     )
+
+
+DEBOUNCE_GAP_US = 5 * 60 * 1_000_000
+
+
+def events_debounce(events: DataFrame, gap_us: int = DEBOUNCE_GAP_US) -> DataFrame:
+    """Event de-bouncing: within each (user, event_type) stream, keep
+    only the FIRST event of every burst — a burst extends while
+    consecutive events are ≤ ``gap_us`` apart (trailing-debounce /
+    sessionize semantics, so a chain of closely spaced duplicates
+    collapses to its leader even when the chain outlives the gap).
+
+    The telemetry-cleaning primitive for double-click/retry storms:
+    unlike ``dedup_exact`` it drops near-in-time repeats whose payloads
+    differ. One shuffle on (user_id, event_type) serves both window
+    passes (the burst flag IS the keep flag — the leader is exactly the
+    row that starts a burst, so no second partitioning is needed);
+    integral epoch-microsecond arithmetic keeps the boundary exact in
+    any engine."""
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id", "event_type").orderBy(*order)
+    ts_us = F.unix_micros("ts")
+    prev = F.lag(ts_us).over(w)
+    new_burst = F.when(prev.isNull() | (ts_us - prev > gap_us), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        events.withColumn("_nb", new_burst)
+        .withColumn("burst_idx", F.sum("_nb").over(run).cast("long"))
+        .filter(F.col("_nb") == 1)
+        .select("event_id", "ts", "user_id", "event_type", "value", "burst_idx")
+    )

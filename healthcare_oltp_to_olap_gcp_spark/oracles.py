@@ -2125,3 +2125,39 @@ SELECT query_id, neighbor_id, sim,
 FROM rr
 QUALIFY rank <= 10
 """
+
+# Trailing debounce: burst leaders per (user, event_type)
+# (operators/sessionize.events_debounce).
+ORACLE_SQL["events_debounce"] = """
+WITH e AS (SELECT event_id, ts, user_id, event_type, value, epoch_us(ts) AS us
+           FROM events),
+s AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 300000000
+                 THEN 1 ELSE 0 END AS nb
+  FROM e WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+t AS (
+  SELECT *, CAST(SUM(nb) OVER (PARTITION BY user_id, event_type
+            ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS burst_idx
+  FROM s
+)
+SELECT event_id, ts, user_id, event_type, value, burst_idx
+FROM t WHERE nb = 1
+"""
+
+# Key-synchronized hash-sample join cardinality estimate
+# (plans/analytics.join_size_estimate).
+ORACLE_SQL["join_size_estimate"] = """
+WITH o AS (
+  SELECT o_orderkey FROM orders
+  WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT % 16 = 0
+),
+l AS (
+  SELECT l_orderkey FROM lineitem
+  WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::UBIGINT % 16 = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS sampled_pairs,
+  CAST(COUNT(*) * 16 AS BIGINT) AS est_pairs,
+  ROUND(CAST(1.0 AS DOUBLE) / 16, 6) AS sample_rate
+FROM o JOIN l ON o_orderkey = l_orderkey
+"""

@@ -1792,3 +1792,38 @@ def kmv_type_overlap_matrix(events: DataFrame, k: int = KMV_K) -> DataFrame:
             "intersection_est"
         ),
     )
+
+
+JSE_MOD = 16
+
+
+def join_size_estimate(
+    orders: DataFrame, lineitem: DataFrame, p_mod: int = JSE_MOD
+) -> DataFrame:
+    """Join-cardinality estimation by KEY-SYNCHRONIZED hash sampling —
+    the planner-style "how big would orders ⋈ lineitem be?" probe that
+    answers before paying for the real join.
+
+    Both sides keep only rows whose JOIN-KEY hash ≡ 0 (mod p_mod): the
+    same keys survive on both sides, so the sampled join is an unbiased
+    1/p_mod universe sample of the true join (key-level sampling is
+    exact for join estimation where independent row-level sampling is
+    famously biased — per-key fan-out products survive intact).
+    Estimate = sampled pairs × p_mod. The md5 key hash is the engine-
+    shared deterministic one (``_kmv_hash``), so even this sampling
+    operator is value-hash oracle-able.
+
+    Scale shape: both scans prune to ~1/p_mod of rows BEFORE the
+    shuffle (the hash filter pushes into the scan stage); the sampled
+    join then shuffles only the surviving slice — cost is 1/p_mod of
+    the real join's."""
+    ok = _kmv_hash(F.col("o_orderkey")) % p_mod == 0
+    lk = _kmv_hash(F.col("l_orderkey")) % p_mod == 0
+    o = orders.filter(ok).select("o_orderkey")
+    l = lineitem.filter(lk).select("l_orderkey")
+    joined = o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+    return joined.agg(
+        F.count("*").cast("long").alias("sampled_pairs"),
+        (F.count("*") * p_mod).cast("long").alias("est_pairs"),
+        F.round(F.lit(1.0) / p_mod, 6).alias("sample_rate"),
+    )

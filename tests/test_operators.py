@@ -537,3 +537,38 @@ def test_pq_recall_and_exact_rerank(spark):
     # hash-seeded (untrained) codebook: ~0.7 mean recall@10 measured at
     # sf0.01; KMeans-trained codebooks are the production upgrade
     assert recall >= 0.5, f"PQ recall collapsed: {recall}"
+
+
+def test_join_size_estimate_accuracy(spark):
+    from .conftest import SF01
+    from healthcare_oltp_to_olap_gcp_spark.plans import analytics
+
+    orders = table(spark, SF01, "orders")
+    lineitem = table(spark, SF01, "lineitem")
+    row = analytics.join_size_estimate(orders, lineitem).collect()[0]
+    exact = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).count()
+    assert row.sampled_pairs * 16 == row.est_pairs
+    # key-synchronized sampling is unbiased; at ~94 sampled keys the
+    # relative error stays well inside 25%
+    assert abs(row.est_pairs - exact) / exact < 0.25, (row.est_pairs, exact)
+
+
+def test_events_debounce_spacing(spark):
+    from .conftest import SF001
+    from healthcare_oltp_to_olap_gcp_spark.operators import sessionize as sz
+
+    events = table(spark, SF001, "events")
+    kept = sz.events_debounce(events).collect()
+    by_key: dict = {}
+    for r in kept:
+        by_key.setdefault((r.user_id, r.event_type), []).append(r)
+    for rows in by_key.values():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        for a, b in zip(rows, rows[1:]):
+            gap_us = (b.ts - a.ts).total_seconds() * 1e6
+            # consecutive burst leaders are strictly more than the gap apart
+            assert gap_us > sz.DEBOUNCE_GAP_US
+        # burst indices are 1..n in order
+        assert [r.burst_idx for r in rows] == list(range(1, len(rows) + 1))

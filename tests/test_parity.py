@@ -74,6 +74,8 @@ SF01_KEYS = [
     # round-3 late additions (topk cuts / sketch estimates shift with data)
     "sq8_ann_topk",
     "pq_ann_topk",
+    "events_debounce",
+    "join_size_estimate",
     "token_bigram_rates",
     "kmv_type_overlap_matrix",
     "events_hourly_gapfill",
