@@ -423,6 +423,23 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_size_estimate": lambda s, d: analytics.join_size_estimate(
         table(s, d, "orders"), table(s, d, "lineitem")
     ),
+    "docs_quality_model": lambda s, d: textquality.quality_model_scores(
+        table(s, d, "documents")
+    ),
+    "docs_source_kl": lambda s, d: textquality.source_kl(table(s, d, "documents")),
+    "dup_span_stats": lambda s, d: dedup.dup_span_stats(table(s, d, "documents")),
+    "mixture_sample_documents": lambda s, d: dedup.mixture_sample_documents(
+        table(s, d, "documents")
+    ),
+    "docs_perplexity": lambda s, d: textquality.docs_perplexity(
+        table(s, d, "documents")
+    ),
+    "prefix_suffix_overlap_pairs": lambda s, d: dedup.prefix_suffix_overlap_pairs(
+        table(s, d, "documents")
+    ),
+    "hard_negative_mining": lambda s, d: similarity.hard_negative_mining(
+        table(s, d, "embeddings")
+    ),
 }
 
 
@@ -486,19 +503,25 @@ _PRIORITY = [
     "pq_ann_topk",
     "events_debounce",
     "join_size_estimate",
-    # -- risk-ranked regression picks --
+    "docs_quality_model",
+    "docs_source_kl",
+    "dup_span_stats",
+    "mixture_sample_documents",
+    "docs_perplexity",
+    "prefix_suffix_overlap_pairs",
+    "hard_negative_mining",
+    # -- risk-ranked regression picks (never-driver-checked entries
+    # above displace the most tie-stable r2-green picks: sessionize
+    # family, token_typo_pairs, the brute/LSH ANN twins and the
+    # quadratic near-dup baseline — all unchanged since their green
+    # round and still covered by tests/test_parity.py; what stays is
+    # the round-3-rewritten ngram inverted index, the margin-sensitive
+    # GEMM, and the data-dependent LSH/components/SimHash family) --
     "ann_gemm_topk",
-    "sessionize",
-    "session_window_agg",
-    "scd2_user_band",
     "minhash_lsh_dup_pairs",
     "ngram_dup_pairs",
     "dedup_components",
     "simhash_dup_pairs",
-    "embedding_neardup_pairs",
-    "ann_topk",
-    "ann_lsh_topk",
-    "token_typo_pairs",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

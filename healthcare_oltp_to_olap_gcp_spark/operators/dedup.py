@@ -746,3 +746,133 @@ def pack_documents(
     return base.groupBy("pack_bucket").applyInPandas(
         _pack, "doc_id long, pack_bucket long, n_tokens long, shard_idx long"
     )
+
+
+DUP_SPAN_K = 8
+
+
+def dup_span_stats(docs: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
+    """Exact duplicated-span coverage (the RefinedWeb / "exact
+    substring dedup" signal, positionally approximated with k-token
+    grams): for every document, how many of its token positions are
+    covered by some k-gram that also appears in ANOTHER document.
+    High coverage flags boilerplate and templated mirror pages that
+    document-level MinHash misses when the rest of the page differs.
+
+    Scale shape: positional k-grams are md5-hashed to a fixed 32-char
+    key before the shuffle (bounded key width regardless of k), the
+    gram stream is scope-persisted because both the cross-doc dup
+    detection and the coverage join consume it, duplicated grams only
+    (a small fraction of the corpus) pay the k-fold coverage explode,
+    and coverage is de-duplicated on (doc_id, position) before the
+    final per-doc count. Work ∝ token volume + k·|dup grams|; no
+    windows, no driver collect."""
+    toks = docs.select("doc_id", tokens("text").alias("t")).filter(F.size("t") > 0)
+    sh = scoped_persist(
+        toks.filter(F.size("t") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (k - 1)),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ", *[F.element_at("t", i + j) for j in range(k)]
+                        )
+                    ),
+                )
+            ).alias("pos", "gh"),
+        )
+    )
+    dup = (
+        sh.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    cov = (
+        sh.join(dup, "gh")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p"),
+        )
+        .distinct()
+    )
+    cnt = cov.groupBy("doc_id").agg(F.count("*").alias("n_dup"))
+    base = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    return base.join(cnt, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_tokens"),
+        F.round(
+            F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("dup_ratio"),
+    )
+
+
+def mixture_sample_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic mixture rebalancing: downsample every source to
+    the size of the smallest one (equal target shares — the uniform
+    special case of training-blend reweighting), by accepting a doc
+    iff its md5-derived uniform falls under the source's computed
+    acceptance rate. Unlike ``stratified_sample_by_lang`` (fixed
+    per-stratum quota via a rank) this is RATE-based: no per-source
+    sort or window anywhere, so a source of any size costs one scan,
+    and the same hash-threshold form runs identically as a streaming
+    filter. The per-source rate table is a broadcast of |sources|
+    rows; both engines compare the identical IEEE-exact uniform
+    against the identical correctly-rounded division, so even the
+    sampler is value-hash checked."""
+    c = docs.groupBy("source").agg(F.count("*").alias("n"))
+    mn = c.agg(F.min("n").alias("mn"))
+    rates = (
+        c.crossJoin(F.broadcast(mn))
+        .select("source", (F.col("mn") / F.col("n").cast("double")).alias("rate"))
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        + 1
+    ) / F.lit(4294967296.0)
+    return (
+        docs.select("doc_id", "source", u.alias("u"))
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("u") <= F.col("rate"))
+        .select("doc_id", "source", F.round("rate", 6).alias("accept_rate"))
+    )
+
+
+PS_OVERLAP_K = 12
+
+
+def prefix_suffix_overlap_pairs(docs: DataFrame, k: int = PS_OVERLAP_K) -> DataFrame:
+    """Crawl-artifact chaining: directed pairs where document A's last
+    ``k`` tokens equal document B's first ``k`` tokens — the signature
+    of paginated mirrors, split articles, and scraper overlap windows
+    (content that document-level MinHash scores as distinct because
+    only the seam is shared).
+
+    Scale shape: one narrow projection per side (each doc contributes
+    ONE md5-hashed prefix and ONE suffix, fixed key width), a single
+    equi-join on the hash. Fan-out concentrates on shared-boilerplate
+    seams (work ∝ Σ pre_df·suf_df per hash) — the same df-cap caveat
+    as the containment inverted index applies if a boilerplate seam
+    dominates a crawl."""
+    t = docs.select("doc_id", tokens("text").alias("t")).filter(F.size("t") >= k)
+    pre = t.select(
+        F.col("doc_id").alias("doc_b"),
+        F.md5(F.concat_ws(" ", F.slice("t", 1, k))).alias("gram_hash"),
+    )
+    suf = t.select(
+        F.col("doc_id").alias("doc_a"),
+        F.md5(
+            F.concat_ws(" ", F.expr(f"slice(t, size(t) - {k} + 1, {k})"))
+        ).alias("gram_hash"),
+    )
+    return (
+        suf.join(pre, "gram_hash")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "gram_hash")
+    )

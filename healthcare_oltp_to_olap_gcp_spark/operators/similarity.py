@@ -750,3 +750,46 @@ def pq_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def hard_negative_mining(
+    embeddings: DataFrame, k: int = DEFAULT_K, topk_fn=None
+) -> DataFrame:
+    """Contrastive-training data prep: for every query, the hardest
+    negative — its highest-ranked ANN neighbor carrying a DIFFERENT
+    label (the standard hard-negative mining step for embedding /
+    reranker training).
+
+    Composes over the same parameterized top-k source as
+    ``knn_label_vote`` (default: the bucketed oracle-checked
+    ``ivf_flat_ann_topk``), so the miner inherits the inverted-file
+    scale shape. Label lookups are plain equi-joins against the |Q|·k
+    top-k frame (deliberately NOT broadcast — the query set is
+    corpus-proportional); the final per-query argmin runs on the
+    |Q|·k frame partitioned by query, never on the corpus."""
+    topk = (topk_fn or ivf_flat_ann_topk)(embeddings, k)
+    qlab = embeddings.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").cast("long").alias("query_label"),
+    )
+    nlab = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").cast("long").alias("neg_label"),
+    )
+    cand = (
+        topk.join(nlab, "neighbor_id")
+        .join(qlab, "query_id")
+        .filter(F.col("neg_label") != F.col("query_label"))
+    )
+    w = Window.partitionBy("query_id").orderBy("rank", "neighbor_id")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            "query_label",
+            F.col("neighbor_id").alias("negative_id"),
+            "neg_label",
+            "sim",
+        )
+    )

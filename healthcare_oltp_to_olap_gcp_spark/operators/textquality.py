@@ -555,3 +555,164 @@ def token_bigram_rates(docs: DataFrame, k: int = BIGRAM_TOP_K) -> DataFrame:
             F.round(F.col("n_xy") / F.col("n_y").cast("double"), 6).alias("p_x_given_y"),
         )
     )
+
+
+# Fixed pretrained-style weights for the linear quality model: chosen
+# so the synthetic corpus splits non-trivially around logit 0. A real
+# deployment would load fastText/logreg weights the same way — the
+# operator shape (per-row feature extraction + dot product, zero
+# shuffles) is what matters at 100 TB.
+QUALITY_MODEL_BIAS = -2.0
+QUALITY_MODEL_W_LOG_TOKENS = 0.45
+QUALITY_MODEL_W_STOPWORD = 3.0
+QUALITY_MODEL_W_TOKEN_LEN = -0.25
+QUALITY_MODEL_W_PUNCT = -8.0
+
+
+def quality_model_scores(docs: DataFrame) -> DataFrame:
+    """Model-based quality scoring: a fixed-weight logistic model over
+    four per-document features (log token count, stopword density,
+    mean token length, punctuation density) — the classifier-filter
+    stage of a training-data pipeline (fastText-style quality models
+    are applied exactly like this: per-row scoring, keep above a
+    threshold).
+
+    Determinism/oracle notes: the logit is a fixed left-to-right chain
+    of IEEE double ops mirrored token-for-token in the DuckDB oracle;
+    ``keep`` is decided on the *logit* sign (score >= 0.5 <=> logit
+    >= 0), so the only transcendental (exp in the sigmoid) never
+    decides a boolean. Scale shape: one narrow projection, zero
+    shuffles, whole-stage codegen end to end."""
+    toks = tokens("text")
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.char_length("text").cast("long")
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.char_length(t)), F.lit(0), lambda a, v: a + v
+    )
+    sw_hits = stop_hits(toks, EN_STOP)
+    n_punct = punct_count("text")
+    logit = (
+        F.lit(QUALITY_MODEL_BIAS)
+        + F.lit(QUALITY_MODEL_W_LOG_TOKENS) * F.log(F.lit(1) + n_tok)
+        + F.lit(QUALITY_MODEL_W_STOPWORD) * (sw_hits / n_tok.cast("double"))
+        + F.lit(QUALITY_MODEL_W_TOKEN_LEN) * (tok_chars / n_tok.cast("double"))
+        + F.lit(QUALITY_MODEL_W_PUNCT) * (n_punct / n_chars.cast("double"))
+    )
+    guarded = F.when((n_tok > 0) & (n_chars > 0), logit)
+    return docs.select(
+        "doc_id",
+        F.round(guarded, 6).alias("quality_logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-guarded)), 6).alias(
+            "quality_score"
+        ),
+        F.coalesce(guarded >= 0, F.lit(False)).alias("keep"),
+    )
+
+
+def source_kl(docs: DataFrame) -> DataFrame:
+    """Per-source KL divergence of the source's unigram distribution
+    against the whole-corpus distribution — the drift/outlier signal
+    used when auditing a crawl mix (a source whose token distribution
+    diverges hard from the corpus is boilerplate, spam, or another
+    language).
+
+    KL(p_s || q) = (1/N_s) * sum_t c_st * ln((c_st * N) / (N_s * c_t)).
+    The per-(source, term) contribution is rounded then summed as exact
+    DECIMAL (the ``token_entropy`` pattern) so the aggregate is
+    order-independent and engine-portable.
+
+    Scale shape: one explode + (source, term) partial-agg, a term-keyed
+    corpus rollup derived FROM that table (second small agg, not a
+    second scan), one term-keyed join, and a broadcast of the tiny
+    per-source totals. Work is proportional to corpus token volume;
+    no windows, no driver collect."""
+    from ..session import scoped_persist
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    tok = docs.repartition(par).select(
+        "source", F.explode(tokens("text")).alias("term")
+    )
+    # Four consumers derive from the (source, term) counts (corpus
+    # rollup, per-source totals, grand total, contribution join) —
+    # persist so the explode+partial-agg subtree runs once.
+    st = scoped_persist(tok.groupBy("source", "term").agg(F.count("*").alias("c_st")))
+    s_tot = st.groupBy("source").agg(
+        F.sum("c_st").cast("long").alias("n_s"),
+        F.count("*").cast("long").alias("distinct_terms"),
+    )
+    t_tot = st.groupBy("term").agg(F.sum("c_st").cast("long").alias("c_t"))
+    n_all = st.agg(F.sum("c_st").cast("long").alias("n_all"))
+    contrib = (
+        st.join(t_tot, "term")
+        .join(F.broadcast(s_tot.select("source", "n_s")), "source")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "source",
+            F.round(
+                F.col("c_st")
+                * F.log(
+                    (F.col("c_st").cast("double") * F.col("n_all"))
+                    / (F.col("n_s") * F.col("c_t").cast("double"))
+                ),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("r"),
+        )
+    )
+    kl = contrib.groupBy("source").agg(F.sum("r").alias("_kl"))
+    return (
+        s_tot.join(kl, "source")
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            "distinct_terms",
+            F.round(F.col("_kl").cast("double") / F.col("n_s"), 6).alias(
+                "kl_vs_corpus"
+            ),
+        )
+    )
+
+
+def docs_perplexity(docs: DataFrame) -> DataFrame:
+    """CCNet-style unigram-LM perplexity filtering: score every document
+    by its cross-entropy under the corpus's own unigram distribution —
+    the classic "does this look like the rest of the corpus" quality
+    signal (high perplexity ⇒ junk/outlier text; CCNet buckets a crawl
+    by exactly this number, just with a 5-gram LM).
+
+    H(d) = ln(N) − (1/n_d)·Σ c_dt·ln(c_t);  perplexity = exp(H).
+    Per-(doc, term) contributions are rounded then summed as exact
+    DECIMAL (order-independent, engine-portable); ln/exp appear once
+    per output row.
+
+    Scale shape: one explode into (doc, term) counts (scope-persisted —
+    the corpus frequency table derives from it, no second scan), a
+    term-keyed join, per-doc aggregation, and a one-row broadcast of
+    the grand total. Work ∝ corpus token volume."""
+    from ..session import scoped_persist
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    tok = docs.repartition(par).select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    dt = scoped_persist(tok.groupBy("doc_id", "term").agg(F.count("*").alias("c_dt")))
+    freq = dt.groupBy("term").agg(F.sum("c_dt").cast("long").alias("c_t"))
+    n_all = freq.agg(F.sum("c_t").cast("long").alias("n_all"))
+    per_doc = (
+        dt.join(freq, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_dt").cast("long").alias("n_tokens"),
+            F.sum(
+                F.round(F.col("c_dt") * F.log("c_t"), 8).cast("decimal(18,8)")
+            ).alias("_sl"),
+        )
+    )
+    h = F.log("n_all") - F.col("_sl").cast("double") / F.col("n_tokens")
+    return per_doc.crossJoin(F.broadcast(n_all)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(h, 6).alias("cross_entropy"),
+        F.round(F.exp(h), 6).alias("perplexity"),
+    )

@@ -35,6 +35,8 @@ from .operators.dedup import (
     CONTAINMENT_THRESHOLD,
     CONTAM_BENCH_MOD,
     CURATED_MAX_CONTAM,
+    DUP_SPAN_K,
+    PS_OVERLAP_K,
     WEIGHTED_SAMPLE_N,
 )
 from .operators.merge import EVENT_RULES
@@ -2160,4 +2162,162 @@ SELECT CAST(COUNT(*) AS BIGINT) AS sampled_pairs,
   CAST(COUNT(*) * 16 AS BIGINT) AS est_pairs,
   ROUND(CAST(1.0 AS DOUBLE) / 16, 6) AS sample_rate
 FROM o JOIN l ON o_orderkey = l_orderkey
+"""
+
+
+# Fixed-weight logistic quality model (operators/textquality.
+# quality_model_scores): the logit chain below mirrors the Spark
+# expression token-for-token; keep is decided on the logit sign so the
+# sigmoid's exp never decides a boolean.
+ORACLE_SQL["docs_quality_model"] = f"""
+WITH d AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+f AS (
+  SELECT doc_id, len(toks) AS n_tok, length(text) AS n_chars,
+    list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS tok_chars,
+    len(list_filter(toks, x -> list_contains({_sql_list(EN_STOP)}, x))) AS sw_hits,
+    length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct
+  FROM d
+),
+l AS (
+  SELECT doc_id,
+    CASE WHEN n_tok > 0 AND n_chars > 0 THEN
+      -2.0 + 0.45 * ln(1 + n_tok) + 3.0 * (sw_hits / CAST(n_tok AS DOUBLE))
+      + -0.25 * (tok_chars / CAST(n_tok AS DOUBLE))
+      + -8.0 * (n_punct / CAST(n_chars AS DOUBLE))
+    END AS logit
+  FROM f
+)
+SELECT doc_id, ROUND(logit, 6) AS quality_logit,
+  ROUND(1.0 / (1.0 + exp(-logit)), 6) AS quality_score,
+  COALESCE(logit >= 0, FALSE) AS keep
+FROM l
+"""
+
+# Per-source unigram KL divergence vs the corpus distribution
+# (operators/textquality.source_kl): per-(source, term) contributions
+# rounded then summed as exact DECIMAL (token_entropy pattern).
+ORACLE_SQL["docs_source_kl"] = f"""
+WITH tok AS (SELECT source, unnest({TOKS}) AS term FROM documents),
+st AS (SELECT source, term, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+s_tot AS (
+  SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s,
+    CAST(COUNT(*) AS BIGINT) AS distinct_terms
+  FROM st GROUP BY 1
+),
+t_tot AS (SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+n AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n_all FROM st),
+contrib AS (
+  SELECT st.source,
+    CAST(ROUND(c_st * ln((CAST(c_st AS DOUBLE) * n_all)
+                         / (n_s * CAST(c_t AS DOUBLE))), 8)
+         AS DECIMAL(18,8)) AS r
+  FROM st JOIN t_tot USING (term) JOIN s_tot USING (source), n
+),
+kl AS (SELECT source, SUM(r) AS klsum FROM contrib GROUP BY 1)
+SELECT s.source, s.n_s AS n_tokens, s.distinct_terms,
+  ROUND(CAST(k.klsum AS DOUBLE) / s.n_s, 6) AS kl_vs_corpus
+FROM s_tot s JOIN kl k USING (source)
+"""
+
+# Cross-document duplicated k-gram span coverage
+# (operators/dedup.dup_span_stats). Positions are 0-based on both
+# sides; grams are md5-hashed to a fixed-width key pre-shuffle.
+ORACLE_SQL["dup_span_stats"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+base AS (SELECT doc_id, len(t) AS n FROM toks WHERE len(t) > 0),
+sh AS (
+  SELECT doc_id, i - 1 AS pos,
+    md5(array_to_string(list_slice(t, i, i + {DUP_SPAN_K} - 1), ' ')) AS gh
+  FROM toks, LATERAL unnest(range(1, len(t) - {DUP_SPAN_K} + 2)) AS u(i)
+  WHERE len(t) >= {DUP_SPAN_K}
+),
+dup AS (SELECT gh FROM sh GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT s.doc_id, s.pos + j AS p
+  FROM sh s JOIN dup USING (gh), LATERAL unnest(range(0, {DUP_SPAN_K})) AS v(j)
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n_dup FROM cov GROUP BY 1)
+SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+  CAST(COALESCE(c.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+  ROUND(COALESCE(c.n_dup, 0) / CAST(b.n AS DOUBLE), 6) AS dup_ratio
+FROM base b LEFT JOIN cnt c USING (doc_id)
+"""
+
+# Deterministic rate-based mixture rebalancing to equal per-source
+# shares (operators/dedup.mixture_sample_documents): the md5-uniform is
+# the weighted_sample_documents expression; both engines compare the
+# identical exact uniform to the identical correctly-rounded division.
+ORACLE_SQL["mixture_sample_documents"] = """
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+m AS (SELECT MIN(n) AS mn FROM c),
+r AS (SELECT source, mn / CAST(n AS DOUBLE) AS rate FROM c, m),
+u AS (
+  SELECT doc_id, source,
+    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1)
+      / 4294967296.0 AS u
+  FROM documents
+)
+SELECT u.doc_id, u.source, ROUND(r.rate, 6) AS accept_rate
+FROM u JOIN r USING (source) WHERE u.u <= r.rate
+"""
+
+
+# Unigram-LM cross-entropy / perplexity per document
+# (operators/textquality.docs_perplexity): decimal-summed per-(doc,
+# term) contributions; ln/exp once per output row.
+ORACLE_SQL["docs_perplexity"] = f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+dt AS (SELECT doc_id, term, COUNT(*) AS c_dt FROM tok GROUP BY 1, 2),
+freq AS (SELECT term, CAST(SUM(c_dt) AS BIGINT) AS c_t FROM dt GROUP BY 1),
+n AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_all FROM freq),
+pd AS (
+  SELECT doc_id, CAST(SUM(c_dt) AS BIGINT) AS n_tokens,
+    SUM(CAST(ROUND(c_dt * ln(c_t), 8) AS DECIMAL(18,8))) AS sl
+  FROM dt JOIN freq USING (term) GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+  ROUND(ln(n_all) - CAST(sl AS DOUBLE) / n_tokens, 6) AS cross_entropy,
+  ROUND(exp(ln(n_all) - CAST(sl AS DOUBLE) / n_tokens), 6) AS perplexity
+FROM pd, n
+"""
+
+# Directed prefix/suffix seam pairs (operators/dedup.
+# prefix_suffix_overlap_pairs): doc A's last k tokens == doc B's
+# first k tokens, joined on the md5 of the space-joined gram.
+ORACLE_SQL["prefix_suffix_overlap_pairs"] = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS t FROM documents),
+f AS (SELECT doc_id, t FROM t WHERE len(t) >= {PS_OVERLAP_K}),
+pre AS (
+  SELECT doc_id AS doc_b,
+    md5(array_to_string(list_slice(t, 1, {PS_OVERLAP_K}), ' ')) AS gram_hash
+  FROM f
+),
+suf AS (
+  SELECT doc_id AS doc_a,
+    md5(array_to_string(list_slice(t, len(t) - {PS_OVERLAP_K} + 1, len(t)), ' '))
+      AS gram_hash
+  FROM f
+)
+SELECT doc_a, doc_b, gram_hash
+FROM suf JOIN pre USING (gram_hash) WHERE doc_a <> doc_b
+"""
+
+# Hardest different-label ANN neighbor per query
+# (operators/similarity.hard_negative_mining), composed over the
+# oracle-checked IVF-Flat top-k exactly like knn_label_vote.
+ORACLE_SQL["hard_negative_mining"] = f"""
+WITH topk AS ({ORACLE_SQL["ivf_flat_ann_topk"]}),
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+cand AS (
+  SELECT t.query_id, ql.label AS query_label, t.neighbor_id,
+    nl.label AS neg_label, t.sim,
+    row_number() OVER (PARTITION BY t.query_id
+                       ORDER BY t.rank, t.neighbor_id) AS rr
+  FROM topk t
+  JOIN lab ql ON ql.vec_id = t.query_id
+  JOIN lab nl ON nl.vec_id = t.neighbor_id
+  WHERE ql.label <> nl.label
+)
+SELECT query_id, query_label, neighbor_id AS negative_id, neg_label, sim
+FROM cand WHERE rr = 1
 """

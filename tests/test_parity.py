@@ -72,6 +72,13 @@ SF01_KEYS = [
     "docs_quality_filter",
     "curated_documents",
     # round-3 late additions (topk cuts / sketch estimates shift with data)
+    "docs_quality_model",
+    "docs_source_kl",
+    "dup_span_stats",
+    "mixture_sample_documents",
+    "docs_perplexity",
+    "prefix_suffix_overlap_pairs",
+    "hard_negative_mining",
     "sq8_ann_topk",
     "pq_ann_topk",
     "events_debounce",

@@ -225,6 +225,10 @@ _BNLJ_ALLOWED = {
     "events_hourly_gapfill",  # one-row hour-bounds cross onto the type list
     "kmv_type_overlap_matrix",  # T×T pair expansion over ≤T·k sketch rows
     "sq8_ann_topk",  # one-row quant-bounds cross + code scan vs broadcast queries
+    "docs_source_kl",  # one-row grand-total cross
+    "docs_perplexity",  # one-row grand-total cross
+    "mixture_sample_documents",  # one-row min-count cross onto the rate table
+    "hard_negative_mining",  # inherits ivf_flat's 16-row centroid cross
 }
 # These run eager work (KMeans fit / query collect / stream drain) at
 # plan-build time; their plan shape is asserted in their own tests.
