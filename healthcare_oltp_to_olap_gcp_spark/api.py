@@ -440,6 +440,26 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negative_mining": lambda s, d: similarity.hard_negative_mining(
         table(s, d, "embeddings")
     ),
+    "events_grouping_sets": lambda s, d: analytics.events_grouping_sets(
+        table(s, d, "events")
+    ),
+    "token_zipf_fit": lambda s, d: textquality.token_zipf_fit(
+        table(s, d, "documents")
+    ),
+    "clean_documents_keep_best": lambda s, d: dedup.clean_documents_keep_best(
+        table(s, d, "documents")
+    ),
+    # Composites / exact-integer rollups past the 50-entry driver
+    # window (the recall report's five constituent top-k frames are
+    # each windowed individually; the histogram is pure integer
+    # aggregation) — parity-checked at both local SFs like the
+    # round-2 composite family.
+    "ann_recall_report": lambda s, d: similarity.ann_recall_report(
+        table(s, d, "embeddings")
+    ),
+    "docs_length_histogram": lambda s, d: textquality.docs_length_histogram(
+        table(s, d, "documents")
+    ),
 }
 
 
@@ -510,18 +530,20 @@ _PRIORITY = [
     "docs_perplexity",
     "prefix_suffix_overlap_pairs",
     "hard_negative_mining",
+    "events_grouping_sets",
+    "token_zipf_fit",
+    "clean_documents_keep_best",
     # -- risk-ranked regression picks (never-driver-checked entries
-    # above displace the most tie-stable r2-green picks: sessionize
-    # family, token_typo_pairs, the brute/LSH ANN twins and the
-    # quadratic near-dup baseline — all unchanged since their green
-    # round and still covered by tests/test_parity.py; what stays is
-    # the round-3-rewritten ngram inverted index, the margin-sensitive
-    # GEMM, and the data-dependent LSH/components/SimHash family) --
+    # above displace r2-green-and-unchanged picks: sessionize family,
+    # token_typo_pairs, the brute/LSH ANN twins, the quadratic
+    # near-dup baseline, and the minhash/components/simhash family —
+    # all still covered by tests/test_parity.py, and the components
+    # subtree is additionally exercised inside the windowed
+    # clean_documents_keep_best composition; what stays is the
+    # round-3-rewritten ngram inverted index and the margin-sensitive
+    # GEMM) --
     "ann_gemm_topk",
-    "minhash_lsh_dup_pairs",
     "ngram_dup_pairs",
-    "dedup_components",
-    "simhash_dup_pairs",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

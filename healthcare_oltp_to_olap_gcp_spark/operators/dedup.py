@@ -876,3 +876,39 @@ def prefix_suffix_overlap_pairs(docs: DataFrame, k: int = PS_OVERLAP_K) -> DataF
         .filter(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b", "gram_hash")
     )
+
+
+def clean_documents_keep_best(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Near-dup collapse keeping the BEST cluster member instead of the
+    smallest doc_id: within each connected component the survivor is
+    the doc with the highest model quality logit (ties → smaller
+    doc_id) — what a production curation pipeline actually wants from
+    dedup (drop the mirror with the broken markup, keep the clean
+    original). Composes two independently oracle-checked stages
+    (``dedup_components`` × ``textquality.quality_model_scores``);
+    ranking uses the ROUNDED logit both engines emit, so survivor
+    choice is engine-portable. The per-component window runs on
+    cluster members only (near-dup clusters are small by
+    construction); the corpus itself is touched by two anti-join
+    scans."""
+    from pyspark.sql import Window as W
+
+    from .textquality import quality_model_scores
+
+    comps = dedup_components(docs, threshold)
+    q = quality_model_scores(docs).select("doc_id", "quality_logit")
+    m = comps.join(q, "doc_id")
+    w = W.partitionBy("component").orderBy(
+        F.col("quality_logit").desc_nulls_last(), "doc_id"
+    )
+    drops = (
+        m.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") != 1)
+        .select("doc_id")
+    )
+    return docs.join(drops, "doc_id", "left_anti").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.char_length("text").cast("long").alias("n_chars"),
+    )

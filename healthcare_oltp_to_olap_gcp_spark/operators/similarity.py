@@ -793,3 +793,48 @@ def hard_negative_mining(
             "sim",
         )
     )
+
+
+def ann_recall_report(embeddings: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+    """Index-quality dashboard: recall@k of every approximate ANN path
+    (IVF-Flat, multi-probe LSH, SQ8, PQ) against the exact brute-force
+    top-k, as one small metrics frame — the number an embedding-search
+    deploy watches when trading probe width / code size against
+    accuracy.
+
+    Each method's |Q|·k frame inner-joins the brute frame on
+    (query_id, neighbor_id); recall = hits / |brute|. The brute
+    result is scope-persisted (four consumers); per-method output is
+    ONE row, so the final union is 4 rows however large the corpus.
+    Exact integer counts + one rounded division keep it value-hash
+    oracle-checked end to end."""
+    from ..session import scoped_persist
+
+    brute = scoped_persist(
+        ann_brute_topk(embeddings, k).select("query_id", "neighbor_id")
+    )
+    total = brute.agg(F.count("*").alias("n_total"))
+    methods = (
+        ("ivf_flat", ivf_flat_ann_topk),
+        ("lsh", ann_lsh_topk),
+        ("sq8", sq8_ann_topk),
+        ("pq", pq_ann_topk),
+    )
+    rows = None
+    for name, fn in methods:
+        hits = (
+            fn(embeddings, k)
+            .select("query_id", "neighbor_id")
+            .join(brute, ["query_id", "neighbor_id"])
+            .agg(F.count("*").alias("n_hit"))
+        )
+        row = hits.crossJoin(F.broadcast(total)).select(
+            F.lit(name).alias("method"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.col("n_total").cast("long").alias("n_total"),
+            F.round(F.col("n_hit") / F.col("n_total").cast("double"), 6).alias(
+                "recall"
+            ),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

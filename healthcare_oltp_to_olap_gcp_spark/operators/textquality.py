@@ -716,3 +716,78 @@ def docs_perplexity(docs: DataFrame) -> DataFrame:
         F.round(h, 6).alias("cross_entropy"),
         F.round(F.exp(h), 6).alias("perplexity"),
     )
+
+
+ZIPF_TOP_V = 500
+
+
+def token_zipf_fit(docs: DataFrame, v: int = ZIPF_TOP_V) -> DataFrame:
+    """Zipf-law fit over the top-``v`` token frequencies: OLS of
+    ln(freq) on ln(rank) — the one-row corpus health check (natural
+    text sits near slope −1; a badly skewed or templated corpus
+    doesn't). Log-log points are rounded then summed as exact DECIMAL
+    (order-independent); the closed-form slope/intercept/r² arithmetic
+    runs once on the one-row aggregate in an order mirrored by the
+    oracle.
+
+    Scale shape: one explode + term count (map-side partials), a
+    TakeOrdered top-``v`` cut (never a global sort), then a window
+    over exactly ``v`` rows — bounded whatever the corpus size."""
+    from pyspark.sql import Window
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    tok = docs.repartition(par).select(F.explode(tokens("text")).alias("term"))
+    freq = tok.groupBy("term").agg(F.count("*").alias("c"))
+    top = freq.orderBy(F.col("c").desc(), "term").limit(v)
+    w = Window.orderBy(F.col("c").desc(), "term")
+    lr = F.log(F.col("r").cast("double"))
+    lc = F.log(F.col("c").cast("double"))
+    pts = top.select(F.row_number().over(w).alias("r"), "c").select(
+        F.round(lr, 8).cast("decimal(18,8)").alias("x"),
+        F.round(lc, 8).cast("decimal(18,8)").alias("y"),
+        F.round(lr * lc, 8).cast("decimal(18,8)").alias("xy"),
+        F.round(lr * lr, 8).cast("decimal(18,8)").alias("xx"),
+        F.round(lc * lc, 8).cast("decimal(18,8)").alias("yy"),
+    )
+    agg = pts.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("yy").cast("double").alias("syy"),
+    )
+    n = F.col("n_terms").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return agg.select(
+        "n_terms",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("zipf_intercept"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+    )
+
+
+def docs_length_histogram(docs: DataFrame) -> DataFrame:
+    """Per-source log2-bucketed document-length histogram — the length
+    distribution panel of a curation dashboard (truncation spikes and
+    boilerplate floods show up as bucket anomalies). The bucket is the
+    BINARY-STRING length of n_chars (= floor(log2 n)+1 for n ≥ 1):
+    pure integer arithmetic on both engines, so bucket boundaries can
+    never drift the way float log2 rounds near exact powers of two.
+    One aggregation, map-side combined; output ∝ sources × ~64."""
+    return (
+        docs.select(
+            "source",
+            F.length(F.bin("n_chars")).cast("long").alias("len_bucket"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .groupBy("source", "len_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

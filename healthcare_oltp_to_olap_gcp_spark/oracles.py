@@ -2321,3 +2321,134 @@ cand AS (
 SELECT query_id, query_label, neighbor_id AS negative_id, neg_label, sim
 FROM cand WHERE rr = 1
 """
+
+
+# Explicit GROUPING SETS surface (plans/analytics.events_grouping_sets):
+# a set neither ROLLUP nor CUBE expresses ((d,t), (t), ()).
+ORACLE_SQL["events_grouping_sets"] = f"""
+SELECT CAST(ts AS DATE) AS event_date, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  {_dsum('value')} AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((CAST(ts AS DATE), event_type), (event_type), ())
+"""
+
+# Zipf-law OLS over the top-V token frequencies
+# (operators/textquality.token_zipf_fit): decimal-summed log-log
+# moments, closed-form fit mirrored op-for-op.
+ORACLE_SQL["token_zipf_fit"] = f"""
+WITH tok AS (SELECT unnest({TOKS}) AS term FROM documents),
+freq AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1),
+top AS (SELECT term, c FROM freq ORDER BY c DESC, term LIMIT 500),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY c DESC, term) AS r, c FROM top
+),
+pts AS (
+  SELECT
+    CAST(ROUND(ln(CAST(r AS DOUBLE)), 8) AS DECIMAL(18,8)) AS x,
+    CAST(ROUND(ln(CAST(c AS DOUBLE)), 8) AS DECIMAL(18,8)) AS y,
+    CAST(ROUND(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE)), 8)
+         AS DECIMAL(18,8)) AS xy,
+    CAST(ROUND(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)), 8)
+         AS DECIMAL(18,8)) AS xx,
+    CAST(ROUND(ln(CAST(c AS DOUBLE)) * ln(CAST(c AS DOUBLE)), 8)
+         AS DECIMAL(18,8)) AS yy
+  FROM ranked
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+    CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx,
+    CAST(SUM(yy) AS DOUBLE) AS syy
+  FROM pts
+)
+SELECT n_terms,
+  ROUND((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+        / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope,
+  ROUND((sy - ((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)) * sx)
+        / CAST(n_terms AS DOUBLE), 6) AS zipf_intercept,
+  ROUND(((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+         * (CAST(n_terms AS DOUBLE) * sxy - sx * sy))
+        / ((CAST(n_terms AS DOUBLE) * sxx - sx * sx)
+           * (CAST(n_terms AS DOUBLE) * syy - sy * sy)), 6) AS r2
+FROM agg
+"""
+
+# Near-dup collapse keeping the best-quality member
+# (operators/dedup.clean_documents_keep_best): the clean_documents
+# component CTE x the rounded model logit; survivor = max logit
+# (NULLS LAST), ties to the smaller doc_id.
+ORACLE_SQL["clean_documents_keep_best"] = f"""
+WITH RECURSIVE {SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    ROUND(len(list_intersect(a.s, b.s))
+          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
+      AS jaccard
+  FROM shf a JOIN shf b ON a.doc_id < b.doc_id
+),
+dup AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.8),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+          UNION SELECT doc_b, doc_a FROM dup),
+nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src),
+q AS (SELECT doc_id, quality_logit FROM ({ORACLE_SQL["docs_quality_model"]})),
+m AS (SELECT c.doc_id, c.component, q.quality_logit
+      FROM comp c JOIN q USING (doc_id)),
+drops AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (
+      PARTITION BY component
+      ORDER BY quality_logit DESC NULLS LAST, doc_id) AS rn
+    FROM m
+  ) WHERE rn <> 1
+)
+SELECT d.doc_id, d.lang, d.source, CAST(length(d.text) AS BIGINT) AS n_chars
+FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+"""
+
+
+# Recall@k of every approximate ANN path vs exact brute force
+# (operators/similarity.ann_recall_report): each method's oracle is
+# embedded verbatim, so the report is value-hash-checked end to end.
+ORACLE_SQL["ann_recall_report"] = f"""
+WITH brute AS (SELECT query_id, neighbor_id FROM ({ORACLE_SQL["ann_topk"]})),
+m_ivf AS (SELECT query_id, neighbor_id FROM ({ORACLE_SQL["ivf_flat_ann_topk"]})),
+m_lsh AS (SELECT query_id, neighbor_id FROM ({ORACLE_SQL["ann_lsh_topk"]})),
+m_sq8 AS (SELECT query_id, neighbor_id FROM ({ORACLE_SQL["sq8_ann_topk"]})),
+m_pq AS (SELECT query_id, neighbor_id FROM ({ORACLE_SQL["pq_ann_topk"]})),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM brute),
+hits AS (
+  SELECT 'ivf_flat' AS method, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM m_ivf JOIN brute USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'lsh', CAST(COUNT(*) AS BIGINT)
+  FROM m_lsh JOIN brute USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'sq8', CAST(COUNT(*) AS BIGINT)
+  FROM m_sq8 JOIN brute USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'pq', CAST(COUNT(*) AS BIGINT)
+  FROM m_pq JOIN brute USING (query_id, neighbor_id)
+)
+SELECT method, n_hit, n_total,
+  ROUND(n_hit / CAST(n_total AS DOUBLE), 6) AS recall
+FROM hits, tot
+"""
+
+# Per-source log2-bucketed length histogram
+# (operators/textquality.docs_length_histogram): bucket = binary-string
+# length of n_chars — integer-exact in both engines.
+ORACLE_SQL["docs_length_histogram"] = """
+SELECT source, CAST(length(bin(n_chars)) AS BIGINT) AS len_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY 1, 2
+"""

@@ -1827,3 +1827,23 @@ def join_size_estimate(
         (F.count("*") * p_mod).cast("long").alias("est_pairs"),
         F.round(F.lit(1.0) / p_mod, 6).alias("sample_rate"),
     )
+
+
+def events_grouping_sets(events: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube are sugar
+    for: per (day, type), per type across all days, and the grand
+    total, but NOT per-day subtotals (a set neither ROLLUP nor CUBE
+    can express). One pass, one Expand + partial aggregation, exactly
+    like the rollup/cube twins."""
+    # Grouping columns must be pre-projected plain attributes: passing
+    # an expression alias (to_date(ts).alias(...)) into groupingSets
+    # fails to unify the set member with the output grouping column
+    # and silently nulls it in every set.
+    base = events.select(
+        F.to_date("ts").alias("event_date"), "event_type", "value"
+    )
+    d, t = F.col("event_date"), F.col("event_type")
+    return base.groupingSets([[d, t], [t], []], d, t).agg(
+        F.count("*").alias("n_events"),
+        money_sum(F.col("value")).alias("sum_value"),
+    )

@@ -79,6 +79,11 @@ SF01_KEYS = [
     "docs_perplexity",
     "prefix_suffix_overlap_pairs",
     "hard_negative_mining",
+    "events_grouping_sets",
+    "token_zipf_fit",
+    "clean_documents_keep_best",
+    "ann_recall_report",
+    "docs_length_histogram",
     "sq8_ann_topk",
     "pq_ann_topk",
     "events_debounce",

@@ -229,6 +229,7 @@ _BNLJ_ALLOWED = {
     "docs_perplexity",  # one-row grand-total cross
     "mixture_sample_documents",  # one-row min-count cross onto the rate table
     "hard_negative_mining",  # inherits ivf_flat's 16-row centroid cross
+    "ann_recall_report",  # one-row hit-count x one-row total per method
 }
 # These run eager work (KMeans fit / query collect / stream drain) at
 # plan-build time; their plan shape is asserted in their own tests.

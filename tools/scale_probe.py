@@ -48,6 +48,14 @@ PROBES = {
     "nearest_centroid_assign": {"embeddings": ["vec_id"]},
     "q21_waiting_suppliers": {"lineitem": ["l_orderkey"],
                               "orders": ["o_orderkey"]},
+    # round-3 continuation additions
+    "dup_span_stats": {"documents": ["doc_id"]},
+    "docs_perplexity": {"documents": ["doc_id"]},
+    "docs_source_kl": {"documents": ["doc_id"]},
+    "docs_quality_model": {"documents": ["doc_id"]},
+    "mixture_sample_documents": {"documents": ["doc_id"]},
+    "prefix_suffix_overlap_pairs": {"documents": ["doc_id"]},
+    "hard_negative_mining": {"embeddings": ["vec_id"]},
 }
 
 ID_SPAN = 100_000_000  # shift per copy; far above any real id
