@@ -460,6 +460,18 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_length_histogram": lambda s, d: textquality.docs_length_histogram(
         table(s, d, "documents")
     ),
+    "docs_dedup_report": lambda s, d: dedup.docs_dedup_report(
+        table(s, d, "documents")
+    ),
+    # New primitives that do not fit the full round-3 window — first
+    # in line for the round-4 rotation; until then the identical
+    # parity gate covers them at sf0.001 + sf0.01.
+    "docs_bigram_perplexity": lambda s, d: textquality.docs_bigram_perplexity(
+        table(s, d, "documents")
+    ),
+    "vocab_coverage": lambda s, d: textquality.vocab_coverage(
+        table(s, d, "documents")
+    ),
 }
 
 

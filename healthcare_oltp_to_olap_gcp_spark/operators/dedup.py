@@ -912,3 +912,41 @@ def clean_documents_keep_best(docs: DataFrame, threshold: float = 0.8) -> DataFr
         "source",
         F.char_length("text").cast("long").alias("n_chars"),
     )
+
+
+def docs_dedup_report(docs: DataFrame) -> DataFrame:
+    """One-row dedup-pipeline observability report — the numbers a
+    curation run logs after every stage: corpus size, exact-dup group
+    count and redundant-copy count, near-dup cluster membership, the
+    contaminated-doc count, and the final curated survivor count.
+    Every constituent (exact groups, components, contamination,
+    curated set) is its own oracle-checked registry query; this frame
+    is their one-row aggregate join (four broadcast one-row crosses —
+    output is ONE row whatever the corpus size)."""
+    from .textquality import quality_filter  # noqa: F401  (doc pointer)
+
+    base = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("long").alias("n_exact_groups"),
+    ).select(
+        "n_docs",
+        "n_exact_groups",
+        (F.col("n_docs") - F.col("n_exact_groups")).alias("n_exact_dup_docs"),
+    )
+    comp = dedup_components(docs).agg(
+        F.count("*").cast("long").alias("n_neardup_docs"),
+        F.countDistinct("component").cast("long").alias("n_neardup_clusters"),
+    )
+    contam = (
+        docs_contamination(docs)
+        .filter(F.col("contamination_ratio") > CURATED_MAX_CONTAM)
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+    curated = curated_documents(docs).agg(
+        F.count("*").cast("long").alias("n_curated")
+    )
+    return (
+        base.crossJoin(F.broadcast(comp))
+        .crossJoin(F.broadcast(contam))
+        .crossJoin(F.broadcast(curated))
+    )

@@ -791,3 +791,119 @@ def docs_length_histogram(docs: DataFrame) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+def docs_bigram_perplexity(docs: DataFrame) -> DataFrame:
+    """Bigram-LM perplexity per document (the CCNet-faithful upgrade of
+    ``docs_perplexity``): cross-entropy under the corpus's own MLE
+    bigram model, H(d) = −(1/m_d)·Σ c_dxy·ln(c_xy / c_x·), where c_xy
+    is the corpus bigram count and c_x· the prefix total. Every doc
+    bigram exists in the corpus model (it came from it), so the MLE
+    has no zeros to smooth. Contributions round→DECIMAL-sum per doc
+    (order-independent); docs with < 2 tokens have no bigram stream
+    and are excluded on both engines.
+
+    Scale shape: bigrams are built per-row with a zero-shuffle
+    higher-order transform; (doc, x, y) counts are scope-persisted —
+    the corpus bigram table AND its prefix rollup both derive from
+    them; joins run bigram- and prefix-keyed with map-side partials."""
+    from ..session import scoped_persist
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = tokens("text")
+    pairs = F.filter(
+        F.transform(
+            toks,
+            lambda t, i: F.when(
+                i < F.size(toks) - 1,
+                F.struct(
+                    F.element_at(toks, i + 1).alias("x"),
+                    F.element_at(toks, i + 2).alias("y"),
+                ),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    bi = (
+        docs.repartition(par)
+        .select("doc_id", F.explode(pairs).alias("b"))
+        .select("doc_id", F.col("b.x").alias("x"), F.col("b.y").alias("y"))
+    )
+    dxy = scoped_persist(
+        bi.groupBy("doc_id", "x", "y").agg(F.count("*").alias("c_dxy"))
+    )
+    xy = dxy.groupBy("x", "y").agg(F.sum("c_dxy").cast("long").alias("c_xy"))
+    xp = xy.groupBy("x").agg(F.sum("c_xy").cast("long").alias("c_xp"))
+    per_doc = (
+        dxy.join(xy, ["x", "y"])
+        .join(xp, "x")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_dxy").cast("long").alias("n_bigrams"),
+            F.sum(
+                F.round(
+                    F.col("c_dxy")
+                    * F.log(
+                        F.col("c_xy").cast("double") / F.col("c_xp").cast("double")
+                    ),
+                    8,
+                ).cast("decimal(18,8)")
+            ).alias("_sl"),
+        )
+    )
+    h = -(F.col("_sl").cast("double")) / F.col("n_bigrams")
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(h, 6).alias("cross_entropy"),
+        F.round(F.exp(h), 6).alias("perplexity"),
+    )
+
+
+VOCAB_COVERAGE_SIZES = (100, 500, 1000)
+
+
+def vocab_coverage(
+    docs: DataFrame, sizes: tuple[int, ...] = VOCAB_COVERAGE_SIZES
+) -> DataFrame:
+    """Tokenizer-prep coverage curve: what fraction of all corpus token
+    occurrences the top-V vocabulary covers, for V in ``sizes`` — the
+    number that decides a vocab size before training a tokenizer.
+
+    Scale shape: one term count (map-side partials), a TakeOrdered
+    top-max(V) cut (never a global sort), a window over ≤ max(V) rows,
+    one conditional aggregate per V in a single pass, and a one-row
+    broadcast of the corpus total; output is |sizes| rows."""
+    from pyspark.sql import Window
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    tok = docs.repartition(par).select(F.explode(tokens("text")).alias("term"))
+    freq = tok.groupBy("term").agg(F.count("*").alias("c"))
+    top = freq.orderBy(F.col("c").desc(), "term").limit(max(sizes))
+    w = Window.orderBy(F.col("c").desc(), "term")
+    ranked = top.withColumn("r", F.row_number().over(w))
+    agg = ranked.agg(
+        *[
+            F.sum(F.when(F.col("r") <= v, F.col("c")))
+            .cast("long")
+            .alias(f"c{v}")
+            for v in sizes
+        ]
+    )
+    total = freq.agg(F.sum("c").cast("long").alias("n_total"))
+    stack_args = ", ".join(f"{v}L, c{v}" for v in sizes)
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .selectExpr(
+            f"stack({len(sizes)}, {stack_args}) AS (vocab_size, covered_tokens)",
+            "n_total",
+        )
+        .select(
+            "vocab_size",
+            "covered_tokens",
+            "n_total",
+            F.round(
+                F.col("covered_tokens") / F.col("n_total").cast("double"), 6
+            ).alias("coverage"),
+        )
+    )

@@ -2452,3 +2452,88 @@ SELECT source, CAST(length(bin(n_chars)) AS BIGINT) AS len_bucket,
   CAST(MAX(n_chars) AS BIGINT) AS max_chars
 FROM documents GROUP BY 1, 2
 """
+
+
+# One-row dedup-pipeline observability report
+# (operators/dedup.docs_dedup_report): scalar rollups of the exact-dup,
+# component, contamination and curated oracles.
+ORACLE_SQL["docs_dedup_report"] = f"""
+WITH RECURSIVE {SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    ROUND(len(list_intersect(a.s, b.s))
+          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
+      AS jaccard
+  FROM shf a JOIN shf b ON a.doc_id < b.doc_id
+),
+dup AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.8),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+          UNION SELECT doc_b, doc_a FROM dup),
+nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+  (SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) FROM documents)
+    AS n_exact_groups,
+  (SELECT CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) FROM documents)
+    AS n_exact_dup_docs,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM comp) AS n_neardup_docs,
+  (SELECT CAST(COUNT(DISTINCT component) AS BIGINT) FROM comp)
+    AS n_neardup_clusters,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM ({ORACLE_SQL["docs_contamination"]})
+   WHERE contamination_ratio > {CURATED_MAX_CONTAM}) AS n_contaminated,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM ({ORACLE_SQL["curated_documents"]}))
+    AS n_curated
+"""
+
+# Bigram-LM cross-entropy / perplexity per document
+# (operators/textquality.docs_bigram_perplexity).
+ORACLE_SQL["docs_bigram_perplexity"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+bi AS (
+  SELECT doc_id, t[i] AS x, t[i + 1] AS y
+  FROM toks, LATERAL unnest(range(1, len(t))) AS u(i)
+),
+dxy AS (SELECT doc_id, x, y, COUNT(*) AS c_dxy FROM bi GROUP BY 1, 2, 3),
+xy AS (SELECT x, y, CAST(SUM(c_dxy) AS BIGINT) AS c_xy FROM dxy GROUP BY 1, 2),
+xp AS (SELECT x, CAST(SUM(c_xy) AS BIGINT) AS c_xp FROM xy GROUP BY 1),
+pd AS (
+  SELECT doc_id, CAST(SUM(c_dxy) AS BIGINT) AS n_bigrams,
+    SUM(CAST(ROUND(c_dxy * ln(CAST(c_xy AS DOUBLE) / CAST(c_xp AS DOUBLE)), 8)
+             AS DECIMAL(18,8))) AS sl
+  FROM dxy JOIN xy USING (x, y) JOIN xp USING (x)
+  GROUP BY 1
+)
+SELECT doc_id, n_bigrams,
+  ROUND(-(CAST(sl AS DOUBLE)) / n_bigrams, 6) AS cross_entropy,
+  ROUND(exp(-(CAST(sl AS DOUBLE)) / n_bigrams), 6) AS perplexity
+FROM pd
+"""
+
+# Top-V vocabulary coverage curve (operators/textquality.vocab_coverage).
+ORACLE_SQL["vocab_coverage"] = f"""
+WITH tok AS (SELECT unnest({TOKS}) AS term FROM documents),
+freq AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1),
+top AS (SELECT term, c FROM freq ORDER BY c DESC, term LIMIT 1000),
+ranked AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r FROM top),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM freq),
+cov AS (
+  SELECT CAST(100 AS BIGINT) AS vocab_size,
+    CAST(SUM(CASE WHEN r <= 100 THEN c END) AS BIGINT) AS covered_tokens
+  FROM ranked
+  UNION ALL
+  SELECT CAST(500 AS BIGINT),
+    CAST(SUM(CASE WHEN r <= 500 THEN c END) AS BIGINT) FROM ranked
+  UNION ALL
+  SELECT CAST(1000 AS BIGINT),
+    CAST(SUM(CASE WHEN r <= 1000 THEN c END) AS BIGINT) FROM ranked
+)
+SELECT vocab_size, covered_tokens, n_total,
+  ROUND(covered_tokens / CAST(n_total AS DOUBLE), 6) AS coverage
+FROM cov, tot
+"""

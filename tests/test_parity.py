@@ -84,6 +84,9 @@ SF01_KEYS = [
     "clean_documents_keep_best",
     "ann_recall_report",
     "docs_length_histogram",
+    "docs_dedup_report",
+    "docs_bigram_perplexity",
+    "vocab_coverage",
     "sq8_ann_topk",
     "pq_ann_topk",
     "events_debounce",

@@ -230,6 +230,8 @@ _BNLJ_ALLOWED = {
     "mixture_sample_documents",  # one-row min-count cross onto the rate table
     "hard_negative_mining",  # inherits ivf_flat's 16-row centroid cross
     "ann_recall_report",  # one-row hit-count x one-row total per method
+    "docs_dedup_report",  # four one-row stage-rollup crosses
+    "vocab_coverage",  # one-row conditional-sum frame x one-row total
 }
 # These run eager work (KMeans fit / query collect / stream drain) at
 # plan-build time; their plan shape is asserted in their own tests.
