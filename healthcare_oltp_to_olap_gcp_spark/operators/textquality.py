@@ -569,20 +569,10 @@ QUALITY_MODEL_W_TOKEN_LEN = -0.25
 QUALITY_MODEL_W_PUNCT = -8.0
 
 
-def quality_model_scores(docs: DataFrame) -> DataFrame:
-    """Model-based quality scoring: a fixed-weight logistic model over
-    four per-document features (log token count, stopword density,
-    mean token length, punctuation density) — the classifier-filter
-    stage of a training-data pipeline (fastText-style quality models
-    are applied exactly like this: per-row scoring, keep above a
-    threshold).
-
-    Determinism/oracle notes: the logit is a fixed left-to-right chain
-    of IEEE double ops mirrored token-for-token in the DuckDB oracle;
-    ``keep`` is decided on the *logit* sign (score >= 0.5 <=> logit
-    >= 0), so the only transcendental (exp in the sigmoid) never
-    decides a boolean. Scale shape: one narrow projection, zero
-    shuffles, whole-stage codegen end to end."""
+def quality_model_logit():
+    """The model logit as a reusable Column over a ``text`` column —
+    shared by the batch scorer and the streaming curation stage so
+    both paths apply the byte-identical model."""
     toks = tokens("text")
     n_tok = F.size(toks).cast("long")
     n_chars = F.char_length("text").cast("long")
@@ -598,7 +588,24 @@ def quality_model_scores(docs: DataFrame) -> DataFrame:
         + F.lit(QUALITY_MODEL_W_TOKEN_LEN) * (tok_chars / n_tok.cast("double"))
         + F.lit(QUALITY_MODEL_W_PUNCT) * (n_punct / n_chars.cast("double"))
     )
-    guarded = F.when((n_tok > 0) & (n_chars > 0), logit)
+    return F.when((n_tok > 0) & (n_chars > 0), logit)
+
+
+def quality_model_scores(docs: DataFrame) -> DataFrame:
+    """Model-based quality scoring: a fixed-weight logistic model over
+    four per-document features (log token count, stopword density,
+    mean token length, punctuation density) — the classifier-filter
+    stage of a training-data pipeline (fastText-style quality models
+    are applied exactly like this: per-row scoring, keep above a
+    threshold).
+
+    Determinism/oracle notes: the logit is a fixed left-to-right chain
+    of IEEE double ops mirrored token-for-token in the DuckDB oracle;
+    ``keep`` is decided on the *logit* sign (score >= 0.5 <=> logit
+    >= 0), so the only transcendental (exp in the sigmoid) never
+    decides a boolean. Scale shape: one narrow projection, zero
+    shuffles, whole-stage codegen end to end."""
+    guarded = quality_model_logit()
     return docs.select(
         "doc_id",
         F.round(guarded, 6).alias("quality_logit"),

@@ -336,3 +336,53 @@ def fact_events_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = incremental_fact_sink(stream, store)
     q.awaitTermination()
     return read_fact_store(spark, store)
+
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """File-source stream over a documents parquet directory — the
+    ingest side of a continuously-fed training-data pipeline (each
+    crawl drop lands as files; the stream picks them up)."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(docs_dir)
+    )
+
+
+def curation_stream(stream: DataFrame) -> DataFrame:
+    """Streaming document curation: the batch quality-model gate and
+    exact dedup applied as stream transformations — proof that the
+    curation operators are incremental-safe. The model filter is pure
+    per-row projection (stateless, runs unchanged on a streaming
+    frame); exact dedup becomes ``dropDuplicates`` on the content
+    fingerprint (keyed state; bounded by a watermark-less availableNow
+    run in tests, by a fingerprint-TTL in continuous production).
+    Emits the curated stream of (doc_id, fp, source, quality_logit).
+    The model gate reuses the batch scorer's Column expression
+    directly — no self-join of the stream, one stateless projection."""
+    from ..operators.textquality import quality_model_logit
+
+    guarded = quality_model_logit()
+    return (
+        stream.select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("fp"),
+            F.round(guarded, 6).alias("quality_logit"),
+            F.coalesce(guarded >= 0, F.lit(False)).alias("_keep"),
+        )
+        .filter(F.col("_keep"))
+        .drop("_keep")
+        .dropDuplicates(["fp"])
+    )

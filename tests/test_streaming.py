@@ -246,3 +246,45 @@ def test_streaming_session_agg_converges_to_batch(spark, tmp_path):
     closed = {k for k, r in want_map.items() if pd.Timestamp(r[2]) < horizon}
     assert closed, "test data must contain watermark-closed sessions"
     assert closed <= set(got_map)
+
+
+def test_streaming_doc_curation_equals_batch(spark, tmp_path):
+    # The curation gate (quality-model filter + exact dedup) applied as
+    # a stream must keep exactly the batch gate's fingerprint set —
+    # even when a crawl drop is delivered twice (replayed file).
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    shutil.copy(f"{SF001}/documents.parquet", src / "part-0.parquet")
+    shutil.copy(f"{SF001}/documents.parquet", src / "part-1.parquet")
+
+    stream = pipeline.read_documents_stream(spark, str(src))
+    got = pipeline.run_available_now_append(
+        pipeline.curation_stream(stream), "t_doc_curation"
+    )
+
+    from pyspark.sql import functions as F
+
+    from healthcare_oltp_to_olap_gcp_spark.operators.textquality import (
+        quality_model_scores,
+    )
+
+    docs = table(spark, SF001, "documents")
+    kept = quality_model_scores(docs).filter(F.col("keep")).select("doc_id")
+    want_fps = {
+        r.fp
+        for r in docs.join(kept, "doc_id")
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+        .collect()
+    }
+    got_rows = got.collect()
+    assert {r.fp for r in got_rows} == want_fps
+    # dedup state must have absorbed both the replayed file and
+    # in-corpus exact dups: one row per fingerprint.
+    assert len(got_rows) == len(want_fps)
+    # every emitted logit equals the batch scorer's for that doc
+    batch_logit = {
+        r.doc_id: r.quality_logit for r in quality_model_scores(docs).collect()
+    }
+    for r in got_rows:
+        assert batch_logit[r.doc_id] == r.quality_logit
