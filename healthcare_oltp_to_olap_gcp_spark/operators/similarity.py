@@ -832,9 +832,10 @@ def ann_recall_report(embeddings: DataFrame, k: int = DEFAULT_K) -> DataFrame:
             F.lit(name).alias("method"),
             F.col("n_hit").cast("long").alias("n_hit"),
             F.col("n_total").cast("long").alias("n_total"),
-            F.round(F.col("n_hit") / F.col("n_total").cast("double"), 6).alias(
-                "recall"
-            ),
+            F.when(
+                F.col("n_total") > 0,
+                F.round(F.col("n_hit") / F.col("n_total").cast("double"), 6),
+            ).alias("recall"),
         )
         rows = row if rows is None else rows.unionByName(row)
     return rows

@@ -2438,7 +2438,8 @@ hits AS (
   FROM m_pq JOIN brute USING (query_id, neighbor_id)
 )
 SELECT method, n_hit, n_total,
-  ROUND(n_hit / CAST(n_total AS DOUBLE), 6) AS recall
+  CASE WHEN n_total > 0
+       THEN ROUND(n_hit / CAST(n_total AS DOUBLE), 6) END AS recall
 FROM hits, tot
 """
 

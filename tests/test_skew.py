@@ -25,6 +25,7 @@ USER_KEYED = (
     "user_retention_cohorts",
     "user_value_deltas",
     "asof_last_view_before_purchase",
+    "events_debounce",
 )
 
 
