@@ -472,6 +472,12 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_coverage": lambda s, d: textquality.vocab_coverage(
         table(s, d, "documents")
     ),
+    "events_hourly_robust_anomalies": lambda s, d: (
+        analytics.events_hourly_robust_anomalies(table(s, d, "events"))
+    ),
+    "part_copurchase_lift": lambda s, d: analytics.part_copurchase_lift(
+        table(s, d, "lineitem")
+    ),
 }
 
 

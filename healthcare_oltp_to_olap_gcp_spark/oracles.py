@@ -48,6 +48,7 @@ from .operators.textquality import (
     QF_MIN_TOKENS,
 )
 from .plans.analytics import (
+    ANOMALY_Z,
     BLOOM_PRIORITY,
     Q1_CUTOFF,
     Q3_DATE,
@@ -2537,4 +2538,50 @@ cov AS (
 SELECT vocab_size, covered_tokens, n_total,
   ROUND(covered_tokens / CAST(n_total AS DOUBLE), 6) AS coverage
 FROM cov, tot
+"""
+
+
+# Median/MAD robust anomaly twin
+# (plans/analytics.events_hourly_robust_anomalies): integer inputs make
+# the interpolated median and MAD bit-identical dyadic doubles.
+ORACLE_SQL["events_hourly_robust_anomalies"] = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour_ts, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+med AS (SELECT event_type, quantile_cont(n, 0.5) AS med FROM hourly GROUP BY 1),
+dev AS (
+  SELECT h.event_type, h.hour_ts, h.n, m.med, ABS(h.n - m.med) AS ad
+  FROM hourly h JOIN med m USING (event_type)
+),
+mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT d.event_type, d.hour_ts, CAST(d.n AS BIGINT) AS n_events,
+  ROUND((d.n - d.med) / (1.4826 * m.mad), 6) AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE m.mad > 0
+  AND ABS(ROUND((d.n - d.med) / (1.4826 * m.mad), 6)) > {ANOMALY_Z}
+"""
+
+# Top-k market-basket lift over order baskets
+# (plans/analytics.part_copurchase_lift).
+ORACLE_SQL["part_copurchase_lift"] = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pc AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+sup AS (SELECT l_partkey, COUNT(*) AS n_orders FROM items GROUP BY 1),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_total FROM items)
+SELECT CAST(part_a AS BIGINT) AS part_a, CAST(part_b AS BIGINT) AS part_b,
+  CAST(n_ab AS BIGINT) AS n_ab, CAST(sa.n_orders AS BIGINT) AS n_a,
+  CAST(sb.n_orders AS BIGINT) AS n_b,
+  ROUND((CAST(n_ab AS DOUBLE) * n_total)
+        / (sa.n_orders * CAST(sb.n_orders AS DOUBLE)), 6) AS lift
+FROM pc
+JOIN sup sa ON pc.part_a = sa.l_partkey
+JOIN sup sb ON pc.part_b = sb.l_partkey, tot
+ORDER BY n_ab DESC, part_a, part_b
+LIMIT 50
 """

@@ -1847,3 +1847,104 @@ def events_grouping_sets(events: DataFrame) -> DataFrame:
         F.count("*").alias("n_events"),
         money_sum(F.col("value")).alias("sum_value"),
     )
+
+
+def events_hourly_robust_anomalies(events: DataFrame) -> DataFrame:
+    """Median/MAD twin of ``events_hourly_anomalies``: hours whose
+    count deviates more than ``ANOMALY_Z`` robust sigmas
+    ((n − median) / (1.4826·MAD)) from the type's hourly median —
+    immune to the anomalies themselves inflating the baseline, which
+    is exactly when the z-score version under-fires.
+
+    Cross-engine exactness: inputs are integer counts, so the exact
+    interpolated median and the MAD (medians of dyadic .5 values) are
+    bit-identical doubles in both engines; the score is one fixed IEEE
+    expression rounded once. Scale: the grouped percentiles sort
+    HOUR-GRAIN rows — calendar-bounded (≤ 8.8k hours/year/type),
+    independent of raw event volume, same argument as the 7-day
+    moving average."""
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"))
+    med = hourly.groupBy("event_type").agg(
+        F.percentile("n_events", 0.5).alias("med")
+    )
+    dev = hourly.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("n_events") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("ad", 0.5).alias("mad"))
+    rz = (F.col("n_events") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .withColumn("robust_z", F.round(rz, 6))
+        .filter(F.abs(F.col("robust_z")) > ANOMALY_Z)
+        .select(
+            "event_type",
+            "hour_ts",
+            F.col("n_events").cast("long").alias("n_events"),
+            "robust_z",
+        )
+    )
+
+
+COPURCHASE_TOP_K = 50
+
+
+def part_copurchase_lift(lineitem: DataFrame, k: int = COPURCHASE_TOP_K) -> DataFrame:
+    """Market-basket affinity over order baskets: for the top-k
+    co-purchased part pairs, support counts and lift
+    P(a,b) / (P(a)·P(b)) — the association-rule primitive behind
+    "frequently bought together".
+
+    Scale shape: the self-join is keyed on l_orderkey with per-order
+    fan-out C(m,2) bounded by basket size (m ≤ 7 in TPC-H; real carts
+    are similarly capped — a df-cap on pathological baskets is the
+    standard guard), part supports and the order total derive from the
+    distinct (order, part) stream, the two support joins run on the
+    pair-count table, and the final cut is TakeOrdered — never a
+    global sort."""
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        "l_orderkey", F.col("l_partkey").alias("part_b")
+    )
+    pair_counts = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    supports = items.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
+    total = items.agg(F.countDistinct("l_orderkey").alias("n_total"))
+    lift = (F.col("n_ab").cast("double") * F.col("n_total")) / (
+        F.col("n_a") * F.col("n_b").cast("double")
+    )
+    return (
+        pair_counts.join(
+            supports.select(
+                F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("n_a")
+            ),
+            "part_a",
+        )
+        .join(
+            supports.select(
+                F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("n_b")
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .orderBy(F.col("n_ab").desc(), "part_a", "part_b")
+        .limit(k)
+        .select(
+            F.col("part_a").cast("long").alias("part_a"),
+            F.col("part_b").cast("long").alias("part_b"),
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(lift, 6).alias("lift"),
+        )
+    )

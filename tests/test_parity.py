@@ -87,6 +87,8 @@ SF01_KEYS = [
     "docs_dedup_report",
     "docs_bigram_perplexity",
     "vocab_coverage",
+    "events_hourly_robust_anomalies",
+    "part_copurchase_lift",
     "sq8_ann_topk",
     "pq_ann_topk",
     "events_debounce",

@@ -232,6 +232,7 @@ _BNLJ_ALLOWED = {
     "ann_recall_report",  # one-row hit-count x one-row total per method
     "docs_dedup_report",  # four one-row stage-rollup crosses
     "vocab_coverage",  # one-row conditional-sum frame x one-row total
+    "part_copurchase_lift",  # one-row order-total cross onto the pair counts
 }
 # These run eager work (KMeans fit / query collect / stream drain) at
 # plan-build time; their plan shape is asserted in their own tests.
