@@ -478,6 +478,15 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_copurchase_lift": lambda s, d: analytics.part_copurchase_lift(
         table(s, d, "lineitem")
     ),
+    "events_cusum_changepoints": lambda s, d: analytics.events_cusum_changepoints(
+        table(s, d, "events")
+    ),
+    "orders_revenue_concentration": lambda s, d: (
+        analytics.orders_revenue_concentration(table(s, d, "orders"))
+    ),
+    "langid_confusion": lambda s, d: textquality.langid_confusion(
+        table(s, d, "documents")
+    ),
 }
 
 

@@ -914,3 +914,27 @@ def vocab_coverage(
             ).alias("coverage"),
         )
     )
+
+
+def langid_confusion(docs: DataFrame) -> DataFrame:
+    """Language-ID quality audit: the confusion matrix of the heuristic
+    classifier against the corpus's labeled language, with per-cell
+    counts and the row-normalized rate — how curation pipelines decide
+    whether the cheap n-gram/stopword LID is good enough before paying
+    for a model. One aggregation over the zero-shuffle classifier
+    projection; output ≤ |langs|² cells."""
+    pred = langid(docs)
+    cells = pred.groupBy("labeled_lang", "pred_lang").agg(
+        F.count("*").alias("n")
+    )
+    totals = cells.groupBy("labeled_lang").agg(F.sum("n").alias("n_labeled"))
+    return (
+        cells.join(totals, "labeled_lang")
+        .select(
+            "labeled_lang",
+            "pred_lang",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_labeled").cast("long").alias("n_labeled"),
+            F.round(F.col("n") / F.col("n_labeled").cast("double"), 6).alias("rate"),
+        )
+    )

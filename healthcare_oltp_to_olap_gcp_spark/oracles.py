@@ -50,6 +50,9 @@ from .operators.textquality import (
 from .plans.analytics import (
     ANOMALY_Z,
     BLOOM_PRIORITY,
+    CUSUM_H,
+    CUSUM_K,
+    PARETO_TOP_PCT,
     Q1_CUTOFF,
     Q3_DATE,
     Q5_HI,
@@ -2584,4 +2587,89 @@ JOIN sup sa ON pc.part_a = sa.l_partkey
 JOIN sup sb ON pc.part_b = sb.l_partkey, tot
 ORDER BY n_ab DESC, part_a, part_b
 LIMIT 50
+"""
+
+
+# CUSUM level-shift detection (plans/analytics.events_cusum_changepoints):
+# the reset recurrence via prefix-minus-running-min, accumulated in
+# exact DECIMAL so the running sums cannot drift between engines.
+ORACLE_SQL["events_cusum_changepoints"] = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour_ts, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS hours, SUM(n) AS s, SUM(n * n) AS sq
+  FROM hourly GROUP BY 1
+),
+based AS (
+  SELECT h.event_type, h.hour_ts, h.n,
+    ROUND(
+      (h.n - CAST(s AS DOUBLE) / hours)
+      / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / hours)
+             / (hours - 1)),
+      8
+    ) AS z
+  FROM hourly h JOIN stats st USING (event_type)
+  WHERE hours > 1
+    AND (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / hours)
+        / (hours - 1) > 0
+),
+p AS (
+  SELECT *,
+    SUM(CAST(ROUND(z - {CUSUM_K}, 8) AS DECIMAL(18,8))) OVER w AS up_p,
+    SUM(CAST(ROUND(-z - {CUSUM_K}, 8) AS DECIMAL(18,8))) OVER w AS dn_p
+  FROM based
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts ROWS UNBOUNDED PRECEDING)
+),
+c AS (
+  SELECT *,
+    ROUND(CAST(up_p - LEAST(MIN(up_p) OVER w2, CAST(0 AS DECIMAL(18,8)))
+               AS DOUBLE), 6) AS cusum_up,
+    ROUND(CAST(dn_p - LEAST(MIN(dn_p) OVER w2, CAST(0 AS DECIMAL(18,8)))
+               AS DOUBLE), 6) AS cusum_down
+  FROM p
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY hour_ts ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type, hour_ts, CAST(n AS BIGINT) AS n_events, cusum_up, cusum_down
+FROM c WHERE cusum_up > {CUSUM_H} OR cusum_down > {CUSUM_H}
+"""
+
+# One-row revenue-concentration metric
+# (plans/analytics.orders_revenue_concentration).
+ORACLE_SQL["orders_revenue_concentration"] = f"""
+WITH per_cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+),
+cut AS (
+  SELECT quantile_cont(CAST(rev AS DOUBLE), {1.0 - PARETO_TOP_PCT}) AS c
+  FROM per_cust
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(CASE WHEN CAST(rev AS DOUBLE) >= c THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_top,
+  CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+  CAST(SUM(CASE WHEN CAST(rev AS DOUBLE) >= c THEN rev
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS top_revenue,
+  ROUND(CAST(SUM(CASE WHEN CAST(rev AS DOUBLE) >= c THEN rev
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        / CAST(SUM(rev) AS DOUBLE), 6) AS top_share
+FROM per_cust, cut
+"""
+
+# Language-ID confusion matrix (operators/textquality.langid_confusion):
+# the langid oracle embedded, one rollup + row-normalized rate.
+ORACLE_SQL["langid_confusion"] = f"""
+WITH pred AS ({ORACLE_SQL["docs_langid"]}),
+cells AS (
+  SELECT labeled_lang, pred_lang, COUNT(*) AS n
+  FROM pred GROUP BY 1, 2
+),
+totals AS (SELECT labeled_lang, SUM(n) AS n_labeled FROM cells GROUP BY 1)
+SELECT c.labeled_lang, c.pred_lang, CAST(c.n AS BIGINT) AS n,
+  CAST(t.n_labeled AS BIGINT) AS n_labeled,
+  ROUND(c.n / CAST(t.n_labeled AS DOUBLE), 6) AS rate
+FROM cells c JOIN totals t USING (labeled_lang)
 """

@@ -1948,3 +1948,132 @@ def part_copurchase_lift(lineitem: DataFrame, k: int = COPURCHASE_TOP_K) -> Data
             F.round(lift, 6).alias("lift"),
         )
     )
+
+
+CUSUM_K = 0.5
+CUSUM_H = 5.0
+
+
+def events_cusum_changepoints(events: DataFrame) -> DataFrame:
+    """CUSUM level-shift detection over the hourly count series of each
+    event type: standardized deviations accumulate in a one-sided sum
+    that resets at zero (slack ``CUSUM_K``); hours where either side
+    exceeds ``CUSUM_H`` flag a sustained shift — the classic
+    complement to pointwise z/robust anomaly scoring (which misses
+    slow drifts).
+
+    The recurrence s_i = max(0, s_{i-1} + x_i) is not a plain window
+    sum, but it IS expressible exactly: s_i = p_i − min(p_0..p_i)
+    where p is the running prefix sum — so both engines compute it
+    with two stacked window functions over the hour series, no UDF,
+    no iteration. Windows partition by type over calendar-bounded
+    hour rows (same scale argument as the robust twin); the per-type
+    mean/std baseline reuses the exact integer moments."""
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("_hours"),
+        F.sum("n_events").alias("_s"),
+        F.sum(F.col("n_events").cast("decimal(19,0)") * F.col("n_events")).alias(
+            "_sq"
+        ),
+    )
+    mean = F.col("_s").cast("double") / F.col("_hours")
+    var = (
+        F.col("_sq").cast("double")
+        - F.col("_s").cast("double") * F.col("_s").cast("double") / F.col("_hours")
+    ) / (F.col("_hours") - 1)
+    based = (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter((F.col("_hours") > 1) & (var > 0))
+        .select(
+            "event_type",
+            "hour_ts",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round((F.col("n_events") - mean) / F.sqrt(var), 8).alias("_z"),
+        )
+    )
+    # Prefix sums accumulate in exact DECIMAL: a float running SUM's
+    # association order is an engine implementation detail (DuckDB may
+    # use a segment tree where Spark adds sequentially), so doubles
+    # here could drift at the last ulp between engines.
+    w = Window.partitionBy("event_type").orderBy("hour_ts")
+    wmin = w.rowsBetween(Window.unboundedPreceding, 0)
+    zero = F.lit(0).cast("decimal(28,8)")
+    up_p = F.sum(
+        F.round(F.col("_z") - CUSUM_K, 8).cast("decimal(18,8)")
+    ).over(wmin)
+    dn_p = F.sum(
+        F.round(-F.col("_z") - CUSUM_K, 8).cast("decimal(18,8)")
+    ).over(wmin)
+    scored = (
+        based.withColumn("_up_p", up_p)
+        .withColumn("_dn_p", dn_p)
+        .withColumn(
+            "cusum_up",
+            F.round(
+                (
+                    F.col("_up_p") - F.least(F.min("_up_p").over(wmin), zero)
+                ).cast("double"),
+                6,
+            ),
+        )
+        .withColumn(
+            "cusum_down",
+            F.round(
+                (
+                    F.col("_dn_p") - F.least(F.min("_dn_p").over(wmin), zero)
+                ).cast("double"),
+                6,
+            ),
+        )
+    )
+    return scored.filter(
+        (F.col("cusum_up") > CUSUM_H) | (F.col("cusum_down") > CUSUM_H)
+    ).select("event_type", "hour_ts", "n_events", "cusum_up", "cusum_down")
+
+
+PARETO_TOP_PCT = 0.01
+
+
+def orders_revenue_concentration(orders: DataFrame) -> DataFrame:
+    """Revenue concentration (the Pareto question): what share of total
+    revenue the top-1%-by-revenue customers hold, plus the customer
+    counts behind it — the one-row health metric behind "do a handful
+    of accounts carry the business".
+
+    Scale shape: per-customer rollup (one shuffle, map-side partials),
+    the cutoff revenue from one exact interpolated percentile over the
+    per-customer frame (scale path: approx_percentile, same swap as
+    the RFM boundaries), broadcast back as a one-row bound, then one
+    conditional aggregate. Money stays in exact DECIMAL until the
+    final share division."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    cut = per_cust.agg(
+        F.percentile(F.col("rev").cast("double"), 1.0 - PARETO_TOP_PCT).alias("_cut")
+    )
+    agg = per_cust.crossJoin(F.broadcast(cut)).agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(F.when(F.col("rev").cast("double") >= F.col("_cut"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_top"),
+        F.sum("rev").alias("_total"),
+        F.sum(
+            F.when(F.col("rev").cast("double") >= F.col("_cut"), F.col("rev")).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        ).alias("_top_rev"),
+    )
+    return agg.select(
+        "n_customers",
+        "n_top",
+        F.col("_total").cast("double").alias("total_revenue"),
+        F.col("_top_rev").cast("double").alias("top_revenue"),
+        F.round(
+            F.col("_top_rev").cast("double") / F.col("_total").cast("double"), 6
+        ).alias("top_share"),
+    )

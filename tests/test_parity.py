@@ -89,6 +89,9 @@ SF01_KEYS = [
     "vocab_coverage",
     "events_hourly_robust_anomalies",
     "part_copurchase_lift",
+    "events_cusum_changepoints",
+    "orders_revenue_concentration",
+    "langid_confusion",
     "sq8_ann_topk",
     "pq_ann_topk",
     "events_debounce",

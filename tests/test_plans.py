@@ -233,6 +233,7 @@ _BNLJ_ALLOWED = {
     "docs_dedup_report",  # four one-row stage-rollup crosses
     "vocab_coverage",  # one-row conditional-sum frame x one-row total
     "part_copurchase_lift",  # one-row order-total cross onto the pair counts
+    "orders_revenue_concentration",  # one-row percentile-boundary cross
 }
 # These run eager work (KMeans fit / query collect / stream drain) at
 # plan-build time; their plan shape is asserted in their own tests.
