@@ -487,6 +487,7 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_confusion": lambda s, d: textquality.langid_confusion(
         table(s, d, "documents")
     ),
+    "part_pagerank": lambda s, d: analytics.part_pagerank(table(s, d, "lineitem")),
 }
 
 

@@ -2673,3 +2673,61 @@ SELECT c.labeled_lang, c.pred_lang, CAST(c.n AS BIGINT) AS n,
   ROUND(c.n / CAST(t.n_labeled AS DOUBLE), 6) AS rate
 FROM cells c JOIN totals t USING (labeled_lang)
 """
+
+
+# PageRank over the undirected part co-purchase graph
+# (plans/analytics.part_pagerank): the fixed-round iteration unrolled
+# into CTEs — per-edge contributions rounded then DECIMAL-summed, each
+# round's rank re-rounded, so the float recurrence is bit-identical to
+# the Spark loop by induction. Float constants are injected via repr()
+# so 1.0 - 0.85 parses to the same double in both engines.
+from .plans.analytics import (  # noqa: E402
+    PAGERANK_DAMPING as _PRD_,
+    PAGERANK_ITERS as _PRI_,
+    PAGERANK_SCALE as _PRS_,
+)
+
+
+def _pagerank_oracle() -> str:
+    base = 1.0 - _PRD_
+    sql = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL SELECT pb, pa FROM pairs
+),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+r0 AS (
+  SELECT node, deg, ROUND(1.0 / n.n_nodes, {scale}) AS r FROM deg, n
+)"""
+    for i in range(_PRI_):
+        sql += """,
+c{next} AS (
+  SELECT e.dst AS node,
+    CAST(ROUND(r.r / r.deg, {scale}) AS DECIMAL(38,18)) AS c
+  FROM edges e JOIN r{cur} r ON e.src = r.node
+),
+r{next} AS (
+  SELECT c.node, d.deg,
+    ROUND({base!r} / n.n_nodes + {damp!r} * CAST(SUM(c.c) AS DOUBLE),
+          {scale}) AS r
+  FROM c{next} c JOIN deg d USING (node), n
+  GROUP BY c.node, d.deg, n.n_nodes
+)""".replace("{next}", str(i + 1)).replace("{cur}", str(i))
+    sql += f"""
+SELECT CAST(node AS BIGINT) AS part, CAST(deg AS BIGINT) AS degree,
+  ROUND(r, 6) AS pagerank
+FROM r{_PRI_}
+"""
+    return sql.replace("{scale}", str(_PRS_)).replace(
+        "{base!r}", repr(base)
+    ).replace("{damp!r}", repr(_PRD_))
+
+
+ORACLE_SQL["part_pagerank"] = _pagerank_oracle()

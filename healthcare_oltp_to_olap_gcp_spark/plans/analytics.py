@@ -2077,3 +2077,84 @@ def orders_revenue_concentration(orders: DataFrame) -> DataFrame:
             F.col("_top_rev").cast("double") / F.col("_total").cast("double"), 6
         ).alias("top_share"),
     )
+
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 3
+PAGERANK_SCALE = 12
+
+
+def part_pagerank(lineitem: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
+    """PageRank over the undirected part co-purchase graph (nodes =
+    parts, edges = distinct same-order part pairs): the canonical
+    iterative graph algorithm, done the way Spark wants it — each
+    round is one edges⋈ranks join plus one groupBy on the destination
+    key, nothing ever reaches the driver.
+
+    Cross-engine exactness for an iterative float algorithm: every
+    per-edge contribution r(src)/deg(src) is an IEEE double division
+    rounded to ``PAGERANK_SCALE`` places, summed as exact
+    DECIMAL(38,18) (order-independent under any partitioning), and
+    each new rank is re-rounded — so ranks stay bit-identical between
+    Spark and the oracle's unrolled-CTE form by induction over rounds.
+    Undirected edges mean deg ≥ 1 for every node: no dangling-mass
+    term.
+
+    Scale shape: the edge list is built once and eagerly
+    ``localCheckpoint``-ed (the basket self-join is planned a single
+    time; each round replans only the shallow join/agg subtree); the
+    per-round shuffle is keyed on part — high-cardinality, no skew;
+    the one-row node count broadcasts. Rounds are O(log ε⁻¹) in
+    practice and fixed here so the output is deterministic."""
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .localCheckpoint()
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    n_total = deg.agg(F.count("*").alias("n_nodes"))
+    ranks = deg.crossJoin(F.broadcast(n_total)).select(
+        "node",
+        "deg",
+        "n_nodes",
+        F.round(F.lit(1.0) / F.col("n_nodes"), PAGERANK_SCALE).alias("r"),
+    )
+    for _ in range(iters):
+        contrib = edges.join(
+            ranks.select(F.col("node").alias("src"), "deg", "r"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            F.round(F.col("r") / F.col("deg"), PAGERANK_SCALE)
+            .cast("decimal(38,18)")
+            .alias("c"),
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(F.sum("c").alias("_s"))
+            .join(deg, "node")
+            .crossJoin(F.broadcast(n_total))
+            .select(
+                "node",
+                "deg",
+                "n_nodes",
+                F.round(
+                    F.lit(1.0 - PAGERANK_DAMPING) / F.col("n_nodes")
+                    + F.lit(PAGERANK_DAMPING) * F.col("_s").cast("double"),
+                    PAGERANK_SCALE,
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        F.col("node").cast("long").alias("part"),
+        F.col("deg").cast("long").alias("degree"),
+        F.round(F.col("r"), 6).alias("pagerank"),
+    )

@@ -234,6 +234,7 @@ _BNLJ_ALLOWED = {
     "vocab_coverage",  # one-row conditional-sum frame x one-row total
     "part_copurchase_lift",  # one-row order-total cross onto the pair counts
     "orders_revenue_concentration",  # one-row percentile-boundary cross
+    "part_pagerank",  # one-row node-count cross per iteration
 }
 # These run eager work (KMeans fit / query collect / stream drain) at
 # plan-build time; their plan shape is asserted in their own tests.
