@@ -43,27 +43,44 @@ def asof_last_view_before_purchase(events: DataFrame) -> DataFrame:
     )
 
 
-def asof_last_view_pandas(events: DataFrame) -> DataFrame:
-    """Same as-of semantics via grouped ``applyInPandas`` +
-    ``pd.merge_asof`` — the escape hatch when as-of logic outgrows
-    window expressions (tolerance bands, nearest-rather-than-backward,
-    multi-column asof). Output is identical to the window formulation
-    (asserted in tests), so the same SQL oracle applies."""
+def asof_last_view_pandas(events: DataFrame, partitions: int = 32) -> DataFrame:
+    """Same as-of semantics via ``mapInPandas`` + keyed
+    ``pd.merge_asof(by="user_id")`` — the escape hatch when as-of
+    logic outgrows window expressions (tolerance bands,
+    nearest-rather-than-backward, multi-column asof). Output is
+    identical to the window formulation (asserted in tests), so the
+    same SQL oracle applies.
+
+    Shape note: a per-GROUP ``applyInPandas`` pays one Python call per
+    user — at sf0.1 that is ~30k tiny pandas frames and the call
+    overhead dominates (~6s). Hash-partitioning on user_id and running
+    ONE keyed merge_asof per PARTITION keeps the same per-user
+    semantics (``by=`` scopes the backward search) at ~|partitions|
+    Python calls. The partition must be materialized in pandas (Arrow
+    streams it in batches), so partition count — not data size —
+    bounds worker memory; a cluster deploy scales ``partitions`` with
+    the input."""
     import pandas as pd
 
-    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+    def per_partition(batches):
+        frames = list(batches)
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        if pdf.empty:
+            return
         pdf = pdf.sort_values(["us", "event_id"]).reset_index(drop=True)
-        views = pdf[pdf["event_type"] == "view"][["us"]].rename(
-            columns={"us": "last_view_us"}
-        )
+        views = pdf[pdf["event_type"] == "view"][["user_id", "us"]].copy()
+        views["last_view_us"] = views["us"]
         purchases = pdf[pdf["event_type"] == "purchase"].copy()
         if views.empty:
             purchases["last_view_us"] = pd.Series(dtype="float64")
         else:
             purchases = pd.merge_asof(
-                purchases.sort_values("us"),
-                views.assign(us=views["last_view_us"]).sort_values("us"),
+                purchases,
+                views,
                 on="us",
+                by="user_id",
                 direction="backward",
                 allow_exact_matches=False,
             )
@@ -72,12 +89,14 @@ def asof_last_view_pandas(events: DataFrame) -> DataFrame:
         out["last_view_us"] = (
             out["last_view_us"].astype(object).where(out["last_view_us"].notna(), None)
         )
-        return out
+        yield out
 
     us = F.unix_micros("ts")
-    prepared = events.select("event_id", "user_id", "ts", "event_type", us.alias("us"))
+    prepared = events.select(
+        "event_id", "user_id", "ts", "event_type", us.alias("us")
+    ).repartition(partitions, "user_id")
     out_schema = "event_id long, user_id long, ts timestamp, last_view_us double"
-    result = prepared.groupBy("user_id").applyInPandas(per_user, out_schema)
+    result = prepared.mapInPandas(per_partition, out_schema)
     return result.withColumn("last_view_us", F.col("last_view_us").cast("long"))
 
 
