@@ -504,7 +504,7 @@ def sample_documents(docs: DataFrame, n: int = 100) -> DataFrame:
 CURATED_MAX_CONTAM = 0.2
 
 
-def curated_documents(docs: DataFrame) -> DataFrame:
+def curated_documents(docs: DataFrame, contamination: DataFrame | None = None) -> DataFrame:
     """The end-to-end training-corpus curation step, composed from the
     engine's own operators: keep a doc iff it is (1) the exact-dedup
     survivor of its content hash, (2) passes the quality gate
@@ -520,11 +520,10 @@ def curated_documents(docs: DataFrame) -> DataFrame:
         F.col("keep_doc_id").alias("doc_id")
     )
     quality_ok = quality_filter(docs).filter(F.col("keep")).select("doc_id")
-    clean = (
-        docs_contamination(docs)
-        .filter(F.col("contamination_ratio") <= CURATED_MAX_CONTAM)
-        .select("doc_id")
-    )
+    contam_tbl = docs_contamination(docs) if contamination is None else contamination
+    clean = contam_tbl.filter(
+        F.col("contamination_ratio") <= CURATED_MAX_CONTAM
+    ).select("doc_id")
     return (
         docs.join(survivors, "doc_id", "left_semi")
         .join(quality_ok, "doc_id", "left_semi")
@@ -937,12 +936,14 @@ def docs_dedup_report(docs: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_neardup_docs"),
         F.countDistinct("component").cast("long").alias("n_neardup_clusters"),
     )
-    contam = (
-        docs_contamination(docs)
-        .filter(F.col("contamination_ratio") > CURATED_MAX_CONTAM)
-        .agg(F.count("*").cast("long").alias("n_contaminated"))
-    )
-    curated = curated_documents(docs).agg(
+    # One shared contamination verdict table: both the contaminated
+    # count and the curated composition read it, so the shingle-overlap
+    # subtree runs once (persist scoped to this plan build).
+    contam_tbl = scoped_persist(docs_contamination(docs))
+    contam = contam_tbl.filter(
+        F.col("contamination_ratio") > CURATED_MAX_CONTAM
+    ).agg(F.count("*").cast("long").alias("n_contaminated"))
+    curated = curated_documents(docs, contamination=contam_tbl).agg(
         F.count("*").cast("long").alias("n_curated")
     )
     return (
