@@ -488,6 +488,13 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         table(s, d, "documents")
     ),
     "part_pagerank": lambda s, d: analytics.part_pagerank(table(s, d, "lineitem")),
+    "part_triangles": lambda s, d: analytics.part_triangles(table(s, d, "lineitem")),
+    "view_purchase_attribution": lambda s, d: analytics.view_purchase_attribution(
+        table(s, d, "events")
+    ),
+    "cms_token_counts": lambda s, d: textquality.cms_token_counts(
+        table(s, d, "documents")
+    ),
 }
 
 

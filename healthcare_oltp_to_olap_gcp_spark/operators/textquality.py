@@ -938,3 +938,67 @@ def langid_confusion(docs: DataFrame) -> DataFrame:
             F.round(F.col("n") / F.col("n_labeled").cast("double"), 6).alias("rate"),
         )
     )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOP_K = 50
+
+
+def cms_token_counts(
+    docs: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    k: int = CMS_TOP_K,
+) -> DataFrame:
+    """Count-Min-sketch heavy-hitter audit: estimate the corpus counts
+    of the top-``k`` tokens from a ``depth``×``width`` counter table
+    and report them against the exact counts (CMS never
+    underestimates; the overestimate column is the sketch's measured
+    collision error).
+
+    The counter table is built the way a 100 TB run would: each token
+    occurrence increments ``depth`` (row, bucket) counters — a map-side
+    partial aggregate into exactly depth×width cells, O(1) sketch
+    memory regardless of vocabulary (the exact groupBy this query also
+    carries is the AUDIT side, not the sketch side). Bucket hashes are
+    md5-derived (engine-shared), so the whole sketch — including its
+    collision errors — is deterministic and value-hash-oracled."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    tok = docs.repartition(par).select(F.explode(tokens("text")).alias("term"))
+    j = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("j")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("j"), F.col("term"))), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        % width
+    ).alias("bucket")
+    counters = (
+        tok.select("term", j)
+        .select("j", bucket)
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    true_top = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "term")
+        .limit(k)
+    )
+    probes = true_top.select("term", "true_count", j).select(
+        "term", "true_count", "j", bucket
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("term", "true_count")
+        .agg(F.min("c").alias("cms_count"))
+    )
+    return est.select(
+        "term",
+        F.col("true_count").cast("long").alias("true_count"),
+        F.col("cms_count").cast("long").alias("cms_count"),
+        (F.col("cms_count") - F.col("true_count")).cast("long").alias("overestimate"),
+    )

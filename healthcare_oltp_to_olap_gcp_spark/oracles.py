@@ -2731,3 +2731,129 @@ FROM r{_PRI_}
 
 
 ORACLE_SQL["part_pagerank"] = _pagerank_oracle()
+
+
+# Triangle counting + clustering coefficient
+# (plans/analytics.part_triangles): the same degree-ordered
+# compact-forward enumeration — orientation and wedge-order are pure
+# integer tuple comparisons, so both engines enumerate the identical
+# triangle set and the only float is one rounded division.
+ORACLE_SQL["part_triangles"] = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT pa AS node FROM pairs UNION ALL SELECT pb FROM pairs
+  ) GROUP BY 1
+),
+oriented AS (
+  SELECT
+    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND pa < pb)
+         THEN pa ELSE pb END AS src,
+    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND pa < pb)
+         THEN pb ELSE pa END AS dst,
+    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND pa < pb)
+         THEN db.deg ELSE da.deg END AS dst_deg
+  FROM pairs
+  JOIN deg da ON da.node = pa
+  JOIN deg db ON db.node = pb
+),
+tris AS (
+  SELECT e1.src, e1.dst AS y, e2.dst AS z
+  FROM oriented e1
+  JOIN oriented e2 ON e1.src = e2.src
+   AND (e1.dst_deg < e2.dst_deg
+        OR (e1.dst_deg = e2.dst_deg AND e1.dst < e2.dst))
+  JOIN oriented c ON c.src = e1.dst AND c.dst = e2.dst
+),
+member AS (
+  SELECT node, COUNT(*) AS triangles FROM (
+    SELECT src AS node FROM tris
+    UNION ALL SELECT y FROM tris
+    UNION ALL SELECT z FROM tris
+  ) GROUP BY 1
+)
+SELECT CAST(d.node AS BIGINT) AS part, CAST(d.deg AS BIGINT) AS degree,
+  CAST(COALESCE(m.triangles, 0) AS BIGINT) AS triangles,
+  CASE WHEN d.deg > 1 THEN
+    ROUND(2.0 * COALESCE(m.triangles, 0)
+          / (CAST(d.deg AS DOUBLE) * (d.deg - 1)), 6)
+  END AS clustering_coeff
+FROM deg d LEFT JOIN member m ON m.node = d.node
+"""
+
+
+# Linear multi-touch attribution
+# (plans/analytics.view_purchase_attribution): same touch join, window
+# count, rounded per-touch credit, DECIMAL day rollup.
+from .plans.analytics import ATTRIBUTION_WINDOW_DAYS as _ATW_  # noqa: E402
+
+ORACLE_SQL["view_purchase_attribution"] = f"""
+WITH p AS (
+  SELECT event_id AS pid, user_id, epoch_us(ts) AS pus, value
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, epoch_us(ts) AS vus, CAST(ts AS DATE) AS view_date
+  FROM events WHERE event_type = 'view'
+),
+touches AS (
+  SELECT p.pid, p.value, v.view_date
+  FROM p JOIN v USING (user_id)
+  WHERE v.vus < p.pus AND v.vus >= p.pus - {_ATW_ * 86_400 * 1_000_000}
+),
+credited AS (
+  SELECT view_date,
+    CAST(ROUND(value / COUNT(*) OVER (PARTITION BY pid), 9)
+         AS DECIMAL(28,12)) AS credit
+  FROM touches
+)
+SELECT view_date, CAST(COUNT(*) AS BIGINT) AS n_touches,
+  ROUND(CAST(SUM(credit) AS DOUBLE), 6) AS attributed_revenue
+FROM credited GROUP BY 1
+"""
+
+
+# Count-Min-sketch heavy hitters (operators/textquality.cms_token_counts):
+# identical md5 row hashes rebuild the identical counter table, so even
+# the sketch's collision overestimates are value-hash checked.
+from .operators.textquality import (  # noqa: E402
+    CMS_DEPTH as _CMSD_,
+    CMS_TOP_K as _CMSK_,
+    CMS_WIDTH as _CMSW_,
+)
+
+_CMS_JS = ", ".join(str(i) for i in range(_CMSD_))
+ORACLE_SQL["cms_token_counts"] = f"""
+WITH tok AS (SELECT unnest({TOKS}) AS term FROM documents),
+js AS (SELECT unnest([{_CMS_JS}]) AS j),
+counters AS (
+  SELECT j,
+    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || term), 1, 8))::UBIGINT
+      % {_CMSW_} AS bucket,
+    COUNT(*) AS c
+  FROM tok, js GROUP BY 1, 2
+),
+true_top AS (
+  SELECT term, COUNT(*) AS true_count FROM tok GROUP BY 1
+  ORDER BY true_count DESC, term LIMIT {_CMSK_}
+),
+probes AS (
+  SELECT term, true_count, j,
+    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || term), 1, 8))::UBIGINT
+      % {_CMSW_} AS bucket
+  FROM true_top, js
+),
+est AS (
+  SELECT term, true_count, MIN(c) AS cms_count
+  FROM probes JOIN counters USING (j, bucket) GROUP BY 1, 2
+)
+SELECT term, CAST(true_count AS BIGINT) AS true_count,
+  CAST(cms_count AS BIGINT) AS cms_count,
+  CAST(cms_count - true_count AS BIGINT) AS overestimate
+FROM est
+"""

@@ -2158,3 +2158,121 @@ def part_pagerank(lineitem: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame
         F.col("deg").cast("long").alias("degree"),
         F.round(F.col("r"), 6).alias("pagerank"),
     )
+
+
+def part_triangles(lineitem: DataFrame) -> DataFrame:
+    """Triangle counts + local clustering coefficient per part over the
+    undirected co-purchase graph — the standard graph-health metric
+    (community density) next to ``part_pagerank``'s centrality.
+
+    Degree-ordered compact-forward enumeration: every undirected edge
+    is oriented from the lower-(degree, id) endpoint to the higher, so
+    per-node out-degree is O(√m) and wedge work is O(m^1.5) — the
+    textbook bound — instead of the Σdeg² blowup a hub suffers under
+    naive id-ordering. Each triangle is then found exactly once: a
+    wedge (x→y, x→z) with rank(y) < rank(z) closed by the oriented
+    edge y→z. Three hash-joins on part keys, one groupBy; clustering
+    coefficient = 2T / (deg·(deg−1)) in one rounded division."""
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        pairs.select(F.col("pa").alias("node"))
+        .unionAll(pairs.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ranked = (
+        pairs.join(deg.select(F.col("node").alias("pa"), F.col("deg").alias("da")), "pa")
+        .join(deg.select(F.col("node").alias("pb"), F.col("deg").alias("db")), "pb")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(lower_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+    )
+    e1 = oriented.select("src", F.col("dst").alias("y"), F.col("dst_deg").alias("dy"))
+    e2 = oriented.select("src", F.col("dst").alias("z"), F.col("dst_deg").alias("dz"))
+    wedges = e1.join(e2, "src").filter(
+        (F.col("dy") < F.col("dz"))
+        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    )
+    closing = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tris = wedges.join(closing, ["y", "z"]).select("src", "y", "z")
+    member = (
+        tris.select(F.col("src").alias("node"))
+        .unionAll(tris.select(F.col("y").alias("node")))
+        .unionAll(tris.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.join(member, "node", "left")
+        .select(
+            F.col("node").cast("long").alias("part"),
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("deg") > 1,
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce(F.col("triangles"), F.lit(0))
+                    / (F.col("deg").cast("double") * (F.col("deg") - 1)),
+                    6,
+                ),
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+ATTRIBUTION_WINDOW_DAYS = 7
+
+
+def view_purchase_attribution(
+    events: DataFrame, window_days: int = ATTRIBUTION_WINDOW_DAYS
+) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's value is split
+    evenly across the user's views in the preceding ``window_days``,
+    and the credit is rolled up by the DAY THE VIEW HAPPENED — the
+    marketing-analytics complement of the last-touch as-of join
+    (which credits only the final view).
+
+    Scale shape: one equi-join on user_id builds the (purchase, view)
+    touch table — fan-out is bounded by per-user activity inside the
+    window, not corpus size; the per-purchase touch count is a window
+    count on the purchase key (second keyed shuffle); day rollup is an
+    ordinary partial agg. Credit divisions are rounded then summed in
+    exact DECIMAL, so the split is engine-identical and the day total
+    is order-independent."""
+    win_us = int(window_days) * 86_400 * 1_000_000
+    us = F.unix_micros("ts")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", us.alias("pus"), "value"
+    )
+    v = events.filter(F.col("event_type") == "view").select(
+        "user_id", us.alias("vus"), F.to_date("ts").alias("view_date")
+    )
+    touches = p.join(v, "user_id").filter(
+        (F.col("vus") < F.col("pus")) & (F.col("vus") >= F.col("pus") - F.lit(win_us))
+    )
+    w = Window.partitionBy("pid")
+    credited = touches.withColumn("n_touch", F.count("*").over(w)).select(
+        "view_date",
+        F.round(F.col("value") / F.col("n_touch"), 9)
+        .cast("decimal(28,12)")
+        .alias("credit"),
+    )
+    return credited.groupBy("view_date").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.round(F.sum("credit").cast("double"), 6).alias("attributed_revenue"),
+    )
