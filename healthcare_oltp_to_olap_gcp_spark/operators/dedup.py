@@ -936,14 +936,18 @@ def docs_dedup_report(docs: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_neardup_docs"),
         F.countDistinct("component").cast("long").alias("n_neardup_clusters"),
     )
-    # One shared contamination verdict table: both the contaminated
-    # count and the curated composition read it, so the shingle-overlap
-    # subtree runs once (persist scoped to this plan build).
-    contam_tbl = scoped_persist(docs_contamination(docs))
-    contam = contam_tbl.filter(
-        F.col("contamination_ratio") > CURATED_MAX_CONTAM
-    ).agg(F.count("*").cast("long").alias("n_contaminated"))
-    curated = curated_documents(docs, contamination=contam_tbl).agg(
+    # NOTE: the contamination subtree is built twice (here and inside
+    # curated_documents) on purpose. Sharing it through scoped_persist
+    # was measured 4x SLOWER at sf0.1: the scoped cache evicts the
+    # shingle cache the components/curated subtrees re-read, and the
+    # persisted verdict table materializes on one thread where the two
+    # independent subtrees otherwise scan in parallel.
+    contam = (
+        docs_contamination(docs)
+        .filter(F.col("contamination_ratio") > CURATED_MAX_CONTAM)
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+    curated = curated_documents(docs).agg(
         F.count("*").cast("long").alias("n_curated")
     )
     return (

@@ -286,3 +286,31 @@ def fact_events_incremental(events: DataFrame, cutoff: str = INCREMENTAL_CUTOFF)
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def write_star_zorder(star: DataFrame, path: str) -> None:
+    """Z-order-clustered variant of ``write_star``: instead of the
+    lexicographic ``sortWithinPartitions(user_key, event_type_key)``
+    (which clusters row groups on user_key but leaves every file
+    spanning the FULL event_type_key range), sort each day partition by
+    the Morton interleave of both keys. Row groups then cover quad
+    blocks of the (user, type) plane, so min/max stats prune lookups on
+    EITHER key — the multi-column generalization of BigQuery
+    CLUSTER BY, and the layout a 100 TB fact wants when both
+    ``user_key = ?`` and ``event_type_key = ?`` scans matter.
+    The sort key is pure bit arithmetic (functions/keys.zorder_key),
+    dropped before the write — file contents are identical to
+    ``write_star`` modulo row order."""
+    from ..functions.keys import hash_bits, zorder_key
+
+    (
+        star.withColumn(
+            "_z", zorder_key(hash_bits("user_key"), hash_bits("event_type_key"))
+        )
+        .repartition("date_key")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .partitionBy("date_key")
+        .parquet(path)
+    )
