@@ -386,3 +386,23 @@ def curation_stream(stream: DataFrame) -> DataFrame:
         .drop("_keep")
         .dropDuplicates(["fp"])
     )
+
+
+def dedup_passthrough_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Replication-overlap dedup as a PASS-THROUGH stream: emit each
+    event_id's first arrival unchanged, suppress replays — the
+    streaming analog of the reference's ROW_NUMBER dedup
+    (sql/bq_fact_vitals.sql) for feeding a raw landing sink where no
+    aggregation follows.
+
+    ``dropDuplicatesWithinWatermark`` is the state-bounded form: plain
+    ``dropDuplicates`` on a non-aggregated append stream keeps every
+    key seen FOREVER (state grows with the corpus — a 100 TB/day
+    non-starter); the within-watermark variant evicts a key's state
+    once the watermark passes its event time, which exactly matches
+    the replication cadence's bounded overlap window (a duplicate can
+    only arrive within the 20-minute lookback, so a 2-hour watermark
+    retires state three orders of magnitude before memory matters)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

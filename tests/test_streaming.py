@@ -288,3 +288,36 @@ def test_streaming_doc_curation_equals_batch(spark, tmp_path):
     }
     for r in got_rows:
         assert batch_logit[r.doc_id] == r.quality_logit
+
+
+def test_dedup_passthrough_stream_bounded_state(spark, tmp_path):
+    # Replayed file through the PASS-THROUGH dedup: raw rows out, each
+    # event_id exactly once, equal to the batch distinct — while the
+    # within-watermark variant keeps eviction-eligible (bounded) state.
+    src = tmp_path / "events_stream3"
+    src.mkdir()
+    shutil.copy(f"{SF001}/events.parquet", src / "part-0.parquet")
+    shutil.copy(f"{SF001}/events.parquet", src / "part-1.parquet")
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    raw_schema = StructType(
+        [f if f.name != "ts" else StructField("ts", LongType()) for f in pipeline.EVENTS_SCHEMA.fields]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.expr(TS_EXPR))
+    )
+    got = pipeline.run_available_now_append(
+        pipeline.dedup_passthrough_stream(stream), "t_passthrough"
+    )
+    events = table(spark, SF001, "events")
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
+    # full-row fidelity: the surviving rows are the original rows
+    assert normalize(
+        got.select("event_id", "user_id", "event_type").toPandas()
+    ) == normalize(events.select("event_id", "user_id", "event_type").toPandas())
