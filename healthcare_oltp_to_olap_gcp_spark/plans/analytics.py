@@ -254,7 +254,13 @@ def value_range_join(events: DataFrame) -> DataFrame:
     each probe row explodes to its 3 candidate buckets — plus a residual
     range filter, the scalable range-join pattern Spark lacks natively.
     Bucket math only generates candidates; correctness comes from the
-    exact residual predicate, so the oracle is the naive join."""
+    exact residual predicate, so the oracle is the naive join.
+
+    The build side is further compressed by value multiplicity (one
+    row per (type, bucket, value) with count + two smallest ids —
+    spill-safe window, no arrays), so repeated values stop multiplying
+    the candidate join; the id_a != id_b exclusion is reconstructed
+    exactly from the (cnt, min1, min2) bookkeeping."""
     width = 0.5
     a = events.select(
         F.col("event_id").alias("id_a"), "event_type", F.col("value").alias("va")
@@ -269,14 +275,47 @@ def value_range_join(events: DataFrame) -> DataFrame:
             )
         ),
     )
-    b = events.select(
-        F.col("event_id").alias("id_b"), "event_type", F.col("value").alias("vb")
-    ).withColumn("bucket", F.floor(F.col("vb") / width).cast("long"))
+    # Build side compressed by VALUE MULTIPLICITY: one row per
+    # (type, bucket, value) carrying (count, min id, second-min id) —
+    # repeated values (2x at sf0.1) stop multiplying the candidate
+    # join. Exactness bookkeeping for the id_a != id_b predicate:
+    # a row's own value-group always matches (|va-va| = 0), so its
+    # count contributes cnt-1 and its min id falls back to the
+    # second-min when the min IS id_a.
+    bsrc = events.select(
+        F.col("event_id").alias("id_b"),
+        "event_type",
+        F.col("value").alias("vb"),
+        F.floor(F.col("value") / width).cast("long").alias("bucket"),
+    )
+    wv = Window.partitionBy("event_type", "bucket", "vb").orderBy("id_b")
+    b = (
+        bsrc.withColumn("cnt", F.count("*").over(wv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") <= 2)
+        .groupBy("event_type", "bucket", "vb")
+        .agg(
+            F.max("cnt").alias("cnt"),
+            F.min(F.when(F.col("_rn") == 1, F.col("id_b"))).alias("min1"),
+            F.min(F.when(F.col("_rn") == 2, F.col("id_b"))).alias("min2"),
+        )
+    )
+    matched = a.join(b, ["event_type", "bucket"]).filter(
+        F.abs(F.col("va") - F.col("vb")) <= width
+    )
+    self_group = F.col("vb") == F.col("va")
+    eff_cnt = F.when(self_group, F.col("cnt") - 1).otherwise(F.col("cnt"))
+    eff_min = F.when(
+        self_group & (F.col("min1") == F.col("id_a")), F.col("min2")
+    ).otherwise(F.col("min1"))
     return (
-        a.join(b, ["event_type", "bucket"])
-        .filter((F.col("id_a") != F.col("id_b")) & (F.abs(F.col("va") - F.col("vb")) <= width))
+        matched.select("id_a", eff_cnt.alias("c"), eff_min.alias("m"))
+        .filter(F.col("c") > 0)
         .groupBy(F.col("id_a").alias("event_id"))
-        .agg(F.count("*").alias("n_collisions"), F.min("id_b").alias("min_collision_id"))
+        .agg(
+            F.sum("c").cast("long").alias("n_collisions"),
+            F.min("m").alias("min_collision_id"),
+        )
     )
 
 
