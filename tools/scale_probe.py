@@ -56,6 +56,13 @@ PROBES = {
     "mixture_sample_documents": {"documents": ["doc_id"]},
     "prefix_suffix_overlap_pairs": {"documents": ["doc_id"]},
     "hard_negative_mining": {"embeddings": ["vec_id"]},
+    # round-3 final-pass additions
+    "part_pagerank": {"lineitem": ["l_orderkey"]},
+    "part_triangles": {"lineitem": ["l_orderkey"]},
+    "view_purchase_attribution": {"events": ["event_id", "user_id"]},
+    "cms_token_counts": {"documents": ["doc_id"]},
+    "value_range_join": {"events": ["event_id"]},
+    "asof_pandas_last_view": {"events": ["event_id", "user_id"]},
 }
 
 ID_SPAN = 100_000_000  # shift per copy; far above any real id
