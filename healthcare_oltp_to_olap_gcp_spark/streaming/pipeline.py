@@ -402,7 +402,15 @@ def dedup_passthrough_stream(stream: DataFrame, watermark: str = "2 hours") -> D
     once the watermark passes its event time, which exactly matches
     the replication cadence's bounded overlap window (a duplicate can
     only arrive within the 20-minute lookback, so a 2-hour watermark
-    retires state three orders of magnitude before memory matters)."""
+    retires state three orders of magnitude before memory matters).
+
+    Caveat (standard watermark semantics): a row whose EVENT TIME is
+    already older than the watermark when it arrives is dropped as
+    late data even if its event_id was never seen — i.e. a genuinely
+    new but very-late first arrival does not pass through. The
+    watermark must therefore bound late arrival as well as the replay
+    overlap; size it to the upstream's max end-to-end lateness, not
+    just the replication window."""
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )

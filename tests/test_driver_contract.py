@@ -51,8 +51,8 @@ def test_plain_session_driver_contract():
 
 def test_driver_window_composition():
     """The driver's correctness gate reads the FIRST 50 registry entries:
-    they must be exactly the curated _PRIORITY list (17 never-checked +
-    5 round-3-rewritten + 12 round-3-new + risk-ranked regression picks),
+    they must be exactly the curated _PRIORITY list (never-checked ops
+    first, then round-4 additions, then risk-ranked regression picks),
     every one of them oracle-backed."""
     from healthcare_oltp_to_olap_gcp_spark.api import _PRIORITY, QUERIES
     from healthcare_oltp_to_olap_gcp_spark.oracles import ORACLE_SQL
@@ -62,6 +62,40 @@ def test_driver_window_composition():
     assert list(QUERIES)[:50] == _PRIORITY
     missing = [n for n in _PRIORITY if n not in ORACLE_SQL]
     assert not missing, f"window entries without an oracle: {missing}"
+
+
+def test_window_rotation_gate():
+    """tools/window_check.py: every oracle-backed query must be
+    driver-checked in some CORRECTNESS_r*.json or inside the current
+    window — the r2/r3 'implemented but never driver-checked' gap is a
+    hard CI failure now (VERDICT r3 item 8)."""
+    sys.path.insert(0, "/root/repo/tools")
+    import window_check
+
+    missing = window_check.never_checked_outside_window()
+    assert not missing, f"never driver-checked and outside window: {missing}"
+
+
+def test_bench_compact_line_fits_driver_tail(tmp_path):
+    """BENCH_r03 shipped `parsed: null` because the 157-query JSON line
+    overflowed the driver's 2,000-char tail capture. The compact emit
+    must stay ≤1.5 KB even with long query names at full registry size,
+    and the full map must land in tools/bench_full.json."""
+    import json
+
+    import bench
+    from healthcare_oltp_to_olap_gcp_spark.api import QUERIES
+
+    out = tmp_path / "bench_full.json"
+    timings = {name: 123.456 for name in QUERIES}
+    line = bench.emit(timings, "/root/testdata/sf0.1", full_path=str(out))
+    assert len(line) <= 1500
+    compact = json.loads(line)
+    assert compact["n_queries"] == len(QUERIES)
+    assert len(compact["queries"]) == 10
+    full = json.load(open(out))
+    assert set(full["queries"]) == set(QUERIES)
+    assert full["value"] == compact["value"]
 
 
 def test_cli_list_and_unknown():

@@ -47,6 +47,27 @@ def test_pagerank_symmetry_on_regular_graph(spark):
     assert math.isclose(out[0].pagerank, 0.2, abs_tol=1e-6)
 
 
+def test_pagerank_plan_depth_bounded(spark):
+    """The rank lineage is localCheckpoint-ed every `checkpoint_every`
+    rounds, so the logical plan must NOT grow linearly with iters: at
+    13 iterations (2 checkpoints in) the analyzed-plan text must stay
+    within 2x of the 3-iteration plan, and high-iteration ranks still
+    sum to 1 (checkpointing is value-transparent)."""
+    cycle = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1)]
+    g = _graph_df(spark, cycle)
+
+    def plan_len(iters):
+        df = part_pagerank(g, iters=iters)
+        return len(df._jdf.queryExecution().analyzed().toString())
+
+    shallow, deep = plan_len(3), plan_len(13)
+    assert deep <= 2 * shallow, (shallow, deep)
+    out = part_pagerank(g, iters=13).collect()
+    assert math.isclose(sum(r.pagerank for r in out), 1.0, abs_tol=1e-4)
+    # and uniform on the 2-regular cycle regardless of iteration count
+    assert len({r.pagerank for r in out}) == 1
+
+
 def test_triangles_known_graph(spark):
     """K4 has 4 triangles; every node touches 3 of them and has
     clustering coefficient 1."""

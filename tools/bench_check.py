@@ -29,10 +29,23 @@ def main(argv: list[str]) -> int:
         if len(argv) > 1
         else os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_budgets.json")
     )
-    line = [
-        ln for ln in open(bench_path).read().splitlines() if ln.startswith('{"metric"')
-    ][-1]
-    bench = json.loads(line)
+    text = open(bench_path).read()
+    try:
+        # bench_full.json / BENCH_r*.json are whole-file JSON documents.
+        bench = json.loads(text)
+    except json.JSONDecodeError:
+        line = [ln for ln in text.splitlines() if ln.startswith('{"metric"')][-1]
+        bench = json.loads(line)
+    if isinstance(bench.get("parsed"), dict) and "queries" in bench["parsed"]:
+        # Driver BENCH_r*.json wraps the parsed line under "parsed".
+        bench = bench["parsed"]
+    if "full" in bench and len(bench.get("queries", {})) < bench.get("n_queries", 0):
+        # Compact line: resolve the full per-query map next to this script.
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+        )
+        if os.path.exists(full_path):
+            bench = json.load(open(full_path))
     budgets = json.load(open(budget_path))
     factor = budgets.get("factor", 2.0)
     over, new = [], []

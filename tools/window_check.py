@@ -1,0 +1,66 @@
+"""Driver-window rotation gate (VERDICT r3 item 8).
+
+The driver's correctness gate checks only the FIRST 50 entries of
+``QUERIES`` (insertion order = ``api._PRIORITY``). Rounds 2 and 3 both
+shipped operators that never received a driver CORRECTNESS row because
+they landed outside the window and were never rotated in. This tool
+makes that gap a hard failure:
+
+every oracle-backed query key must be EITHER
+  (a) present in some CORRECTNESS_r*.json (driver-checked at least
+      once), OR
+  (b) inside the current 50-entry window (will be checked this round).
+
+Usage:  python tools/window_check.py  (exit 1 on violation)
+Also invoked by tests/test_driver_contract.py so `pytest` fails CI.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW_SIZE = 50
+
+
+def checked_keys() -> set[str]:
+    keys: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        try:
+            data = json.load(open(path))
+        except (json.JSONDecodeError, OSError):
+            continue
+        if isinstance(data, dict):
+            keys.update(data.keys())
+    return keys
+
+
+def never_checked_outside_window() -> list[str]:
+    sys.path.insert(0, REPO)
+    from healthcare_oltp_to_olap_gcp_spark.api import QUERIES
+    from healthcare_oltp_to_olap_gcp_spark.oracles import ORACLE_SQL
+
+    window = set(list(QUERIES)[:WINDOW_SIZE])
+    done = checked_keys()
+    return sorted(k for k in ORACLE_SQL if k not in done and k not in window)
+
+
+def main() -> int:
+    missing = never_checked_outside_window()
+    if missing:
+        print(
+            f"{len(missing)} oracle-backed queries have never been "
+            "driver-checked and are NOT in the current 50-entry window:"
+        )
+        for k in missing:
+            print(f"  {k}")
+        return 1
+    print("window_check: every oracle-backed query is driver-checked or windowed")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
