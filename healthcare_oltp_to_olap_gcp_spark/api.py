@@ -21,6 +21,7 @@ from .operators import (
     sessionize,
     similarity,
     textquality,
+    theta,
 )
 from .plans import analytics, monitoring, star
 
@@ -495,6 +496,21 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_token_counts": lambda s, d: textquality.cms_token_counts(
         table(s, d, "documents")
     ),
+    "theta_segment_users": lambda s, d: theta.theta_segment_users(
+        table(s, d, "events")
+    ),
+    "theta_union_segment_users": lambda s, d: theta.theta_union_segment_users(
+        table(s, d, "events")
+    ),
+    "theta_intersect_segment_users": lambda s, d: (
+        theta.theta_intersect_segment_users(table(s, d, "events"))
+    ),
+    "theta_anotb_segment_users": lambda s, d: theta.theta_anotb_segment_users(
+        table(s, d, "events")
+    ),
+    "theta_daily_merge_events": lambda s, d: theta.theta_daily_merge_events(
+        table(s, d, "events")
+    ),
 }
 
 
@@ -534,7 +550,11 @@ _PRIORITY = [
     "view_purchase_attribution",
     "cms_token_counts",
     # -- new or rewritten in round 4 --
-    # (inserted here as round-4 work lands)
+    "theta_segment_users",
+    "theta_union_segment_users",
+    "theta_intersect_segment_users",
+    "theta_anotb_segment_users",
+    "theta_daily_merge_events",
     # -- risk-ranked regression picks --
     "minhash_lsh_dup_pairs",
     "simhash_dup_pairs",
@@ -567,11 +587,10 @@ _PRIORITY = [
     "docs_contamination",
     "prefix_suffix_overlap_pairs",
     "value_range_join",
-    "scd2_user_band",
-    "event_type_transitions",
-    "user_retention_cohorts",
-    "mixture_sample_documents",
-    "docs_perplexity",
+    # (five r3-green picks displaced by the round-4 theta family:
+    # scd2_user_band, event_type_transitions, user_retention_cohorts,
+    # mixture_sample_documents, docs_perplexity — all keep
+    # tests/test_parity.py coverage)
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -2857,3 +2857,143 @@ SELECT term, CAST(true_count AS BIGINT) AS true_count,
   CAST(cms_count - true_count AS BIGINT) AS overestimate
 FROM est
 """
+
+# ---------------------------------------------------------------------------
+# Theta-sketch set algebra (operators/theta.py): the deterministic md5
+# hash makes union/intersect/A-NOT-B sketches and their estimates
+# bit-reproducible — full value-hash oracles for approximate set ops.
+# ---------------------------------------------------------------------------
+from .operators.theta import HIGH_VALUE as _THV_, THETA_K as _TK_  # noqa: E402
+
+_U32 = "('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8))::UBIGINT"
+
+# (s, u, theta_int) sketch rows for the three predicate segments —
+# mirrors theta._stack_predicate_sets + _sketch_from_hashes.
+_THETA_SEG_SK = f"""
+d AS (
+  SELECT DISTINCT s, {_U32.format(col="user_id")} AS u
+  FROM (
+    SELECT user_id,
+      unnest(list_filter([
+        CASE WHEN value >= {_THV_} THEN 'high_value' END,
+        CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 'weekend' END,
+        CASE WHEN event_type = 'purchase' THEN 'purchase' END
+      ], x -> x IS NOT NULL)) AS s
+    FROM events) t
+),
+kept AS (
+  SELECT * FROM d QUALIFY row_number() OVER (PARTITION BY s ORDER BY u) <= {_TK_}
+),
+th AS (
+  SELECT s, CASE WHEN COUNT(*) < {_TK_} THEN 4294967296
+           ELSE CAST(MAX(u) AS BIGINT) + 1 END AS theta_int
+  FROM kept GROUP BY s
+),
+sk AS (SELECT kept.s, u, theta_int FROM kept JOIN th USING (s))
+"""
+
+ORACLE_SQL["theta_segment_users"] = f"""
+WITH {_THETA_SEG_SK}
+SELECT s AS segment, CAST(COUNT(*) AS BIGINT) AS sketch_size,
+  ROUND(MIN(theta_int) / 4294967296.0, 10) AS theta,
+  ROUND(COUNT(*) / (MIN(theta_int) / 4294967296.0), 4) AS users_est
+FROM sk GROUP BY s ORDER BY s
+"""
+
+ORACLE_SQL["theta_union_segment_users"] = f"""
+WITH {_THETA_SEG_SK},
+tmin AS (SELECT MIN(theta_int) AS tm FROM sk),
+surv AS (SELECT DISTINCT u, tm FROM sk, tmin WHERE u < tm),
+capped AS (SELECT * FROM surv QUALIFY row_number() OVER (ORDER BY u) <= {_TK_}),
+th2 AS (
+  SELECT CASE WHEN COUNT(*) < {_TK_} THEN MIN(tm)
+         ELSE LEAST(MIN(tm), CAST(MAX(u) AS BIGINT) + 1) END AS t
+  FROM capped
+),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS sketch_size FROM capped),
+fb AS (SELECT MIN(theta_int) AS tf FROM sk)
+SELECT sketch_size,
+  ROUND(COALESCE(t, tf) / 4294967296.0, 10) AS theta,
+  ROUND(sketch_size / (COALESCE(t, tf) / 4294967296.0), 4) AS union_users_est
+FROM agg, th2, fb
+"""
+
+ORACLE_SQL["theta_intersect_segment_users"] = f"""
+WITH {_THETA_SEG_SK},
+tmin AS (SELECT MIN(theta_int) AS tm FROM sk),
+surv AS (
+  SELECT u FROM sk, tmin WHERE u < tm
+  GROUP BY u, tm HAVING COUNT(*) = 3
+),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS sketch_size FROM surv)
+SELECT sketch_size,
+  ROUND(tm / 4294967296.0, 10) AS theta,
+  ROUND(sketch_size / (tm / 4294967296.0), 4) AS intersection_users_est
+FROM agg, tmin
+"""
+
+# A-NOT-B is built from TWO sets only (high_value, purchase).
+ORACLE_SQL["theta_anotb_segment_users"] = f"""
+WITH d AS (
+  SELECT DISTINCT s, {_U32.format(col="user_id")} AS u
+  FROM (
+    SELECT user_id,
+      unnest(list_filter([
+        CASE WHEN value >= {_THV_} THEN 'high_value' END,
+        CASE WHEN event_type = 'purchase' THEN 'purchase' END
+      ], x -> x IS NOT NULL)) AS s
+    FROM events) t
+),
+kept AS (
+  SELECT * FROM d QUALIFY row_number() OVER (PARTITION BY s ORDER BY u) <= {_TK_}
+),
+th AS (
+  SELECT s, CASE WHEN COUNT(*) < {_TK_} THEN 4294967296
+           ELSE CAST(MAX(u) AS BIGINT) + 1 END AS theta_int
+  FROM kept GROUP BY s
+),
+sk AS (SELECT kept.s, u, theta_int FROM kept JOIN th USING (s)),
+tmin AS (SELECT MIN(theta_int) AS tm FROM sk),
+surv AS (
+  SELECT u FROM sk, tmin
+  WHERE s = 'high_value' AND u < tm
+    AND u NOT IN (SELECT u FROM sk WHERE s = 'purchase')
+),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS sketch_size FROM surv)
+SELECT sketch_size,
+  ROUND(tm / 4294967296.0, 10) AS theta,
+  ROUND(sketch_size / (tm / 4294967296.0), 4) AS anotb_users_est
+FROM agg, tmin
+"""
+
+ORACLE_SQL["theta_daily_merge_events"] = f"""
+WITH d AS (
+  SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS s,
+    {_U32.format(col="event_id")} AS u
+  FROM events
+),
+kept AS (
+  SELECT * FROM d QUALIFY row_number() OVER (PARTITION BY s ORDER BY u) <= {_TK_}
+),
+th AS (
+  SELECT s, CASE WHEN COUNT(*) < {_TK_} THEN 4294967296
+           ELSE CAST(MAX(u) AS BIGINT) + 1 END AS theta_int
+  FROM kept GROUP BY s
+),
+sk AS (SELECT kept.s, u, theta_int FROM kept JOIN th USING (s)),
+tmin AS (SELECT MIN(theta_int) AS tm FROM sk),
+surv AS (SELECT DISTINCT u, tm FROM sk, tmin WHERE u < tm),
+capped AS (SELECT * FROM surv QUALIFY row_number() OVER (ORDER BY u) <= {_TK_}),
+th2 AS (
+  SELECT CASE WHEN COUNT(*) < {_TK_} THEN MIN(tm)
+         ELSE LEAST(MIN(tm), CAST(MAX(u) AS BIGINT) + 1) END AS t
+  FROM capped
+),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS sketch_size FROM capped),
+fb AS (SELECT MIN(theta_int) AS tf FROM sk),
+nd AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS n_days FROM sk)
+SELECT n_days, sketch_size,
+  ROUND(COALESCE(t, tf) / 4294967296.0, 10) AS theta,
+  ROUND(sketch_size / (COALESCE(t, tf) / 4294967296.0), 4) AS total_events_est
+FROM agg, th2, fb, nd
+"""

@@ -109,6 +109,13 @@ SF01_KEYS = [
     "kmv_view_not_purchase",
     "label_centroids",
     "nearest_centroid_assign",
+    # round-4 additions: the daily sketches saturate (>k events/day)
+    # only at sf0.01+, so this exercises the capped-union theta path
+    "theta_segment_users",
+    "theta_union_segment_users",
+    "theta_intersect_segment_users",
+    "theta_anotb_segment_users",
+    "theta_daily_merge_events",
 ]
 
 

@@ -235,6 +235,11 @@ _BNLJ_ALLOWED = {
     "part_copurchase_lift",  # one-row order-total cross onto the pair counts
     "orders_revenue_concentration",  # one-row percentile-boundary cross
     "part_pagerank",  # one-row node-count cross per iteration
+    # theta set algebra: one-row theta-bound / fallback / n_days crosses
+    "theta_union_segment_users",
+    "theta_intersect_segment_users",
+    "theta_anotb_segment_users",
+    "theta_daily_merge_events",
 }
 # These run eager work (KMeans fit / query collect / stream drain) at
 # plan-build time; their plan shape is asserted in their own tests.
