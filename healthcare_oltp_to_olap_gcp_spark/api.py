@@ -511,6 +511,12 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theta_daily_merge_events": lambda s, d: theta.theta_daily_merge_events(
         table(s, d, "events")
     ),
+    "pq_trained_ann_topk": lambda s, d: similarity.pq_trained_ann_topk(
+        table(s, d, "embeddings")
+    ),
+    "ann_recall_report_trained": lambda s, d: (
+        similarity.ann_recall_report_trained(table(s, d, "embeddings"))
+    ),
 }
 
 

@@ -539,6 +539,33 @@ def test_pq_recall_and_exact_rerank(spark):
     assert recall >= 0.5, f"PQ recall collapsed: {recall}"
 
 
+def test_pq_trained_beats_seeded(spark):
+    """The 'trained codebooks raise recall' claim, measured: KMeans
+    per-subspace codebooks must reach at least the seeded twin's recall
+    at sf0.01 (VERDICT r3 item 5), with exact rerank sims. Also checks
+    the report query surfaces both rows."""
+    from .conftest import SF01
+    from healthcare_oltp_to_olap_gcp_spark.operators import similarity
+
+    emb = table(spark, SF01, "embeddings")
+    report = {
+        r.method: r for r in similarity.ann_recall_report_trained(emb).collect()
+    }
+    assert set(report) == {"pq", "pq_trained"}
+    assert report["pq_trained"].n_total == report["pq"].n_total > 0
+    assert report["pq_trained"].recall >= report["pq"].recall, report
+
+    brute = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in similarity.ann_brute_topk(emb, k=10).collect()
+    }
+    trained = similarity.pq_trained_ann_topk(emb).collect()
+    assert len(trained) > 0
+    for r in trained:
+        got = brute.get((r.query_id, r.neighbor_id))
+        assert got is None or got == r.sim  # rerank sims are exact
+
+
 def test_join_size_estimate_accuracy(spark):
     from .conftest import SF01
     from healthcare_oltp_to_olap_gcp_spark.plans import analytics

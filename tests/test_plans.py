@@ -243,7 +243,13 @@ _BNLJ_ALLOWED = {
 }
 # These run eager work (KMeans fit / query collect / stream drain) at
 # plan-build time; their plan shape is asserted in their own tests.
-_EAGER_BUILD = {"ivf_ann_topk", "ann_gemm_topk", "fact_events_streamed"}
+_EAGER_BUILD = {
+    "ivf_ann_topk",
+    "ann_gemm_topk",
+    "fact_events_streamed",
+    "pq_trained_ann_topk",
+    "ann_recall_report_trained",
+}
 
 
 def test_registry_wide_no_accidental_cartesian(spark):
