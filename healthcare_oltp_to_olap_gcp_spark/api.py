@@ -517,6 +517,9 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_report_trained": lambda s, d: (
         similarity.ann_recall_report_trained(table(s, d, "embeddings"))
     ),
+    "docs_remove_dup_spans": lambda s, d: dedup.remove_dup_spans(
+        table(s, d, "documents")
+    ),
 }
 
 
@@ -561,6 +564,7 @@ _PRIORITY = [
     "theta_intersect_segment_users",
     "theta_anotb_segment_users",
     "theta_daily_merge_events",
+    "docs_remove_dup_spans",
     # -- risk-ranked regression picks --
     "minhash_lsh_dup_pairs",
     "simhash_dup_pairs",
@@ -592,9 +596,9 @@ _PRIORITY = [
     "winnow_fingerprint",
     "docs_contamination",
     "prefix_suffix_overlap_pairs",
-    "value_range_join",
-    # (five r3-green picks displaced by the round-4 theta family:
-    # scd2_user_band, event_type_transitions, user_retention_cohorts,
+    # (six r3-green picks displaced by the round-4 theta family and
+    # the dup-span removal op: value_range_join, scd2_user_band,
+    # event_type_transitions, user_retention_cohorts,
     # mixture_sample_documents, docs_perplexity — all keep
     # tests/test_parity.py coverage)
 ]

@@ -810,6 +810,86 @@ def dup_span_stats(docs: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
     )
 
 
+def remove_dup_spans(docs: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
+    """Exact-substring dedup REMOVAL (the RefinedWeb rewrite step that
+    ``dup_span_stats`` only measures): every token position covered by
+    a k-gram that also occurs in another document is excised — except
+    in the gram's KEEPER (min doc_id among its holders), so each
+    duplicated span survives exactly once in the corpus instead of
+    being destroyed everywhere. Returns the rewritten corpus:
+    (doc_id, n_tokens, n_removed, cleaned_text).
+
+    Scale shape is dup_span_stats' plus the rebuild: positional grams
+    md5-hashed pre-shuffle (fixed key width), the gram stream
+    scope-persisted (dup detection + coverage both read it), only
+    duplicated grams pay the k-fold coverage explode, and the rewrite
+    is one anti-join on (doc, pos) followed by a per-doc ordered
+    re-assembly (sort_array over collect_list structs — grouped, never
+    a window over the token stream). Work ∝ token volume +
+    k·|dup grams|; no driver collect.
+
+    Cross-engine determinism: positions are integers, the keeper rule
+    is a MIN, and re-assembly is a position-ordered concat — fully
+    value-hash-oracled (oracles.py mirrors it with string_agg ORDER BY
+    in DuckDB)."""
+    toks = docs.select("doc_id", tokens("text").alias("t")).filter(F.size("t") > 0)
+    sh = scoped_persist(
+        toks.filter(F.size("t") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (k - 1)),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ", *[F.element_at("t", i + j) for j in range(k)]
+                        )
+                    ),
+                )
+            ).alias("pos", "gh"),
+        )
+    )
+    dup = (
+        sh.groupBy("gh")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("gh", "keeper")
+    )
+    cov = (
+        sh.join(dup, "gh")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p"),
+        )
+        .distinct()
+    )
+    tok_rows = toks.select("doc_id", F.posexplode("t").alias("p", "tok"))
+    kept = tok_rows.join(cov, ["doc_id", "p"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count("*").alias("_n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s.tok,
+            ),
+        ).alias("cleaned_text"),
+    )
+    base = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    return base.join(cleaned, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    )
+
+
 def mixture_sample_documents(docs: DataFrame) -> DataFrame:
     """Deterministic mixture rebalancing: downsample every source to
     the size of the smallest one (equal target shares — the uniform

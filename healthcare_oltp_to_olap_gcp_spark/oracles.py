@@ -2997,3 +2997,47 @@ SELECT n_days, sketch_size,
   ROUND(sketch_size / (COALESCE(t, tf) / 4294967296.0), 4) AS total_events_est
 FROM agg, th2, fb, nd
 """
+
+# Exact-substring dedup removal (operators/dedup.remove_dup_spans):
+# dup_span_stats' gram machinery + a keeper rule (MIN doc_id per gram)
+# and a position-ordered re-assembly — string_agg ORDER BY mirrors
+# Spark's sort_array(collect_list(struct)) concat exactly.
+from .operators.dedup import DUP_SPAN_K as _DSK_  # noqa: E402
+
+ORACLE_SQL["docs_remove_dup_spans"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+sh AS (
+  SELECT doc_id, i - 1 AS pos,
+    md5(array_to_string(list_slice(t, i, i + {_DSK_} - 1), ' ')) AS gh
+  FROM base, LATERAL unnest(range(1, n - {_DSK_} + 2)) AS u(i)
+  WHERE n >= {_DSK_}
+),
+dup AS (
+  SELECT gh, MIN(doc_id) AS keeper FROM sh
+  GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT DISTINCT s.doc_id, s.pos + j AS p
+  FROM sh s JOIN dup USING (gh), LATERAL unnest(range(0, {_DSK_})) AS v(j)
+  WHERE s.doc_id <> dup.keeper
+),
+tok AS (
+  SELECT doc_id, q - 1 AS p, t[q] AS tok
+  FROM base, LATERAL unnest(range(1, n + 1)) AS w(q)
+),
+kept AS (
+  SELECT tok.doc_id, tok.p, tok.tok
+  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+  WHERE cov.p IS NULL
+),
+cleaned AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+  CAST(b.n - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed,
+  COALESCE(c.cleaned_text, '') AS cleaned_text
+FROM base b LEFT JOIN cleaned c USING (doc_id)
+"""

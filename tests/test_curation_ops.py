@@ -45,6 +45,44 @@ def test_dup_span_partial_overlap_counts_only_shared_window(spark):
     assert out[1].n_dup_tokens == 20 and out[1].n_tokens == 40
 
 
+def test_remove_dup_spans_keeps_one_copy(spark):
+    """The keeper (min doc_id holding a duplicated gram) retains the
+    span; every other holder loses exactly the shared positions and
+    nothing else — one surviving copy per duplicated span, the
+    RefinedWeb rewrite contract."""
+    shared = " ".join(f"s{i}" for i in range(20))
+    pad_pre = " ".join(f"p{i}" for i in range(10))
+    pad_post = " ".join(f"q{i}" for i in range(10))
+    b = f"{pad_pre} {shared} {pad_post}"
+    other = " ".join(f"x{i}" for i in range(20))
+    out = {
+        r.doc_id: r
+        for r in dedup.remove_dup_spans(_docs(spark, [shared, b, other])).collect()
+    }
+    # doc 0 is the keeper: untouched
+    assert out[0].n_removed == 0 and out[0].cleaned_text == shared
+    # doc 1 loses exactly the shared 20 tokens, padding survives in order
+    assert out[1].n_removed == 20
+    assert out[1].cleaned_text == f"{pad_pre} {pad_post}"
+    # unrelated doc untouched
+    assert out[2].n_removed == 0 and out[2].cleaned_text == other
+
+
+def test_remove_dup_spans_consistent_with_stats(spark):
+    """On the real corpus, removal never exceeds what dup_span_stats
+    measures (the keeper exemption can only shrink it), and docs
+    reported clean are returned verbatim-tokenized."""
+    docs = table(spark, SF001, "documents")
+    stats = {r.doc_id: r for r in dedup.dup_span_stats(docs).collect()}
+    removed = {r.doc_id: r for r in dedup.remove_dup_spans(docs).collect()}
+    assert set(stats) == set(removed)
+    for did, r in removed.items():
+        assert r.n_removed <= stats[did].n_dup_tokens
+        if stats[did].n_dup_tokens == 0:
+            assert r.n_removed == 0
+        assert r.n_tokens == stats[did].n_tokens
+
+
 def test_prefix_suffix_overlap_is_directed(spark):
     k = dedup.PS_OVERLAP_K
     seam = " ".join(f"s{i}" for i in range(k))

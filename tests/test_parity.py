@@ -116,6 +116,7 @@ SF01_KEYS = [
     "theta_intersect_segment_users",
     "theta_anotb_segment_users",
     "theta_daily_merge_events",
+    "docs_remove_dup_spans",
 ]
 
 
