@@ -225,37 +225,30 @@ def run_available_now(agg: DataFrame, query_name: str = "hourly_agg") -> DataFra
     return session.table(query_name)
 
 
-def incremental_fact_sink(stream: DataFrame, store_dir: str):
+def incremental_fact_sink(stream: DataFrame, store_dir: str, store=None):
     """Streaming star-fact maintenance (foreachBatch): every micro-batch
-    MERGEs into a versioned parquet fact store, keeping the newest row
-    per event_id — the streaming form of plans/star.fact_events_incremental
-    and the reference's scheduled Dataflow replication job.
+    MERGEs into a fact store, keeping the newest row per event_id — the
+    streaming form of plans/star.fact_events_incremental and the
+    reference's scheduled Dataflow replication job.
 
-    Each batch writes a new complete version directory and readers take
-    the max version — a poor-man's snapshot isolation that parquet-only
-    storage needs (a lakehouse table format would replace this with a
-    transactional MERGE; the plan shape is identical). At scale the
-    union side is the pre-deduplicated store, so the re-rank window only
-    reworks event_ids present in the delta's date partitions. Versions
-    older than ``RETAIN_VERSIONS`` are pruned after each successful
-    write, so storage stays bounded across micro-batches."""
-    from pyspark.sql import Window
-
+    Storage is pluggable through sources/factstore.FactStore: the
+    default ``VersionedParquetStore`` writes a complete ``v=N`` snapshot
+    per batch and readers take the max version (poor-man's snapshot
+    isolation — all parquet-only storage can offer), pruning versions
+    past ``RETAIN_VERSIONS``; a lakehouse deploy passes
+    ``DeltaFactStore`` (or an Iceberg equivalent) and the same sink
+    becomes a transactional MERGE that rewrites only matched files.
+    The dedup semantics (newest-wins under plans/star.dedup_order) are
+    identical either way — the converges-to-batch tests run through
+    this interface."""
     from ..plans.star import dedup_order, prepared_events
+    from ..sources.factstore import VersionedParquetStore
+
+    target = store if store is not None else VersionedParquetStore(store_dir)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         delta = prepared_events(batch_df)
-        current = read_fact_store(spark, store_dir)
-        merged = delta if current is None else current.unionByName(delta)
-        w = Window.partitionBy("event_id").orderBy(*dedup_order())
-        out = (
-            merged.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        out.write.mode("overwrite").parquet(f"{store_dir}/v={batch_id}")
-        _prune_versions(spark, store_dir)
+        target.merge(delta, "event_id", dedup_order(), batch_id)
 
     return (
         stream.writeStream.foreachBatch(_merge)
