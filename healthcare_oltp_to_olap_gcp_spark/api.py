@@ -520,6 +520,10 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_remove_dup_spans": lambda s, d: dedup.remove_dup_spans(
         table(s, d, "documents")
     ),
+    "events_daily_rollup_incremental": lambda s, d: (
+        analytics.events_daily_rollup_incremental(table(s, d, "events"))
+    ),
+    "bpe_merges": lambda s, d: textquality.bpe_merges(table(s, d, "documents")),
 }
 
 
@@ -565,6 +569,7 @@ _PRIORITY = [
     "theta_anotb_segment_users",
     "theta_daily_merge_events",
     "docs_remove_dup_spans",
+    "events_daily_rollup_incremental",
     # -- risk-ranked regression picks --
     "minhash_lsh_dup_pairs",
     "simhash_dup_pairs",
@@ -595,8 +600,7 @@ _PRIORITY = [
     "token_typo_pairs",
     "winnow_fingerprint",
     "docs_contamination",
-    "prefix_suffix_overlap_pairs",
-    # (six r3-green picks displaced by the round-4 theta family and
+    # (seven r3-green picks displaced by the round-4 theta family and
     # the dup-span removal op: value_range_join, scd2_user_band,
     # event_type_transitions, user_retention_cohorts,
     # mixture_sample_documents, docs_perplexity — all keep

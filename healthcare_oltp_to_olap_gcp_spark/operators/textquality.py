@@ -1002,3 +1002,90 @@ def cms_token_counts(
         F.col("cms_count").cast("long").alias("cms_count"),
         (F.col("cms_count") - F.col("true_count")).cast("long").alias("overestimate"),
     )
+
+
+BPE_MERGES = 20
+BPE_CHECKPOINT_EVERY = 5
+
+
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    checkpoint_every: int = BPE_CHECKPOINT_EVERY,
+) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al.): learn the first
+    ``n_merges`` byte-pair merges from the corpus — the step that
+    produces the merge table every LLM tokenizer ships. Classic
+    algorithm: start from characters, repeatedly take the most frequent
+    adjacent symbol pair (weighted by word frequency) and fuse it
+    everywhere; each later count reflects all earlier merges.
+
+    Spark shape: all iterative state is the WORD-FREQUENCY table
+    (|vocab| rows — millions at 100 TB, never the corpus): the corpus
+    is scanned once to build it. Per round: adjacent pairs via
+    slice+arrays_zip (per-row, no shuffle), one vocab-sized pair-count
+    shuffle, a TakeOrdered(1) argmax whose single row is the only thing
+    the driver sees (loop control, like dedup_components' convergence
+    scalar), then a per-row fold (F.aggregate) fusing the winning pair
+    left-to-right — higher-order functions, zero shuffle. The vocab
+    lineage is localCheckpoint-ed every ``checkpoint_every`` rounds so
+    plan depth stays bounded (the part_pagerank pattern). A production
+    30k-merge run batches B non-conflicting merges per round to cut
+    rounds ~B×; semantics per merge are identical.
+
+    Determinism: counts are exact longs and ties break
+    lexicographically on (left, right), so the learned table is
+    bit-stable under any partitioning. Rows-only correctness (the
+    argmax loop is not single-statement SQL); unit tests pin the exact
+    merge sequence on known corpora.
+
+    Returns (merge_rank, left, right, pair_count) — rank 0 is the
+    first, most frequent merge."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    vocab = words.select("n", F.split("term", "").alias("syms"))
+    out: list[tuple[int, str, str, int]] = []
+    for i in range(n_merges):
+        if checkpoint_every and i and i % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("syms", 1, F.size("syms") - 1).alias("a"),
+                        F.slice("syms", 2, F.size("syms") - 1).alias("b"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
+        out.append((i, a, b, cnt))
+        vocab = vocab.withColumn(
+            "syms",
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ),
+        )
+    return spark.createDataFrame(
+        out, "merge_rank long, left string, right string, pair_count long"
+    )

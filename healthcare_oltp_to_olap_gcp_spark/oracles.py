@@ -3041,3 +3041,15 @@ SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
   COALESCE(c.cleaned_text, '') AS cleaned_text
 FROM base b LEFT JOIN cleaned c USING (doc_id)
 """
+
+# Incremental day-grain rollup maintenance
+# (plans/analytics.events_daily_rollup_incremental): the merge of
+# base-rollup ∪ delta-partials is provably the full GROUP BY (exact
+# decimal partials), so the oracle is the one-shot recompute.
+ORACLE_SQL["events_daily_rollup_incremental"] = """
+SELECT CAST(ts AS DATE) AS event_date, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE) AS sum_value,
+  MAX(value) AS max_value
+FROM events GROUP BY 1, 2
+"""

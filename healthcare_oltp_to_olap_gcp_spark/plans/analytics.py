@@ -342,6 +342,52 @@ def events_hourly(events: DataFrame) -> DataFrame:
     )
 
 
+def events_daily_rollup_incremental(
+    events: DataFrame, cutoff: str = "2024-01-24"
+) -> DataFrame:
+    """Incremental AGGREGATE maintenance (materialized-view refresh):
+    the day-grain rollup is brought up to date by merging the
+    already-materialized pre-cutoff rollup with the delta slice's
+    partial aggregate — never rescanning history. The companion to
+    ``plans/star.fact_events_incremental``, one level up the stack:
+    that maintains the deduplicated FACT incrementally, this maintains
+    an AGGREGATE over it.
+
+    Provably equal to the full recompute: count/sum/max over the
+    day-type key are commutative monoids and the value sum accumulates
+    in exact DECIMAL(18,8), so rollup(base) ⊕ rollup(delta) =
+    rollup(base ∪ delta) bit-for-bit under any partitioning — the
+    oracle IS the full-table GROUP BY.
+
+    At 100 TB: the cutoff filter pushes into the scan, so raw data
+    read ∝ delta only; the merge groupBy shuffles just the rollup
+    table (days × types rows — KBs per century) plus the delta
+    partials. With date-partitioned storage this is the classic
+    partition-overwrite refresh: only delta-touched days change."""
+    cut = F.lit(cutoff).cast("timestamp")
+
+    def _partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.to_date("ts").alias("event_date"), "event_type"
+        ).agg(
+            F.count("*").alias("_n"),
+            F.sum(F.col("value").cast("decimal(18,8)")).alias("_s"),
+            F.max("value").alias("_mx"),
+        )
+
+    base = _partial(events.filter(F.col("ts") < cut))
+    delta = _partial(events.filter(F.col("ts") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.sum("_n").cast("long").alias("n_events"),
+            F.sum("_s").cast("double").alias("sum_value"),
+            F.max("_mx").alias("max_value"),
+        )
+    )
+
+
 def events_sliding_2h(events: DataFrame) -> DataFrame:
     """Sliding window (2-hour length, 1-hour slide): each event lands in
     two windows; window() expands rows before one aggregation pass."""

@@ -83,6 +83,62 @@ def test_remove_dup_spans_consistent_with_stats(spark):
         assert r.n_tokens == stats[did].n_tokens
 
 
+def _py_bpe(word_freq, n_merges):
+    """Reference BPE (pure python): greedy leftmost fuse, ties broken
+    lexicographically on (left, right)."""
+    vocab = [(list(w), n) for w, n in word_freq.items()]
+    merges = []
+    for rank in range(n_merges):
+        counts = {}
+        for syms, n in vocab:
+            for x, y in zip(syms, syms[1:]):
+                counts[(x, y)] = counts.get((x, y), 0) + n
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, cnt))
+        new_vocab = []
+        for syms, n in vocab:
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            new_vocab.append((out, n))
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_known_sequence(spark):
+    """Hand-derivable toy corpus: 'aaab'x3 + 'ab'x2 must learn exactly
+    (a,a)=6 then (a,b)=5 then (aa,ab)=3 and stop (single symbols left),
+    proving greedy-leftmost fusing and early termination."""
+    docs = _docs(spark, ["aaab aaab aaab", "ab ab"])
+    got = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in textquality.bpe_merges(docs, n_merges=20).collect()
+    ]
+    assert got == [(0, "a", "a", 6), (1, "a", "b", 5), (2, "aa", "ab", 3)]
+
+
+def test_bpe_merges_matches_reference_on_corpus(spark):
+    """The distributed trainer must reproduce the pure-python reference
+    BPE exactly (same tokenization, same tie-breaks) on the real
+    documents table — every rank, pair, and count."""
+    docs = table(spark, SF001, "documents")
+    freqs = {}
+    for r in docs.select("text").collect():
+        for w in r.text.lower().split():
+            freqs[w] = freqs.get(w, 0) + 1
+    want = _py_bpe(freqs, 10)
+    got = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in textquality.bpe_merges(docs, n_merges=10).collect()
+    ]
+    assert got == want
+
+
 def test_prefix_suffix_overlap_is_directed(spark):
     k = dedup.PS_OVERLAP_K
     seam = " ".join(f"s{i}" for i in range(k))

@@ -117,6 +117,7 @@ SF01_KEYS = [
     "theta_anotb_segment_users",
     "theta_daily_merge_events",
     "docs_remove_dup_spans",
+    "events_daily_rollup_incremental",
 ]
 
 

@@ -58,6 +58,38 @@ def test_incremental_fact_single_final_window(spark):
     assert plan.count("RunningWindowFunction") + plan.count("Window") >= 2
 
 
+def test_daily_rollup_incremental_pushes_cutoff_and_merges(spark):
+    """The IVM refresh: (1) the cutoff predicates reach the scans
+    (PushedFilters on ts — delta reads delta bytes only), (2) the merge
+    equals the full recompute at EVERY cutoff, including mid-day ones
+    where one day's rows straddle base and delta (the partial-state
+    merge path the default-cutoff oracle run can't isolate)."""
+    from pyspark.sql import functions as F
+
+    from healthcare_oltp_to_olap_gcp_spark.catalog import table
+    from healthcare_oltp_to_olap_gcp_spark.plans.analytics import (
+        events_daily_rollup_incremental,
+    )
+
+    from .helpers import normalize
+
+    plan = _plan(spark, "events_daily_rollup_incremental")
+    assert "LessThan(ts," in plan and "GreaterThanOrEqual(ts," in plan
+    assert plan.count("ReadSchema: struct<ts:") == 2  # 3-column pruned scans
+
+    events = table(spark, SF001, "events")
+    full = events.groupBy(
+        F.to_date("ts").alias("event_date"), "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,8)")).cast("double").alias("sum_value"),
+        F.max("value").alias("max_value"),
+    )
+    for cutoff in ("2024-01-10 12:30:00", "2024-01-24", "2023-01-01", "2030-01-01"):
+        got = events_daily_rollup_incremental(events, cutoff)
+        assert normalize(got.toPandas()) == normalize(full.toPandas()), cutoff
+
+
 def test_q9_pushes_substring_filter_and_broadcasts(spark):
     """The part-name substring filter must reach the part scan and the
     filtered part dim must broadcast — the fact is pre-pruned by a
@@ -249,6 +281,7 @@ _EAGER_BUILD = {
     "fact_events_streamed",
     "pq_trained_ann_topk",
     "ann_recall_report_trained",
+    "bpe_merges",
 }
 
 
