@@ -1047,7 +1047,11 @@ def bpe_merges(
         .groupBy("term")
         .agg(F.count("*").alias("n"))
     )
-    vocab = words.select("n", F.split("term", "").alias("syms"))
+    # Materialize the initial vocab eagerly: every round's argmax would
+    # otherwise re-run the corpus scan + word groupBy from parquet
+    # (measured 18.7s -> ~4s at sf0.1 for 20 merges), and re-checkpoint
+    # periodically so later rounds replay only a bounded rewrite suffix.
+    vocab = words.select("n", F.split("term", "").alias("syms")).localCheckpoint()
     out: list[tuple[int, str, str, int]] = []
     for i in range(n_merges):
         if checkpoint_every and i and i % checkpoint_every == 0:

@@ -63,6 +63,13 @@ PROBES = {
     "cms_token_counts": {"documents": ["doc_id"]},
     "value_range_join": {"events": ["event_id"]},
     "asof_pandas_last_view": {"events": ["event_id", "user_id"]},
+    # round-4 additions
+    "theta_union_segment_users": {"events": ["event_id", "user_id"]},
+    "theta_daily_merge_events": {"events": ["event_id", "user_id"]},
+    "events_daily_rollup_incremental": {"events": ["event_id", "user_id"]},
+    "docs_remove_dup_spans": {"documents": ["doc_id"]},
+    "pq_trained_ann_topk": {"embeddings": ["vec_id"]},
+    "bpe_merges": {"documents": ["doc_id"]},
 }
 
 ID_SPAN = 100_000_000  # shift per copy; far above any real id
