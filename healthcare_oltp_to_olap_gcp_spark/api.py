@@ -524,6 +524,9 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         analytics.events_daily_rollup_incremental(table(s, d, "events"))
     ),
     "bpe_merges": lambda s, d: textquality.bpe_merges(table(s, d, "documents")),
+    "ivfpq_ann_topk": lambda s, d: similarity.ivfpq_ann_topk(
+        table(s, d, "embeddings")
+    ),
 }
 
 
@@ -570,6 +573,7 @@ _PRIORITY = [
     "theta_daily_merge_events",
     "docs_remove_dup_spans",
     "events_daily_rollup_incremental",
+    "ivfpq_ann_topk",
     # -- risk-ranked regression picks --
     "minhash_lsh_dup_pairs",
     "simhash_dup_pairs",
@@ -599,8 +603,7 @@ _PRIORITY = [
     "fact_events_streamed",
     "token_typo_pairs",
     "winnow_fingerprint",
-    "docs_contamination",
-    # (seven r3-green picks displaced by the round-4 theta family and
+    # (eight r3-green picks displaced by the round-4 theta family and
     # the dup-span removal op: value_range_join, scd2_user_band,
     # event_type_transitions, user_retention_cohorts,
     # mixture_sample_documents, docs_perplexity — all keep

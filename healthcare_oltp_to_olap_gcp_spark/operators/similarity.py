@@ -770,6 +770,143 @@ def _pq_adc_topk(
     )
 
 
+IVFPQ_CELLS = 16
+IVFPQ_PROBE = 4
+
+
+def ivfpq_ann_topk(
+    embeddings: DataFrame,
+    k: int = DEFAULT_K,
+    n_cells: int = IVFPQ_CELLS,
+    n_probe: int = IVFPQ_PROBE,
+    m: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    margin: int = PQ_MARGIN,
+) -> DataFrame:
+    """IVF-PQ — the FAISS billion-scale production layout, composed
+    from this repo's two oracled quantizers: a coarse inverted file
+    (``ivf_flat_ann_topk``'s hash-seeded centroids) whose cells bound
+    the scan, and PQ codes of each vector's RESIDUAL v − centroid(cell)
+    (Jégou et al.'s residual encoding — residuals are centered near 0,
+    so the same codebook budget quantizes them far better than raw
+    vectors). Codewords are global per-subspace residual slices of the
+    ``n_codes`` md5-ranked rows, the same deterministic draw as
+    ``pq_ann_topk``.
+
+    Query path: probe the ``n_probe`` nearest cells; ADC uses the
+    inner-product decomposition q·v = q·c(cell) + q·r ≈ q·c + q·r̂ —
+    one cell-independent LUT of q against the residual codewords, plus
+    the per-cell centroid dot added back — ranking only vectors inside
+    probed cells (the IVF bound) by DECIMAL-summed LUT dots (the PQ
+    memory bound); exact-rerank the k+margin survivors. Scan cost per
+    query ≈ n_probe/n_cells of the corpus, touching m-byte codes —
+    both reductions compose.
+
+    Fully deterministic (rounded dots, md5 draws, lexical tie-breaks):
+    value-hash-oracled end to end despite being a two-level
+    approximate index — the hash-seeded stand-in for KMeans-trained
+    cells/codebooks, which slot in exactly like pq_trained's."""
+    sub = DIM // m
+    corpus = embeddings.repartition(_par(embeddings)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        normalized(as_double("embedding")).alias("cv"),
+    )
+    cent = (
+        corpus.orderBy(F.md5(F.col("neighbor_id").cast("string")), "neighbor_id")
+        .limit(n_cells)
+        .select(F.col("neighbor_id").alias("cent_id"), F.col("cv").alias("centroid"))
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.col("cdot").desc(), "cent_id"
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(cent))
+        .withColumn("cdot", F.round(dot(F.col("cv"), F.col("centroid")), 6))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "neighbor_id",
+            "cv",
+            F.col("cent_id").alias("cell"),
+            F.zip_with("cv", "centroid", lambda a, b: a - b).alias("rv"),
+        )
+    )
+    seeds = (
+        assigned.orderBy(F.md5(F.col("neighbor_id").cast("string")), "neighbor_id")
+        .limit(n_codes)
+        .select(F.col("neighbor_id").cast("long").alias("cid"), F.col("rv").alias("crv"))
+    )
+    js = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j")
+    cw = seeds.select("cid", "crv", js).select(
+        "j", "cid", F.slice("crv", F.col("j") * sub + 1, sub).alias("csub")
+    )
+    vs = assigned.select("neighbor_id", "cell", "rv", js).select(
+        "neighbor_id", "cell", "j",
+        F.slice("rv", F.col("j") * sub + 1, sub).alias("vsub"),
+    )
+    d = F.round(
+        dot(F.col("vsub"), F.col("vsub"))
+        + dot(F.col("csub"), F.col("csub"))
+        - F.lit(2.0) * dot(F.col("vsub"), F.col("csub")),
+        6,
+    )
+    codes = (
+        vs.join(F.broadcast(cw), "j")
+        .withColumn("d", d)
+        .groupBy("neighbor_id", "cell", "j")
+        .agg(F.min(F.struct(F.col("d"), F.col("cid"))).alias("_mc"))
+        .select("neighbor_id", "cell", "j", F.col("_mc.cid").alias("cid"))
+    )
+    qs = _queries(embeddings)
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("qdot").desc(), "cent_id")
+    probed = (
+        qs.crossJoin(F.broadcast(cent))
+        .withColumn("qdot", F.round(dot(F.col("qv"), F.col("centroid")), 6))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", F.col("cent_id").alias("cell"), "qdot")
+    )
+    lut = qs.select("query_id", "qv", js).join(F.broadcast(cw), "j").select(
+        "query_id",
+        "j",
+        "cid",
+        F.round(
+            dot(F.slice(F.col("qv"), F.col("j") * sub + 1, sub), F.col("csub")), 8
+        )
+        .cast("decimal(18,8)")
+        .alias("ld"),
+    )
+    adc = (
+        codes.join(F.broadcast(probed), "cell")  # IVF bound: probed cells only
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(lut), ["query_id", "j", "cid"])
+        .groupBy("query_id", "neighbor_id", "qdot")
+        .agg(F.sum("ld").alias("_s"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("qdot").cast("decimal(18,8)") + F.col("_s")).alias("_adc"),
+        )
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        adc.withColumn("_rn", F.row_number().over(w_cand))
+        .filter(F.col("_rn") <= k + margin)
+        .select("query_id", "neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        corpus.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qs.withColumnRenamed("qv", "qv2")), "query_id")
+        .withColumn("sim", F.round(dot(F.col("qv2"), F.col("cv")), 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 PQ_FIT_SAMPLE = 4096
 
 
@@ -913,6 +1050,7 @@ def ann_recall_report(embeddings: DataFrame, k: int = DEFAULT_K) -> DataFrame:
         ("lsh", ann_lsh_topk),
         ("sq8", sq8_ann_topk),
         ("pq", pq_ann_topk),
+        ("ivfpq", ivfpq_ann_topk),
     )
     return _recall_rows(brute, total, embeddings, k, methods)
 

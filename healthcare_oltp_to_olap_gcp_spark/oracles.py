@@ -3053,3 +3053,135 @@ SELECT CAST(ts AS DATE) AS event_date, event_type,
   MAX(value) AS max_value
 FROM events GROUP BY 1, 2
 """
+
+# IVF-PQ two-level index (operators/similarity.ivfpq_ann_topk):
+# hash-seeded coarse cells + residual PQ codes; the inner-product ADC
+# decomposition q·v ≈ q·c(cell) + q·r̂ makes even the composed
+# approximate index value-hash reproducible.
+from .operators.similarity import (  # noqa: E402
+    IVFPQ_CELLS as _IPC_,
+    IVFPQ_PROBE as _IPP_,
+)
+
+ORACLE_SQL["ivfpq_ann_topk"] = f"""
+WITH {_NORM_CTE},
+cent AS (
+  SELECT vec_id AS cent_id, nv AS centroid
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IPC_}
+),
+assign0 AS (
+  SELECT e.vec_id AS neighbor_id, e.nv, cent.cent_id, cent.centroid,
+         ROUND(list_dot_product(e.nv, cent.centroid), 6) AS cdot
+  FROM e CROSS JOIN cent
+),
+assigned AS (
+  SELECT neighbor_id, nv, cent_id AS cell,
+         list_transform(range(1, {_PQM_} * {_PQ_SUB} + 1),
+                        i -> nv[i] - centroid[i]) AS rv
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+                                 ORDER BY cdot DESC, cent_id) AS rn
+    FROM assign0
+  ) WHERE rn = 1
+),
+seeds AS (
+  SELECT CAST(neighbor_id AS BIGINT) AS cid, rv AS crv FROM assigned
+  ORDER BY md5(CAST(neighbor_id AS VARCHAR)), neighbor_id LIMIT {_PQC_}
+),
+cw AS (
+  SELECT r.j, cid,
+         list_slice(crv, r.j * {_PQ_SUB} + 1, r.j * {_PQ_SUB} + {_PQ_SUB}) AS csub
+  FROM seeds, LATERAL unnest(range(0, {_PQM_})) AS r(j)
+),
+vs AS (
+  SELECT neighbor_id, cell, r.j,
+         list_slice(rv, r.j * {_PQ_SUB} + 1, r.j * {_PQ_SUB} + {_PQ_SUB}) AS vsub
+  FROM assigned, LATERAL unnest(range(0, {_PQM_})) AS r(j)
+),
+dist AS (
+  SELECT vs.neighbor_id, vs.cell, vs.j, cw.cid,
+    ROUND(list_dot_product(vsub, vsub) + list_dot_product(csub, csub)
+          - 2.0 * list_dot_product(vsub, csub), 6) AS d
+  FROM vs JOIN cw ON vs.j = cw.j
+),
+codes AS (
+  SELECT neighbor_id, cell, j, cid FROM dist
+  QUALIFY row_number() OVER (PARTITION BY neighbor_id, j ORDER BY d, cid) = 1
+),
+q0 AS (
+  SELECT q.vec_id AS query_id, cent.cent_id,
+         ROUND(list_dot_product(q.nv, cent.centroid), 6) AS qdot
+  FROM e q CROSS JOIN cent WHERE q.vec_id % 50 = 0
+),
+probed AS (
+  SELECT query_id, cent_id AS cell, qdot FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY qdot DESC, cent_id) AS rn
+    FROM q0
+  ) WHERE rn <= {_IPP_}
+),
+lut AS (
+  SELECT q.vec_id AS query_id, cw.j, cw.cid,
+    CAST(ROUND(list_dot_product(
+           list_slice(q.nv, cw.j * {_PQ_SUB} + 1, cw.j * {_PQ_SUB} + {_PQ_SUB}),
+           cw.csub), 8) AS DECIMAL(18,8)) AS ld
+  FROM e q, cw WHERE q.vec_id % 50 = 0
+),
+adc AS (
+  SELECT p.query_id, c.neighbor_id,
+         CAST(p.qdot AS DECIMAL(18,8)) + SUM(l.ld) AS a
+  FROM codes c
+  JOIN probed p ON c.cell = p.cell AND c.neighbor_id <> p.query_id
+  JOIN lut l ON l.query_id = p.query_id AND l.j = c.j AND l.cid = c.cid
+  GROUP BY p.query_id, c.neighbor_id, p.qdot
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM adc
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY a DESC, neighbor_id)
+    <= {10 + _PQMG_}
+),
+rr AS (
+  SELECT c.query_id, c.neighbor_id, ROUND(list_dot_product(qe.nv, ne.nv), 6) AS sim
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.query_id
+  JOIN e ne ON ne.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+       AS BIGINT) AS rank
+FROM rr
+QUALIFY rank <= 10
+"""
+
+# Redefined AFTER ivfpq_ann_topk exists so the report covers all FIVE
+# approximate paths (the earlier four-method definition is replaced —
+# operators/similarity.ann_recall_report gained the ivfpq row).
+ORACLE_SQL["ann_recall_report"] = f"""
+WITH brute AS (SELECT query_id, neighbor_id FROM ({ORACLE_SQL["ann_topk"]})),
+m_ivf AS (SELECT query_id, neighbor_id FROM ({ORACLE_SQL["ivf_flat_ann_topk"]})),
+m_lsh AS (SELECT query_id, neighbor_id FROM ({ORACLE_SQL["ann_lsh_topk"]})),
+m_sq8 AS (SELECT query_id, neighbor_id FROM ({ORACLE_SQL["sq8_ann_topk"]})),
+m_pq AS (SELECT query_id, neighbor_id FROM ({ORACLE_SQL["pq_ann_topk"]})),
+m_ivfpq AS (SELECT query_id, neighbor_id FROM ({ORACLE_SQL["ivfpq_ann_topk"]})),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM brute),
+hits AS (
+  SELECT 'ivf_flat' AS method, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM m_ivf JOIN brute USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'lsh', CAST(COUNT(*) AS BIGINT)
+  FROM m_lsh JOIN brute USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'sq8', CAST(COUNT(*) AS BIGINT)
+  FROM m_sq8 JOIN brute USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'pq', CAST(COUNT(*) AS BIGINT)
+  FROM m_pq JOIN brute USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'ivfpq', CAST(COUNT(*) AS BIGINT)
+  FROM m_ivfpq JOIN brute USING (query_id, neighbor_id)
+)
+SELECT method, n_hit, n_total,
+  CASE WHEN n_total > 0
+       THEN ROUND(n_hit / CAST(n_total AS DOUBLE), 6) END AS recall
+FROM hits, tot
+"""

@@ -261,7 +261,7 @@ def test_keep_best_keeps_one_survivor_per_component(spark):
 def test_recall_report_has_all_methods_with_bounded_recall(spark):
     emb = table(spark, SF001, "embeddings")
     rows = {r.method: r for r in similarity.ann_recall_report(emb).collect()}
-    assert set(rows) == {"ivf_flat", "lsh", "sq8", "pq"}
+    assert set(rows) == {"ivf_flat", "lsh", "sq8", "pq", "ivfpq"}
     totals = {r.n_total for r in rows.values()}
     assert len(totals) == 1
     for r in rows.values():

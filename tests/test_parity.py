@@ -118,6 +118,7 @@ SF01_KEYS = [
     "theta_daily_merge_events",
     "docs_remove_dup_spans",
     "events_daily_rollup_incremental",
+    "ivfpq_ann_topk",
 ]
 
 

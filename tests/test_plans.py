@@ -267,6 +267,7 @@ _BNLJ_ALLOWED = {
     "part_copurchase_lift",  # one-row order-total cross onto the pair counts
     "orders_revenue_concentration",  # one-row percentile-boundary cross
     "part_pagerank",  # one-row node-count cross per iteration
+    "ivfpq_ann_topk",  # 16-row centroid cross (inherits ivf_flat's shape)
     # theta set algebra: one-row theta-bound / fallback / n_days crosses
     "theta_union_segment_users",
     "theta_intersect_segment_users",
