@@ -527,6 +527,9 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_ann_topk": lambda s, d: similarity.ivfpq_ann_topk(
         table(s, d, "embeddings")
     ),
+    "temperature_sample_documents": lambda s, d: (
+        dedup.temperature_sample_documents(table(s, d, "documents"))
+    ),
 }
 
 
@@ -574,6 +577,7 @@ _PRIORITY = [
     "docs_remove_dup_spans",
     "events_daily_rollup_incremental",
     "ivfpq_ann_topk",
+    "temperature_sample_documents",
     # -- risk-ranked regression picks --
     "minhash_lsh_dup_pairs",
     "simhash_dup_pairs",
@@ -602,8 +606,7 @@ _PRIORITY = [
     "events_snapshot_diff",
     "fact_events_streamed",
     "token_typo_pairs",
-    "winnow_fingerprint",
-    # (eight r3-green picks displaced by the round-4 theta family and
+    # (nine r3-green picks displaced by the round-4 theta family and
     # the dup-span removal op: value_range_join, scd2_user_band,
     # event_type_transitions, user_retention_cohorts,
     # mixture_sample_documents, docs_perplexity — all keep

@@ -890,6 +890,49 @@ def remove_dup_spans(docs: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
     )
 
 
+TEMP_ALPHA = 0.5
+
+
+def temperature_sample_documents(
+    docs: DataFrame, alpha: float = TEMP_ALPHA
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the n^α source-sampling
+    rule from multilingual/domain training blends — α=1 keeps natural
+    proportions, α→0 approaches uniform): accept each doc with rate
+    r_s = (n_min / n_s)^(1−α), so expected per-source counts are
+    ∝ n_s^α scaled to keep the smallest source intact. Generalizes
+    ``mixture_sample_documents`` (its equal-share rule is the α=0
+    point). Same scale shape: one count aggregate, a broadcast
+    |sources|-row rate table, one rate-filter scan — no windows, no
+    per-source sorts, and the identical hash-threshold form runs as a
+    streaming filter.
+
+    Cross-engine exactness: the acceptance uniform is the shared
+    md5-derived value and the rate is sqrt(n_min/n_s) at α=0.5 —
+    correctly-rounded IEEE ops both engines agree on bit-for-bit, so
+    even this sampler is value-hash-oracled."""
+    c = docs.groupBy("source").agg(F.count("*").alias("n"))
+    mn = c.agg(F.min("n").alias("mn"))
+    ratio = F.col("mn") / F.col("n").cast("double")
+    # sqrt is correctly-rounded IEEE in both engines; generic pow is
+    # only ~1-ulp and could flip a boundary acceptance, so the default
+    # α=0.5 takes the exact path.
+    rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    rates = c.crossJoin(F.broadcast(mn)).select("source", rate.alias("rate"))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        + 1
+    ) / F.lit(4294967296.0)
+    return (
+        docs.select("doc_id", "source", u.alias("u"))
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("u") <= F.col("rate"))
+        .select("doc_id", "source", F.round("rate", 6).alias("accept_rate"))
+    )
+
+
 def mixture_sample_documents(docs: DataFrame) -> DataFrame:
     """Deterministic mixture rebalancing: downsample every source to
     the size of the smallest one (equal target shares — the uniform

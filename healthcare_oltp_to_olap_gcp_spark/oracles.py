@@ -3185,3 +3185,22 @@ SELECT method, n_hit, n_total,
        THEN ROUND(n_hit / CAST(n_total AS DOUBLE), 6) END AS recall
 FROM hits, tot
 """
+
+# Temperature-based mixture rebalancing
+# (operators/dedup.temperature_sample_documents, α=0.5): rate =
+# sqrt(n_min/n_s) — sqrt and the md5-uniform are both exact/correctly
+# rounded, so the sampler is value-hash-checked like its equal-share
+# sibling.
+ORACLE_SQL["temperature_sample_documents"] = """
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+m AS (SELECT MIN(n) AS mn FROM c),
+r AS (SELECT source, sqrt(mn / CAST(n AS DOUBLE)) AS rate FROM c, m),
+u AS (
+  SELECT doc_id, source,
+    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1)
+      / 4294967296.0 AS u
+  FROM documents
+)
+SELECT u.doc_id, u.source, ROUND(r.rate, 6) AS accept_rate
+FROM u JOIN r USING (source) WHERE u.u <= r.rate
+"""

@@ -171,6 +171,34 @@ def test_mixture_sample_balances_sources(spark):
         assert abs(n - mn) <= max(10, int(0.35 * mn)), (src, n, mn)
 
 
+def test_temperature_sample_interpolates_mixture(spark):
+    """α=0.5: the smallest source keeps rate 1 (fully retained), rates
+    decrease with source size as sqrt(n_min/n_s); α=0 degenerates to
+    mixture_sample_documents' equal-share rule exactly."""
+    import math
+
+    docs = table(spark, SF001, "documents")
+    counts = {r.source: r.n for r in
+              docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    n_min = min(counts.values())
+    out = dedup.temperature_sample_documents(docs).collect()
+    rates = {}
+    for r in out:
+        rates.setdefault(r.source, r.accept_rate)
+    for src, rate in rates.items():
+        assert abs(rate - round(math.sqrt(n_min / counts[src]), 6)) < 1e-9
+    kept = {s: sum(1 for r in out if r.source == s) for s in rates}
+    for src in rates:
+        if counts[src] == n_min:
+            assert kept[src] == counts[src]  # smallest source intact
+
+    flat = dedup.temperature_sample_documents(docs, alpha=0.0)
+    mix = dedup.mixture_sample_documents(docs)
+    assert sorted((r.doc_id, r.source) for r in flat.collect()) == sorted(
+        (r.doc_id, r.source) for r in mix.collect()
+    )
+
+
 def test_quality_model_keep_matches_logit_sign_and_guards_empty(spark):
     docs = _docs(spark, ["the cat sat on the mat in a hat", "", "   "])
     rows = {r.doc_id: r for r in textquality.quality_model_scores(docs).collect()}

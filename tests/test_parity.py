@@ -119,6 +119,7 @@ SF01_KEYS = [
     "docs_remove_dup_spans",
     "events_daily_rollup_incremental",
     "ivfpq_ann_topk",
+    "temperature_sample_documents",
 ]
 
 
