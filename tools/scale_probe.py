@@ -70,6 +70,8 @@ PROBES = {
     "docs_remove_dup_spans": {"documents": ["doc_id"]},
     "pq_trained_ann_topk": {"embeddings": ["vec_id"]},
     "bpe_merges": {"documents": ["doc_id"]},
+    "ivfpq_ann_topk": {"embeddings": ["vec_id"]},
+    "temperature_sample_documents": {"documents": ["doc_id"]},
 }
 
 ID_SPAN = 100_000_000  # shift per copy; far above any real id
