@@ -530,6 +530,7 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_sample_documents": lambda s, d: (
         dedup.temperature_sample_documents(table(s, d, "documents"))
     ),
+    "bq_ann_topk": lambda s, d: similarity.bq_ann_topk(table(s, d, "embeddings")),
 }
 
 

@@ -907,6 +907,81 @@ def ivfpq_ann_topk(
     )
 
 
+BQ_MARGIN = 96  # 1-bit codes are coarse; wide margin, recall-tested
+
+
+def bq_ann_topk(
+    embeddings: DataFrame, k: int = DEFAULT_K, margin: int = BQ_MARGIN
+) -> DataFrame:
+    """Binary-quantization ANN: each vector is compressed to its 64
+    SIGN bits packed into two longs; candidates are ranked by Hamming
+    distance (XOR + popcount, the cheapest possible distance — pure
+    integer ALU, SIMD-friendly), and only the top k+margin are reranked
+    with the exact float cosine. Sign-of-coordinate is taken on the RAW
+    embedding (normalization by a positive scalar preserves signs), so
+    code construction involves ZERO floating-point arithmetic — the
+    candidate selection is exact-integer and parity-safe in any engine,
+    like ``sq8_ann_topk``'s int dot but 8x smaller still.
+
+    Scale story: 8 bytes/vector of code (16 with both halves) versus
+    512 for float64 — a 32-64x cut on the scan that dominates ANN; at
+    100 TB the code table for a billion vectors is ~16 GB, small enough
+    to sit in executor memory while full-precision vectors stay on
+    disk and are read only for the (k+margin)*|Q| candidate rows.
+    Shape: zero-shuffle per-row bit packing, code scan against
+    broadcast query codes, per-query window cut, equi-join rerank."""
+    corpus = embeddings.repartition(_par(embeddings)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        normalized(as_double("embedding")).alias("cv"),
+    )
+
+    def _pack(raw: F.Column, lo: int, hi: int) -> F.Column:
+        acc = None
+        for i in range(lo, hi):
+            term = F.when(raw[i] > 0, F.lit(1 << (i - lo)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            acc = term if acc is None else acc + term
+        return acc
+
+    def _codes(df: DataFrame, id_col: str, prefix: str) -> DataFrame:
+        raw = F.col("embedding")
+        return df.select(
+            F.col("vec_id").alias(id_col),
+            _pack(raw, 0, 32).alias(f"{prefix}lo"),
+            _pack(raw, 32, 64).alias(f"{prefix}hi"),
+        )
+
+    ccodes = _codes(embeddings.repartition(_par(embeddings)), "neighbor_id", "c")
+    qcodes = _codes(
+        embeddings.filter(F.col("vec_id") % QUERY_MOD == 0), "query_id", "q"
+    )
+    ham = F.bit_count(F.col("qlo").bitwiseXOR(F.col("clo"))) + F.bit_count(
+        F.col("qhi").bitwiseXOR(F.col("chi"))
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.col("ham").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        ccodes.join(F.broadcast(qcodes))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("ham", ham)
+        .withColumn("_rn", F.row_number().over(w_cand))
+        .filter(F.col("_rn") <= k + margin)
+        .select("query_id", "neighbor_id")
+    )
+    qs = _queries(embeddings)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        corpus.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qs.withColumnRenamed("qv", "qv2")), "query_id")
+        .withColumn("sim", F.round(dot(F.col("qv2"), F.col("cv")), 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 PQ_FIT_SAMPLE = 4096
 
 
@@ -1028,15 +1103,15 @@ def hard_negative_mining(
 
 def ann_recall_report(embeddings: DataFrame, k: int = DEFAULT_K) -> DataFrame:
     """Index-quality dashboard: recall@k of every approximate ANN path
-    (IVF-Flat, multi-probe LSH, SQ8, PQ) against the exact brute-force
-    top-k, as one small metrics frame — the number an embedding-search
-    deploy watches when trading probe width / code size against
-    accuracy.
+    (IVF-Flat, multi-probe LSH, SQ8, PQ, IVF-PQ, binary/Hamming)
+    against the exact brute-force top-k, as one small metrics frame —
+    the number an embedding-search deploy watches when trading probe
+    width / code size against accuracy.
 
     Each method's |Q|·k frame inner-joins the brute frame on
     (query_id, neighbor_id); recall = hits / |brute|. The brute
-    result is scope-persisted (four consumers); per-method output is
-    ONE row, so the final union is 4 rows however large the corpus.
+    result is scope-persisted (one consumer per method); per-method
+    output is ONE row, so the final union stays tiny however large the corpus.
     Exact integer counts + one rounded division keep it value-hash
     oracle-checked end to end."""
     from ..session import scoped_persist
@@ -1051,6 +1126,7 @@ def ann_recall_report(embeddings: DataFrame, k: int = DEFAULT_K) -> DataFrame:
         ("sq8", sq8_ann_topk),
         ("pq", pq_ann_topk),
         ("ivfpq", ivfpq_ann_topk),
+        ("bq", bq_ann_topk),
     )
     return _recall_rows(brute, total, embeddings, k, methods)
 

@@ -2060,6 +2060,44 @@ FROM rr
 QUALIFY rank <= 10
 """
 
+# Binary-quantization ANN (operators/similarity.bq_ann_topk): sign-bit
+# codes on the RAW embedding (no float math at all), Hamming-distance
+# candidate cut (k + margin, tie -> neighbor_id), exact rerank. The
+# oracle counts sign disagreements per pair directly — identical to
+# popcount(xor) over the packed halves.
+from .operators.similarity import BQ_MARGIN as _BQM_  # noqa: E402
+
+ORACLE_SQL["bq_ann_topk"] = f"""
+WITH {_NORM_CTE},
+px AS (
+  SELECT vec_id, r.i AS pos, v[r.i] > 0 AS b
+  FROM e0, LATERAL unnest(range(1, 65)) AS r(i)
+),
+ham AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         SUM(CASE WHEN q.b <> c.b THEN 1 ELSE 0 END) AS h
+  FROM px q JOIN px c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+  WHERE q.vec_id % 50 = 0
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM ham
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY h ASC, neighbor_id)
+    <= {10 + _BQM_}
+),
+rr AS (
+  SELECT c.query_id, c.neighbor_id, ROUND(list_dot_product(qe.nv, ne.nv), 6) AS sim
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.query_id
+  JOIN e ne ON ne.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+       AS BIGINT) AS rank
+FROM rr
+QUALIFY rank <= 10
+"""
+
 # Product-quantization ANN (operators/similarity.pq_ann_topk): codebook
 # = the 16 md5-ranked corpus rows; per-subspace argmin assignment
 # (||v||^2+||c||^2-2v.c from fold-order-stable dots, tie -> cid), ADC
@@ -3153,9 +3191,9 @@ FROM rr
 QUALIFY rank <= 10
 """
 
-# Redefined AFTER ivfpq_ann_topk exists so the report covers all FIVE
+# Redefined AFTER ivfpq/bq exist so the report covers all SIX
 # approximate paths (the earlier four-method definition is replaced —
-# operators/similarity.ann_recall_report gained the ivfpq row).
+# operators/similarity.ann_recall_report gained the ivfpq and bq rows).
 ORACLE_SQL["ann_recall_report"] = f"""
 WITH brute AS (SELECT query_id, neighbor_id FROM ({ORACLE_SQL["ann_topk"]})),
 m_ivf AS (SELECT query_id, neighbor_id FROM ({ORACLE_SQL["ivf_flat_ann_topk"]})),
@@ -3163,6 +3201,7 @@ m_lsh AS (SELECT query_id, neighbor_id FROM ({ORACLE_SQL["ann_lsh_topk"]})),
 m_sq8 AS (SELECT query_id, neighbor_id FROM ({ORACLE_SQL["sq8_ann_topk"]})),
 m_pq AS (SELECT query_id, neighbor_id FROM ({ORACLE_SQL["pq_ann_topk"]})),
 m_ivfpq AS (SELECT query_id, neighbor_id FROM ({ORACLE_SQL["ivfpq_ann_topk"]})),
+m_bq AS (SELECT query_id, neighbor_id FROM ({ORACLE_SQL["bq_ann_topk"]})),
 tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM brute),
 hits AS (
   SELECT 'ivf_flat' AS method, CAST(COUNT(*) AS BIGINT) AS n_hit
@@ -3179,6 +3218,9 @@ hits AS (
   UNION ALL
   SELECT 'ivfpq', CAST(COUNT(*) AS BIGINT)
   FROM m_ivfpq JOIN brute USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'bq', CAST(COUNT(*) AS BIGINT)
+  FROM m_bq JOIN brute USING (query_id, neighbor_id)
 )
 SELECT method, n_hit, n_total,
   CASE WHEN n_total > 0

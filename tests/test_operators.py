@@ -560,6 +560,27 @@ def test_ivfpq_recall_and_exact_rerank(spark):
     assert recall >= 0.25, f"IVFPQ recall collapsed: {recall}"
 
 
+def test_bq_recall_and_exact_rerank(spark):
+    """Binary (sign-bit) quantization: the Hamming candidate cut is
+    exact-integer, rerank sims are exact cosine; recall bounded below
+    (1-bit codes are coarse, the wide margin compensates)."""
+    from .conftest import SF01
+    from healthcare_oltp_to_olap_gcp_spark.operators import similarity
+
+    emb = table(spark, SF01, "embeddings")
+    brute = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in similarity.ann_brute_topk(emb, k=10).collect()
+    }
+    got = similarity.bq_ann_topk(emb).collect()
+    assert len(got) > 0
+    for r in got:
+        b = brute.get((r.query_id, r.neighbor_id))
+        assert b is None or b == r.sim  # rerank sims are exact
+    recall = len(set(brute) & {(r.query_id, r.neighbor_id) for r in got}) / len(brute)
+    assert recall >= 0.3, f"BQ recall collapsed: {recall}"
+
+
 def test_pq_trained_beats_seeded(spark):
     """The 'trained codebooks raise recall' claim, measured: KMeans
     per-subspace codebooks must reach at least the seeded twin's recall
