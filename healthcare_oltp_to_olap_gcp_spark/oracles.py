@@ -2064,26 +2064,34 @@ QUALIFY rank <= 10
 # codes on the RAW embedding (no float math at all), Hamming-distance
 # candidate cut (k + margin, tie -> neighbor_id), exact rerank. The
 # oracle counts sign disagreements per pair directly — identical to
-# popcount(xor) over the packed halves.
-from .operators.similarity import BQ_MARGIN as _BQM_  # noqa: E402
+# popcount(xor) over the packed halves. The sign test is COALESCEd to
+# FALSE so a NULL coordinate matches Spark's _pack (when(x > 0) → bit
+# 0 for NULL); k / query-subset / margin all interpolate from the SAME
+# constants the Spark path uses, so a constant change can't silently
+# diverge the two engines.
+from .operators.similarity import (  # noqa: E402
+    BQ_MARGIN as _BQM_,
+    DEFAULT_K as _ANN_K_,
+    QUERY_MOD as _ANN_QM_,
+)
 
 ORACLE_SQL["bq_ann_topk"] = f"""
 WITH {_NORM_CTE},
 px AS (
-  SELECT vec_id, r.i AS pos, v[r.i] > 0 AS b
+  SELECT vec_id, r.i AS pos, COALESCE(v[r.i] > 0, FALSE) AS b
   FROM e0, LATERAL unnest(range(1, 65)) AS r(i)
 ),
 ham AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          SUM(CASE WHEN q.b <> c.b THEN 1 ELSE 0 END) AS h
   FROM px q JOIN px c ON q.pos = c.pos AND q.vec_id <> c.vec_id
-  WHERE q.vec_id % 50 = 0
+  WHERE q.vec_id % {_ANN_QM_} = 0
   GROUP BY 1, 2
 ),
 cand AS (
   SELECT query_id, neighbor_id FROM ham
   QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY h ASC, neighbor_id)
-    <= {10 + _BQM_}
+    <= {_ANN_K_ + _BQM_}
 ),
 rr AS (
   SELECT c.query_id, c.neighbor_id, ROUND(list_dot_product(qe.nv, ne.nv), 6) AS sim
@@ -2095,7 +2103,7 @@ SELECT query_id, neighbor_id, sim,
   CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
        AS BIGINT) AS rank
 FROM rr
-QUALIFY rank <= 10
+QUALIFY rank <= {_ANN_K_}
 """
 
 # Product-quantization ANN (operators/similarity.pq_ann_topk): codebook

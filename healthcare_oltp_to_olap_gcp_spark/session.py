@@ -48,7 +48,7 @@ def get_spark(app_name: str = "hc-olap-spark", shuffle_partitions: int | None = 
 _SCOPED_CACHES: list[DataFrame] = []
 
 
-def scoped_persist(df: DataFrame) -> DataFrame:
+def scoped_persist(df: DataFrame, *, chain: bool = False) -> DataFrame:
     """Persist ``df``, releasing any frame previously persisted through
     this helper.
 
@@ -58,12 +58,18 @@ def scoped_persist(df: DataFrame) -> DataFrame:
     Since the registry runs queries sequentially, releasing the previous
     scoped cache at the next build bounds cached-block growth across a
     full ``queries()`` sweep. Releasing early is always safe — an
-    unpersisted frame recomputes, it never returns wrong data."""
-    for old in _SCOPED_CACHES:
-        try:
-            old.unpersist()
-        except Exception:
-            pass
-    _SCOPED_CACHES.clear()
+    unpersisted frame recomputes, it never returns wrong data.
+
+    ``chain=True`` keeps the previously persisted frames alive — for a
+    builder whose ONE scope needs several cached intermediates (e.g.
+    ann_recall_report's shared corpus + query + brute frames); the whole
+    chain is released together at the next non-chained call."""
+    if not chain:
+        for old in _SCOPED_CACHES:
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        _SCOPED_CACHES.clear()
     _SCOPED_CACHES.append(df)
     return df.persist()

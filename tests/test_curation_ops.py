@@ -289,12 +289,16 @@ def test_keep_best_keeps_one_survivor_per_component(spark):
 def test_recall_report_has_all_methods_with_bounded_recall(spark):
     emb = table(spark, SF001, "embeddings")
     rows = {r.method: r for r in similarity.ann_recall_report(emb).collect()}
-    assert set(rows) == {"ivf_flat", "lsh", "sq8", "pq", "ivfpq"}
+    assert set(rows) == {"ivf_flat", "lsh", "sq8", "pq", "ivfpq", "bq"}
     totals = {r.n_total for r in rows.values()}
     assert len(totals) == 1
     for r in rows.values():
         assert 0 <= r.n_hit <= r.n_total
         assert 0.0 <= r.recall <= 1.0
+    # sign-bit codes are the coarsest quantizer in the report; the wide
+    # k+margin rerank must still keep them useful (mirrors
+    # test_operators.test_bq_recall_and_exact_rerank's >= 0.3 at SF01)
+    assert rows["bq"].recall >= 0.3
 
 
 def test_length_histogram_partitions_the_corpus(spark):

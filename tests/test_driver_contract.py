@@ -49,18 +49,33 @@ def test_plain_session_driver_contract():
     assert "DRIVER_CONTRACT_OK" in res.stdout, res.stdout[-2000:] + res.stderr[-2000:]
 
 
+# Rows-only (no SQL oracle) entries allowed inside the driver window:
+# the driver logs an `err: no_oracle` row for them — a weaker check,
+# but it proves the query runs end-to-end on fresh driver data, which
+# is the whole point of rotating them in (r4 verdict item 7). Keep
+# this list tiny and deliberate; oracle-backed coverage is the norm.
+_ROWS_ONLY_WINDOWED = {
+    "pq_trained_ann_topk",
+    "ann_recall_report_trained",
+    "bpe_merges",
+}
+
+
 def test_driver_window_composition():
     """The driver's correctness gate reads the FIRST 50 registry entries:
     they must be exactly the curated _PRIORITY list (never-checked ops
-    first, then round-4 additions, then risk-ranked regression picks),
-    every one of them oracle-backed."""
+    first, then the refactor re-verify set, then risk-ranked regression
+    picks), every one of them oracle-backed except the documented
+    rows-only rotations."""
     from healthcare_oltp_to_olap_gcp_spark.api import _PRIORITY, QUERIES
     from healthcare_oltp_to_olap_gcp_spark.oracles import ORACLE_SQL
 
     assert len(_PRIORITY) == 50
     assert len(set(_PRIORITY)) == 50
     assert list(QUERIES)[:50] == _PRIORITY
-    missing = [n for n in _PRIORITY if n not in ORACLE_SQL]
+    missing = [
+        n for n in _PRIORITY if n not in ORACLE_SQL and n not in _ROWS_ONLY_WINDOWED
+    ]
     assert not missing, f"window entries without an oracle: {missing}"
 
 

@@ -268,6 +268,12 @@ _BNLJ_ALLOWED = {
     "orders_revenue_concentration",  # one-row percentile-boundary cross
     "part_pagerank",  # one-row node-count cross per iteration
     "ivfpq_ann_topk",  # 16-row centroid cross (inherits ivf_flat's shape)
+    # reviewed: |Q|-row broadcast code scan (8-byte Hamming codes vs the
+    # corpus code table) — the same intentional shape as sq8_ann_topk
+    "bq_ann_topk",
+    # reviewed: one-row min-source-count scalar cross onto the per-source
+    # rate table — same shape as mixture_sample_documents
+    "temperature_sample_documents",
     # theta set algebra: one-row theta-bound / fallback / n_days crosses
     "theta_union_segment_users",
     "theta_intersect_segment_users",

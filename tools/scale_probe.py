@@ -72,6 +72,9 @@ PROBES = {
     "bpe_merges": {"documents": ["doc_id"]},
     "ivfpq_ann_topk": {"embeddings": ["vec_id"]},
     "temperature_sample_documents": {"documents": ["doc_id"]},
+    # round-5 additions
+    "bq_ann_topk": {"embeddings": ["vec_id"]},
+    "ann_recall_report": {"embeddings": ["vec_id"]},
 }
 
 ID_SPAN = 100_000_000  # shift per copy; far above any real id

@@ -6,10 +6,17 @@ shipped operators that never received a driver CORRECTNESS row because
 they landed outside the window and were never rotated in. This tool
 makes that gap a hard failure:
 
-every oracle-backed query key must be EITHER
+every registered query key — oracle-backed OR rows-only — must be
+EITHER
   (a) present in some CORRECTNESS_r*.json (driver-checked at least
-      once), OR
+      once; rows-only entries log an `err: no_oracle` row, which still
+      proves the query ran end-to-end on driver data), OR
   (b) inside the current 50-entry window (will be checked this round).
+
+Round 5 widened the gate from ORACLE_SQL keys to ALL of QUERIES: the
+r4 verdict (item 7) found three rows-only entries that had silently
+never run under the driver because the old gate only tracked
+oracle-backed keys.
 
 Usage:  python tools/window_check.py  (exit 1 on violation)
 Also invoked by tests/test_driver_contract.py so `pytest` fails CI.
@@ -41,11 +48,10 @@ def checked_keys() -> set[str]:
 def never_checked_outside_window() -> list[str]:
     sys.path.insert(0, REPO)
     from healthcare_oltp_to_olap_gcp_spark.api import QUERIES
-    from healthcare_oltp_to_olap_gcp_spark.oracles import ORACLE_SQL
 
     window = set(list(QUERIES)[:WINDOW_SIZE])
     done = checked_keys()
-    return sorted(k for k in ORACLE_SQL if k not in done and k not in window)
+    return sorted(k for k in QUERIES if k not in done and k not in window)
 
 
 def main() -> int:
@@ -58,7 +64,7 @@ def main() -> int:
         for k in missing:
             print(f"  {k}")
         return 1
-    print("window_check: every oracle-backed query is driver-checked or windowed")
+    print("window_check: every registered query is driver-checked or windowed")
     return 0
 
 
