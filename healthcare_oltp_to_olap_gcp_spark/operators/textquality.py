@@ -1006,12 +1006,68 @@ def cms_token_counts(
 
 BPE_MERGES = 20
 BPE_CHECKPOINT_EVERY = 5
+BPE_BATCH = 8
+
+
+def _bpe_select_batch(
+    rows: list, max_n: int, saw_all: bool
+) -> list[tuple[str, str, int]]:
+    """Greedy exact-batch selection over candidate pairs already sorted
+    by (count desc, left, right) — picks a prefix of mutually
+    NON-INTERACTING merges that sequential BPE would provably choose in
+    this exact order:
+
+    - symbols pairwise disjoint: fusing (a1,b1) can neither create nor
+      destroy occurrences of a symbol-disjoint (a2,b2) — fusion never
+      makes two surviving symbols newly adjacent, and only consumes
+      a1/b1 occurrences — so batched counts equal sequential counts;
+    - fused outputs disjoint from every batched symbol and from each
+      other: a fused token COLLIDING with another batch pair's symbol
+      (e.g. learning (a,b) while batching (ab,c)) would make counts
+      order-dependent — rejected;
+    - strict-count cutoff: the batch is capped at counts STRICTLY above
+      the first conflicting candidate (or the fetch boundary when every
+      fetched row was batched but more pairs may exist). Any pair a
+      batched merge can change — and any NEW pair a merge creates,
+      whose count is bounded by an existing symbol-sharing pair's
+      count — sits at or below that cap, so it can never outrank or
+      tie a kept element when sequential BPE recomputes its argmax
+      (ties at the cap could lex-sort ahead; strictness removes them).
+
+    Counts are non-increasing in sort order, so the cutoff keeps a
+    prefix. Returns [(left, right, count)] — ≥ 1 element always (the
+    round's argmax is unconditionally safe)."""
+    used: set[str] = set()
+    fused: set[str] = set()
+    batch: list[tuple[str, str, int]] = []
+    stop_cnt: int | None = None
+    for r in rows:
+        a, b, cnt = r.a, r.b, int(r.cnt)
+        if len(batch) >= max_n:
+            stop_cnt = cnt
+            break
+        blocked = used | fused
+        if batch and (a in blocked or b in blocked or (a + b) in blocked):
+            stop_cnt = cnt
+            break
+        batch.append((a, b, cnt))
+        used.update((a, b))
+        fused.add(a + b)
+    else:
+        if not saw_all:
+            # Unseen pairs count <= the last fetched row's; without
+            # seeing them assume the worst (symbol-sharing + lex tie).
+            stop_cnt = int(rows[-1].cnt)
+    if stop_cnt is not None:
+        batch = [t for i, t in enumerate(batch) if i == 0 or t[2] > stop_cnt]
+    return batch
 
 
 def bpe_merges(
     docs: DataFrame,
     n_merges: int = BPE_MERGES,
     checkpoint_every: int = BPE_CHECKPOINT_EVERY,
+    batch: int = BPE_BATCH,
 ) -> DataFrame:
     """BPE tokenizer TRAINING (Sennrich et al.): learn the first
     ``n_merges`` byte-pair merges from the corpus — the step that
@@ -1029,9 +1085,17 @@ def bpe_merges(
     scalar), then a per-row fold (F.aggregate) fusing the winning pair
     left-to-right — higher-order functions, zero shuffle. The vocab
     lineage is localCheckpoint-ed every ``checkpoint_every`` rounds so
-    plan depth stays bounded (the part_pagerank pattern). A production
-    30k-merge run batches B non-conflicting merges per round to cut
-    rounds ~B×; semantics per merge are identical.
+    plan depth stays bounded (the part_pagerank pattern).
+
+    BATCHED rounds: each round fetches the top ``4*batch`` pairs (one
+    TakeOrdered, tiny rows) and applies up to ``batch`` of them in ONE
+    fold pass — ``_bpe_select_batch`` admits only merges that are
+    provably order-independent (symbol-disjoint, fused-output-disjoint,
+    strictly above the first conflicting count), so the learned table
+    is RANK-FOR-RANK identical to ``batch=1`` — the unit tests pin both
+    against a pure-python reference trainer. Driver round-trips drop
+    ~batch× on real text (natural-language pair argmaxes rarely share
+    symbols); a production 30k-merge run is rounds ≈ 30k/batch.
 
     Determinism: counts are exact longs and ties break
     lexicographically on (left, right), so the learned table is
@@ -1053,9 +1117,11 @@ def bpe_merges(
     # periodically so later rounds replay only a bounded rewrite suffix.
     vocab = words.select("n", F.split("term", "").alias("syms")).localCheckpoint()
     out: list[tuple[int, str, str, int]] = []
-    for i in range(n_merges):
-        if checkpoint_every and i and i % checkpoint_every == 0:
+    rounds = 0
+    while len(out) < n_merges:
+        if checkpoint_every and rounds and rounds % checkpoint_every == 0:
             vocab = vocab.localCheckpoint()
+        rounds += 1
         pairs = (
             vocab.filter(F.size("syms") >= 2)
             .select(
@@ -1070,26 +1136,46 @@ def bpe_merges(
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("n").alias("cnt"))
         )
-        top = pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
+        fetch = max(1, 4 * batch)
+        top = pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(fetch).collect()
         if not top:
             break
-        a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
-        out.append((i, a, b, cnt))
-        vocab = vocab.withColumn(
-            "syms",
-            F.aggregate(
-                "syms",
-                F.array().cast("array<string>"),
-                lambda acc, x: F.when(
+        chosen = _bpe_select_batch(
+            top, min(batch, n_merges - len(out)), saw_all=len(top) < fetch
+        )
+        for a, b, cnt in chosen:
+            out.append((len(out), a, b, cnt))
+
+        # NB: exactly (acc, x) — pyspark counts the signature's
+        # parameters to build the lambda, so an extra captured arg
+        # (even defaulted) would be bound to a lambda variable.
+        def _fold(acc, x):
+            # Disjointness guarantees at most one branch matches; the
+            # chain is the same greedy-leftmost fuse as the single-merge
+            # fold, so a one-pass rewrite equals applying the merges
+            # sequentially.
+            expr = None
+            for a, b, _ in chosen:
+                hit = (
                     (F.size(acc) > 0)
                     & (F.element_at(acc, -1) == F.lit(a))
-                    & (x == F.lit(b)),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
-                    ),
-                ).otherwise(F.concat(acc, F.array(x))),
-            ),
+                    & (x == F.lit(b))
+                )
+                fusedarr = F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                )
+                expr = F.when(hit, fusedarr) if expr is None else expr.when(
+                    hit, fusedarr
+                )
+            return expr.otherwise(F.concat(acc, F.array(x)))
+
+        vocab = vocab.withColumn(
+            "syms",
+            F.aggregate("syms", F.array().cast("array<string>"), _fold),
         )
+    # Observability for tests/benchmarks: driver round-trips this call
+    # actually used (≈ n_merges/batch on natural text).
+    bpe_merges.last_rounds = rounds
     return spark.createDataFrame(
         out, "merge_rank long, left string, right string, pair_count long"
     )

@@ -139,6 +139,37 @@ def test_bpe_merges_matches_reference_on_corpus(spark):
     assert got == want
 
 
+def test_bpe_batched_equals_sequential(spark):
+    """batch>1 must be a pure round-count optimization: the learned
+    merge table (every rank, pair, and count) is identical to the
+    one-merge-per-round trainer on the real corpus, while using
+    measurably fewer driver round-trips."""
+    docs = table(spark, SF001, "documents")
+    seq = [tuple(r) for r in textquality.bpe_merges(docs, n_merges=16, batch=1).collect()]
+    seq_rounds = textquality.bpe_merges.last_rounds
+    bat = [tuple(r) for r in textquality.bpe_merges(docs, n_merges=16, batch=8).collect()]
+    bat_rounds = textquality.bpe_merges.last_rounds
+    assert bat == seq
+    assert len(seq) == 16
+    assert bat_rounds < seq_rounds
+
+
+def test_bpe_batch_stops_at_interacting_pairs(spark):
+    """Engineered interaction: 'xab'x100 makes (a,b)=100 and (x,a)=100
+    share symbol a, and merging (a,b) births (x,ab)=100 — a naive batch
+    that also took the disjoint (c,d)=60 in round 1 would mis-rank it
+    ahead of (x,ab). The strict-count cutoff must hold the batch to the
+    argmax alone; output equals the pure-python reference trainer."""
+    docs = _docs(spark, ["xab " * 100 + "cd " * 60])
+    got = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in textquality.bpe_merges(docs, n_merges=4, batch=8).collect()
+    ]
+    want = _py_bpe({"xab": 100, "cd": 60}, 4)
+    assert got == want
+    assert got[:3] == [(0, "a", "b", 100), (1, "x", "ab", 100), (2, "c", "d", 60)]
+
+
 def test_prefix_suffix_overlap_is_directed(spark):
     k = dedup.PS_OVERLAP_K
     seam = " ".join(f"s{i}" for i in range(k))
