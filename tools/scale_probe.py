@@ -3,7 +3,10 @@ amplified 10x copy (id-shifted unions of the driver-provided tables —
 used ONLY for performance measurement; correctness always runs against
 the unmodified driver parquet).
 
-    python tools/scale_probe.py [factor]
+    python tools/scale_probe.py [factor] [query ...]
+
+With query names, probes only those (they must be PROBES keys) —
+used to add rows for new operators without re-running the full set.
 
 Prints per-query seconds at 1x and Nx and the observed ratio. A
 near-linear ratio (≈ N for scan-bound ops, ≈ N·log N for sort-bound)
@@ -100,15 +103,20 @@ def amplify(spark, out_dir: str, tables: dict[str, list[str]], factor: int) -> N
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = sys.argv[2:]
+    unknown = [q for q in only if q not in PROBES]
+    if unknown:
+        raise SystemExit(f"not in PROBES: {unknown}")
+    todo = {k: PROBES[k] for k in only} if only else PROBES
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     results = {}
     with tempfile.TemporaryDirectory(prefix="scale_probe_") as tmp:
         needed: dict[str, list[str]] = {}
-        for t in PROBES.values():
+        for t in todo.values():
             needed.update(t)
         amplify(spark, tmp, needed, factor)
-        for name in PROBES:
+        for name in todo:
             t0 = time.perf_counter()
             QUERIES[name](spark, SF_DIR).count()
             base = time.perf_counter() - t0
