@@ -531,6 +531,15 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         dedup.temperature_sample_documents(table(s, d, "documents"))
     ),
     "bq_ann_topk": lambda s, d: similarity.bq_ann_topk(table(s, d, "embeddings")),
+    "semdedup_embeddings": lambda s, d: similarity.semdedup_embeddings(
+        table(s, d, "embeddings")
+    ),
+    "dsir_importance_weights": lambda s, d: textquality.dsir_importance_weights(
+        table(s, d, "documents")
+    ),
+    "dsir_sample_documents": lambda s, d: textquality.dsir_sample_documents(
+        table(s, d, "documents")
+    ),
 }
 
 
@@ -561,6 +570,10 @@ def _streaming_pipeline():
 # oracle-backed or rows-only — has never been driver-checked AND is
 # outside this window.
 _PRIORITY = [
+    # -- new in round 5 (no driver row can exist yet) --
+    "semdedup_embeddings",
+    "dsir_importance_weights",
+    "dsir_sample_documents",
     # -- never driver-checked before round 5 --
     "bq_ann_topk",
     "pq_trained_ann_topk",  # rows-only: KMeans fit, no SQL oracle
@@ -612,9 +625,10 @@ _PRIORITY = [
     "events_daily_rollup_incremental",
     "temperature_sample_documents",
     "docs_dedup_report",
-    "docs_bigram_perplexity",
-    "events_hourly_robust_anomalies",
-    "part_pagerank",
+    # docs_bigram_perplexity, events_hourly_robust_anomalies and
+    # part_pagerank (all green r4) displaced by round-5's three new
+    # operators; they keep parity-sweep coverage like every
+    # out-of-window entry.
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -417,6 +417,101 @@ def knn_label_vote(embeddings: DataFrame, k: int = DEFAULT_K, topk_fn=None) -> D
     )
 
 
+# Production semantic-dedup thresholds sit near 0.95+; the default is
+# set inside the synthetic corpus's similarity regime (within-cell max
+# ≈ 0.46-0.49 at every SF, 99.9th pct ≈ 0.41-0.44) so the DROP path is
+# non-trivially exercised and oracle-checked at test scale — the same
+# data-fitted-threshold convention as the simhash/near-dup operators.
+SEMDEDUP_TAU = 0.4
+SEMDEDUP_CELLS = 16
+
+
+def semdedup_embeddings(
+    embeddings: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    n_cells: int = SEMDEDUP_CELLS,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup in embedding space —
+    cluster the corpus, then within each cluster drop all but one of
+    every group of vectors whose pairwise cosine ≥ ``tau``. The pairwise
+    work is CLUSTER-BOUNDED (the paper's trick): with cells sized
+    ~|corpus|/n_cells and n_cells grown ∝ n at deploy time (the same
+    knob as every IVF index), per-cell pairs stay O(target_cell²) —
+    never a corpus-wide all-pairs join.
+
+    Determinism/oracle-ability: cells reuse ``ivf_flat_ann_topk``'s
+    md5-ranked corpus vectors as centroids (no KMeans fit), assignment
+    is argmax ROUNDED cosine, and the keeper rule is a total order —
+    the paper keeps the cluster member LEAST similar to its centroid
+    (the "edge" exemplar), so a vector is dropped iff some same-cell
+    vector within ``tau`` precedes it under (cent_sim asc, vec_id asc).
+    Dominated-by-any semantics (a dropped vector can still dominate —
+    the parallel, single-pass form of the paper's keep-one rule; on
+    cliques it keeps exactly the minimal element, on chains it is
+    slightly more aggressive than greedy NMS, documented here).
+
+    Scale shape: one broadcast of the n_cells-row centroid table, one
+    cell-keyed shuffle for the self-join, zero driver collects. The
+    64-dim dot is unrolled to a flat codegen'd product-sum (_dot_cols).
+    """
+    from ..session import scoped_persist
+
+    corpus = _corpus(embeddings)
+    cent = (
+        corpus.orderBy(F.md5(F.col("neighbor_id").cast("string")), "neighbor_id")
+        .limit(n_cells)
+        .select(F.col("neighbor_id").alias("cent_id"), F.col("cv").alias("centroid"))
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.col("cdot").desc(), F.col("cent_id")
+    )
+    # Persisted: feeds both self-join sides and the final kept-mark.
+    assigned = scoped_persist(
+        corpus.join(F.broadcast(cent))
+        .withColumn("cdot", F.round(dot(F.col("cv"), F.col("centroid")), 6))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("neighbor_id").alias("vec_id"),
+            "cv",
+            F.col("cent_id").alias("cell"),
+            F.col("cdot").alias("cent_sim"),
+        )
+    )
+    a = _unroll(assigned, "vec_id", "cv", "a").join(
+        assigned.select("vec_id", "cell", "cent_sim"), "vec_id"
+    )
+    b = _unroll(
+        assigned.select(F.col("vec_id").alias("dom_id"), "cv"), "dom_id", "cv", "b"
+    ).join(
+        assigned.select(
+            F.col("vec_id").alias("dom_id"),
+            F.col("cell").alias("dom_cell"),
+            F.col("cent_sim").alias("dom_cent_sim"),
+        ),
+        "dom_id",
+    )
+    precedes = (F.col("dom_cent_sim") < F.col("cent_sim")) | (
+        (F.col("dom_cent_sim") == F.col("cent_sim"))
+        & (F.col("dom_id") < F.col("vec_id"))
+    )
+    dropped = (
+        a.join(b, (F.col("cell") == F.col("dom_cell")) & precedes)
+        .filter(F.round(_dot_cols("a", "b"), 6) >= tau)
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_drop", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "cent_sim",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label centroids of the normalized embeddings (class
     prototypes — the training half of a nearest-centroid classifier,

@@ -725,6 +725,145 @@ def docs_perplexity(docs: DataFrame) -> DataFrame:
     )
 
 
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+DSIR_FRAC = 0.25
+
+
+def _hashed_grams(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """(doc_id, lang, bucket) stream: word unigrams + adjacent bigrams,
+    md5-hashed into ``n_buckets`` buckets — DSIR's feature space. Built
+    per-row with zero-shuffle higher-order transforms (the
+    token_bigram_rates gram idiom)."""
+    toks = tokens("text")
+    bigrams = F.filter(
+        F.transform(
+            toks,
+            lambda t, i: F.when(
+                i < F.size(toks) - 1,
+                F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(par).select(
+        "doc_id",
+        "lang",
+        F.explode(F.concat(toks, bigrams)).alias("gram"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_lang: str = DSIR_TARGET_LANG,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by its log likelihood ratio under bag-of-hashed-ngrams models of a
+    TARGET distribution vs the RAW corpus — the estimator that lets a
+    web-scale crawl be resampled to look like a curated target. Target
+    here = the ``target_lang`` slice (the paper's formal-text target,
+    re-expressed on the synthetic corpus); features = word unigrams +
+    bigrams hashed into ``n_buckets`` buckets; both models are
+    add-one-smoothed over the bucket space.
+
+    log w_d = Σ_b c_db·[ln(t_b+1) − ln(r_b+1)] + n_d·[ln(T_r+B) − ln(T_t+B)]
+
+    Engine-exactness (the docs_perplexity recipe): every ln takes an
+    INTEGER argument; per-(doc, bucket) contributions are rounded then
+    summed as exact DECIMAL (order-independent); the per-doc constant
+    term applies once per output row.
+
+    Scale shape: one gram explode (map-side combined into (doc, bucket)
+    counts), bucket tables capped at ``n_buckets`` rows and broadcast,
+    totals a one-row broadcast — work ∝ corpus token volume, no
+    corpus-sized shuffle beyond the (doc, bucket) aggregation."""
+    from ..session import scoped_persist
+
+    db = scoped_persist(
+        _hashed_grams(docs, n_buckets)
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count("*").alias("c_db"))
+    )
+    raw = db.groupBy("bucket").agg(F.sum("c_db").cast("long").alias("r_b"))
+    tgt = (
+        db.filter(F.col("lang") == target_lang)
+        .groupBy("bucket")
+        .agg(F.sum("c_db").cast("long").alias("t_b"))
+    )
+    buckets = raw.join(tgt, "bucket", "left").select(
+        "bucket", "r_b", F.coalesce("t_b", F.lit(0)).alias("t_b")
+    )
+    totals = buckets.agg(
+        F.sum("r_b").cast("long").alias("tr"), F.sum("t_b").cast("long").alias("tt")
+    )
+    per_doc = (
+        db.join(F.broadcast(buckets), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c_db").cast("long").alias("n_grams"),
+            F.sum(
+                F.round(
+                    F.col("c_db") * (F.log(F.col("t_b") + 1) - F.log(F.col("r_b") + 1)),
+                    8,
+                ).cast("decimal(18,8)")
+            ).alias("_s"),
+        )
+    )
+    lw = F.col("_s").cast("double") + F.col("n_grams") * (
+        F.log(F.col("tr") + n_buckets) - F.log(F.col("tt") + n_buckets)
+    )
+    return per_doc.crossJoin(F.broadcast(totals)).select(
+        "doc_id", "lang", "n_grams", F.round(lw, 6).alias("log_weight")
+    )
+
+
+def dsir_sample_documents(
+    docs: DataFrame,
+    frac: float = DSIR_FRAC,
+    target_lang: str = DSIR_TARGET_LANG,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR's resampling step: Gumbel-top-k over the importance weights
+    — keep the ⌈frac·n⌉ documents with the largest (log w_d + g_d),
+    g_d = −ln(−ln(u_d)) with the shared md5-derived uniform. Gumbel
+    top-k IS sampling-without-replacement ∝ softmax(log w) (the same
+    identity behind the A-ES sampler in weighted_sample_documents), so
+    the kept set is a true importance resample, yet fully deterministic
+    and value-hash-oracled.
+
+    The sample size is a driver-side scalar (one count — metadata
+    grade); selection is orderBy+limit ⇒ TakeOrderedAndProject
+    (per-partition heaps, never a global sort)."""
+    import math
+
+    w = dsir_importance_weights(docs, target_lang, n_buckets)
+    n = docs.count()
+    top_n = math.ceil(frac * n)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        + 1
+    ) / F.lit(4294967296.0)
+    g = F.round(-F.log(-F.log(u)), 6)
+    scored = w.withColumn("score", F.round(F.col("log_weight") + g, 6))
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(top_n)
+        .select("doc_id", "lang", "log_weight", "score")
+    )
+
+
 ZIPF_TOP_V = 500
 
 

@@ -870,6 +870,43 @@ r AS (
 SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 10
 """
 
+# SemDeDup (operators/similarity.semdedup_embeddings): md5-seeded
+# cells, argmax rounded-cosine assignment, cell-bounded pairwise test,
+# keeper = least-centroid-similar under the (cent_sim, vec_id) total
+# order with dominated-by-any semantics — all mirrored exactly.
+from .operators.similarity import (  # noqa: E402
+    SEMDEDUP_CELLS as _SDC_,
+    SEMDEDUP_TAU as _SDT_,
+)
+
+ORACLE_SQL["semdedup_embeddings"] = f"""
+WITH {_NORM_CTE},
+cent AS (
+  SELECT vec_id AS cent_id, nv AS centroid
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_SDC_}
+),
+assign0 AS (
+  SELECT e.vec_id, e.nv, cent.cent_id,
+         ROUND(list_dot_product(e.nv, cent.centroid), 6) AS cdot
+  FROM e CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, nv, cent_id AS cell, cdot AS cent_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cent_id) AS rn
+    FROM assign0
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b ON a.cell = b.cell
+   AND (b.cent_sim < a.cent_sim
+        OR (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id))
+  WHERE ROUND(list_dot_product(a.nv, b.nv), 6) >= {_SDT_}
+)
+SELECT a.vec_id, a.cell, a.cent_sim, (d.vec_id IS NULL) AS kept
+FROM assigned a LEFT JOIN dropped d USING (vec_id)
+"""
+
 # Incremental refresh provably equals the full-table dedup (the delta
 # window re-ranks base ∪ new-slice; see plans/star.fact_events_incremental).
 ORACLE_SQL["fact_events_incremental"] = ORACLE_SQL["fact_events"]
@@ -2329,6 +2366,77 @@ SELECT doc_id, n_tokens,
   ROUND(ln(n_all) - CAST(sl AS DOUBLE) / n_tokens, 6) AS cross_entropy,
   ROUND(exp(ln(n_all) - CAST(sl AS DOUBLE) / n_tokens), 6) AS perplexity
 FROM pd, n
+"""
+
+# DSIR hashed-ngram importance weights + Gumbel-top-k resample
+# (operators/textquality.dsir_importance_weights /
+# dsir_sample_documents): unigram+bigram grams md5-bucketed, add-one
+# smoothed target/raw LMs, per-(doc,bucket) contributions rounded then
+# DECIMAL-summed (the docs_perplexity recipe), per-doc constant term
+# applied once per row; the resample perturbs the rounded weight with
+# the md5-uniform Gumbel and cuts top ⌈frac·n⌉ on (score, doc_id).
+from .operators.textquality import (  # noqa: E402
+    DSIR_BUCKETS as _DSB_,
+    DSIR_FRAC as _DSF_,
+    DSIR_TARGET_LANG as _DSL_,
+)
+
+_DSIR_W_CTE = f"""
+tok AS (SELECT doc_id, lang, {TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, lang, unnest(t) AS gram FROM tok
+  UNION ALL
+  SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS gram
+  FROM tok, LATERAL unnest(range(1, len(t))) AS u(i)
+),
+db AS (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5(gram), 1, 8))::UBIGINT % {_DSB_} AS BIGINT) AS bucket,
+    COUNT(*) AS c_db
+  FROM grams GROUP BY 1, 2, 3
+),
+raw AS (SELECT bucket, CAST(SUM(c_db) AS BIGINT) AS r_b FROM db GROUP BY 1),
+tgt AS (
+  SELECT bucket, CAST(SUM(c_db) AS BIGINT) AS t_b FROM db
+  WHERE lang = '{_DSL_}' GROUP BY 1
+),
+buckets AS (
+  SELECT bucket, r_b, COALESCE(t_b, 0) AS t_b
+  FROM raw LEFT JOIN tgt USING (bucket)
+),
+totals AS (
+  SELECT CAST(SUM(r_b) AS BIGINT) AS tr, CAST(SUM(t_b) AS BIGINT) AS tt
+  FROM buckets
+),
+w AS (
+  SELECT doc_id, lang, CAST(SUM(c_db) AS BIGINT) AS n_grams,
+    ROUND(
+      CAST(SUM(CAST(ROUND(c_db * (ln(t_b + 1) - ln(r_b + 1)), 8)
+                    AS DECIMAL(18,8))) AS DOUBLE)
+      + CAST(SUM(c_db) AS BIGINT)
+        * (ln(tr + {_DSB_}) - ln(tt + {_DSB_})), 6) AS log_weight
+  FROM db JOIN buckets USING (bucket), totals
+  GROUP BY doc_id, lang, tr, tt
+)
+"""
+
+ORACLE_SQL["dsir_importance_weights"] = f"""
+WITH {_DSIR_W_CTE}
+SELECT doc_id, lang, n_grams, log_weight FROM w
+"""
+
+ORACLE_SQL["dsir_sample_documents"] = f"""
+WITH {_DSIR_W_CTE},
+scored AS (
+  SELECT doc_id, lang, log_weight,
+    ROUND(log_weight + ROUND(-ln(-ln(
+      (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1)
+        / 4294967296.0)), 6), 6) AS score
+  FROM w
+)
+SELECT doc_id, lang, log_weight, score FROM scored
+QUALIFY row_number() OVER (ORDER BY score DESC, doc_id)
+  <= CEIL({_DSF_} * (SELECT COUNT(*) FROM documents))
 """
 
 # Directed prefix/suffix seam pairs (operators/dedup.

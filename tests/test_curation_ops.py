@@ -170,6 +170,52 @@ def test_bpe_batch_stops_at_interacting_pairs(spark):
     assert got[:3] == [(0, "a", "b", 100), (1, "x", "ab", 100), (2, "c", "d", 60)]
 
 
+def test_dsir_weights_favor_target_distribution(spark):
+    """The importance estimator must rank target-like docs above the
+    rest: mean log-weight of the target-lang slice strictly exceeds the
+    non-target mean, and target docs dominate the resample beyond their
+    natural share."""
+    import math
+
+    docs = table(spark, SF001, "documents")
+    w = textquality.dsir_importance_weights(docs).collect()
+    assert len(w) == docs.count()
+    en = [r.log_weight for r in w if r.lang == textquality.DSIR_TARGET_LANG]
+    rest = [r.log_weight for r in w if r.lang != textquality.DSIR_TARGET_LANG]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+    s = textquality.dsir_sample_documents(docs).collect()
+    assert len(s) == math.ceil(textquality.DSIR_FRAC * len(w))
+    nat = len(en) / len(w)
+    got = sum(1 for r in s if r.lang == textquality.DSIR_TARGET_LANG) / len(s)
+    assert got > nat, f"resample en-share {got} not above natural {nat}"
+
+
+def test_dsir_sample_is_gumbel_topk_of_weights(spark):
+    """The kept set must be exactly the top-⌈frac·n⌉ of (rounded
+    log-weight + rounded md5-Gumbel) under the (score desc, doc_id)
+    order — recomputed here in pure python from the weights frame."""
+    import hashlib
+    import math
+
+    docs = table(spark, SF001, "documents")
+    w = textquality.dsir_importance_weights(docs).collect()
+
+    def score(r):
+        h = hashlib.md5(str(r.doc_id).encode()).hexdigest()
+        u = (int(h[:8], 16) + 1) / 4294967296.0
+        return round(r.log_weight + round(-math.log(-math.log(u)), 6), 6)
+
+    want = sorted(((-score(r), r.doc_id) for r in w))[
+        : math.ceil(textquality.DSIR_FRAC * len(w))
+    ]
+    got = sorted(
+        (-r.score, r.doc_id)
+        for r in textquality.dsir_sample_documents(docs).collect()
+    )
+    assert got == want
+
+
 def test_prefix_suffix_overlap_is_directed(spark):
     k = dedup.PS_OVERLAP_K
     seam = " ".join(f"s{i}" for i in range(k))

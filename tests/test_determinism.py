@@ -26,6 +26,10 @@ SENSITIVE = [
     "top_customers_per_nation",
     "minhash_lsh_dup_pairs",
     "value_percentiles",
+    # round-5: DECIMAL-summed log-ratio contributions + Gumbel top-k
+    # cut; cell argmax + dominated-by-any keeper tie-breaks
+    "dsir_sample_documents",
+    "semdedup_embeddings",
 ]
 
 _TABLE_FOR = {
@@ -36,6 +40,8 @@ _TABLE_FOR = {
     "orders_daily_cumulative": "orders",
     "minhash_lsh_dup_pairs": "documents",
     "value_percentiles": "events",
+    "dsir_sample_documents": "documents",
+    "semdedup_embeddings": "embeddings",
 }
 
 

@@ -140,6 +140,44 @@ def test_embedding_neardup_lsh_recall(spark):
         assert recall >= 0.8, f"banded-LSH recall collapsed: {recall}"
 
 
+def test_semdedup_keeps_edge_exemplars_and_drops_neardups(spark):
+    emb = table(spark, SF001, "embeddings")
+    rows = similarity.semdedup_embeddings(emb).collect()
+    assert len(rows) == emb.count()  # verdict for every vector
+    dropped = [r for r in rows if not r.kept]
+    assert dropped, "synthetic corpus has within-cell pairs above tau"
+    # The paper's keeper rule: the least-(cent_sim, vec_id) member of
+    # every cell is un-dominatable, hence always kept.
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    for members in by_cell.values():
+        assert min(members, key=lambda r: (r.cent_sim, r.vec_id)).kept
+    # Every dropped vector has a same-cell dominator within tau.
+    nv = {
+        r.vec_id: r.nv
+        for r in emb.selectExpr(
+            "vec_id",
+            "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
+        )
+        .selectExpr(
+            "vec_id",
+            "transform(v, x -> x / sqrt(aggregate(zip_with(v, v, (a, b) -> a * b),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))) AS nv",
+        )
+        .collect()
+    }
+    for d in dropped:
+        doms = [
+            m
+            for m in by_cell[d.cell]
+            if (m.cent_sim, m.vec_id) < (d.cent_sim, d.vec_id)
+            and round(sum(a * b for a, b in zip(nv[m.vec_id], nv[d.vec_id])), 6)
+            >= similarity.SEMDEDUP_TAU
+        ]
+        assert doms, f"vec {d.vec_id} dropped without a dominator"
+
+
 def test_frame_sample_shapes(spark):
     docs = table(spark, SF001, "documents")
     frames = multimodal.frame_sample(multimodal.attach_payload(docs)).collect()

@@ -120,6 +120,11 @@ SF01_KEYS = [
     "events_daily_rollup_incremental",
     "ivfpq_ann_topk",
     "temperature_sample_documents",
+    # round-5 additions: semdedup's drop set and DSIR's resample cut
+    # are data-dependent — check them at the driver's own SF too
+    "semdedup_embeddings",
+    "dsir_importance_weights",
+    "dsir_sample_documents",
 ]
 
 

@@ -274,6 +274,13 @@ _BNLJ_ALLOWED = {
     # reviewed: one-row min-source-count scalar cross onto the per-source
     # rate table — same shape as mixture_sample_documents
     "temperature_sample_documents",
+    # reviewed: 16-row centroid-table cross for cell assignment — the
+    # same intentional shape as ivf_flat_ann_topk's centroid cross
+    "semdedup_embeddings",
+    # reviewed: one-row (T_r, T_t) grand-totals cross onto the per-doc
+    # weight frame — same shape as docs_perplexity's grand-total cross
+    "dsir_importance_weights",
+    "dsir_sample_documents",  # inherits the weights' one-row cross
     # theta set algebra: one-row theta-bound / fallback / n_days crosses
     "theta_union_segment_users",
     "theta_intersect_segment_users",
