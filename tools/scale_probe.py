@@ -78,6 +78,9 @@ PROBES = {
     # round-5 additions
     "bq_ann_topk": {"embeddings": ["vec_id"]},
     "ann_recall_report": {"embeddings": ["vec_id"]},
+    "semdedup_embeddings": {"embeddings": ["vec_id"]},
+    "dsir_importance_weights": {"documents": ["doc_id"]},
+    "dsir_sample_documents": {"documents": ["doc_id"]},
 }
 
 ID_SPAN = 100_000_000  # shift per copy; far above any real id
