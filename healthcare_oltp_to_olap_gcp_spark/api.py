@@ -540,6 +540,9 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_sample_documents": lambda s, d: textquality.dsir_sample_documents(
         table(s, d, "documents")
     ),
+    "docs_ccnet_buckets": lambda s, d: textquality.docs_ccnet_buckets(
+        table(s, d, "documents")
+    ),
 }
 
 
@@ -574,6 +577,7 @@ _PRIORITY = [
     "semdedup_embeddings",
     "dsir_importance_weights",
     "dsir_sample_documents",
+    "docs_ccnet_buckets",
     # -- never driver-checked before round 5 --
     "bq_ann_topk",
     "pq_trained_ann_topk",  # rows-only: KMeans fit, no SQL oracle
@@ -624,11 +628,10 @@ _PRIORITY = [
     "docs_remove_dup_spans",
     "events_daily_rollup_incremental",
     "temperature_sample_documents",
-    "docs_dedup_report",
-    # docs_bigram_perplexity, events_hourly_robust_anomalies and
-    # part_pagerank (all green r4) displaced by round-5's three new
-    # operators; they keep parity-sweep coverage like every
-    # out-of-window entry.
+    # docs_dedup_report, docs_bigram_perplexity,
+    # events_hourly_robust_anomalies and part_pagerank (all green r4)
+    # displaced by round-5's four new operators; they keep parity-sweep
+    # coverage like every out-of-window entry.
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -725,6 +725,39 @@ def docs_perplexity(docs: DataFrame) -> DataFrame:
     )
 
 
+def docs_ccnet_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): rank every
+    document by its LM perplexity and cut the corpus at the 1/3 and 2/3
+    percentiles — the bucketing LLaMA/CCNet-style pipelines use to keep
+    "head" (most fluent) data and drop or downweight "tail". Reuses
+    ``docs_perplexity``'s corpus-self unigram LM.
+
+    The two boundaries are EXACT interpolated percentiles rounded to
+    the same 6 dp as the perplexities themselves, then broadcast as a
+    one-row frame — adjacent 6-dp perplexity values are separated by
+    ≫ 1 ulp, so an engine's last-ulp interpolation difference cannot
+    flip a bucket (the value_percentiles parity argument). At 100 TB
+    swap in approx_percentile for the boundary pass; buckets are a
+    one-scan CASE either way."""
+    from ..session import scoped_persist
+
+    # chain=True: docs_perplexity scope-persisted its (doc, term)
+    # counts; keep them alive while pp itself materializes.
+    pp = scoped_persist(docs_perplexity(docs), chain=True)
+    b = pp.agg(
+        F.round(F.expr("percentile(perplexity, 0.3333333333333333)"), 6).alias("b1"),
+        F.round(F.expr("percentile(perplexity, 0.6666666666666666)"), 6).alias("b2"),
+    )
+    return pp.crossJoin(F.broadcast(b)).select(
+        "doc_id",
+        "perplexity",
+        F.when(F.col("perplexity") <= F.col("b1"), F.lit("head"))
+        .when(F.col("perplexity") <= F.col("b2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 DSIR_BUCKETS = 1024
 DSIR_TARGET_LANG = "en"
 DSIR_FRAC = 0.25

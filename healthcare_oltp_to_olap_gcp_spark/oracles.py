@@ -2368,6 +2368,24 @@ SELECT doc_id, n_tokens,
 FROM pd, n
 """
 
+# CCNet head/middle/tail perplexity bucketing (operators/textquality.
+# docs_ccnet_buckets): exact interpolated 1/3 and 2/3 percentile
+# boundaries over the perplexity frame, rounded to the perplexities'
+# own 6 dp, then a one-row cross + CASE.
+ORACLE_SQL["docs_ccnet_buckets"] = f"""
+WITH pp AS ({ORACLE_SQL["docs_perplexity"]}),
+b AS (
+  SELECT ROUND(quantile_cont(perplexity, 0.3333333333333333), 6) AS b1,
+         ROUND(quantile_cont(perplexity, 0.6666666666666666), 6) AS b2
+  FROM pp
+)
+SELECT doc_id, perplexity,
+  CASE WHEN perplexity <= b1 THEN 'head'
+       WHEN perplexity <= b2 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM pp, b
+"""
+
 # DSIR hashed-ngram importance weights + Gumbel-top-k resample
 # (operators/textquality.dsir_importance_weights /
 # dsir_sample_documents): unigram+bigram grams md5-bucketed, add-one

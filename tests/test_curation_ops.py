@@ -216,6 +216,22 @@ def test_dsir_sample_is_gumbel_topk_of_weights(spark):
     assert got == want
 
 
+def test_ccnet_buckets_are_ordered_terciles(spark):
+    from collections import Counter
+
+    docs = table(spark, SF001, "documents")
+    rows = textquality.docs_ccnet_buckets(docs).collect()
+    assert len(rows) == docs.count()
+    c = Counter(r.bucket for r in rows)
+    assert set(c) == {"head", "middle", "tail"}
+    # Distinct 6-dp perplexities ⇒ tercile counts within ±2 of n/3.
+    for v in c.values():
+        assert abs(v - len(rows) / 3) <= 2, c
+    by = {b: [r.perplexity for r in rows if r.bucket == b] for b in c}
+    assert max(by["head"]) <= min(by["middle"])
+    assert max(by["middle"]) <= min(by["tail"])
+
+
 def test_prefix_suffix_overlap_is_directed(spark):
     k = dedup.PS_OVERLAP_K
     seam = " ".join(f"s{i}" for i in range(k))

@@ -125,6 +125,7 @@ SF01_KEYS = [
     "semdedup_embeddings",
     "dsir_importance_weights",
     "dsir_sample_documents",
+    "docs_ccnet_buckets",
 ]
 
 

@@ -281,6 +281,8 @@ _BNLJ_ALLOWED = {
     # weight frame — same shape as docs_perplexity's grand-total cross
     "dsir_importance_weights",
     "dsir_sample_documents",  # inherits the weights' one-row cross
+    "docs_ccnet_buckets",  # one-row percentile-boundary cross (the
+    # orders_revenue_concentration shape)
     # theta set algebra: one-row theta-bound / fallback / n_days crosses
     "theta_union_segment_users",
     "theta_intersect_segment_users",
