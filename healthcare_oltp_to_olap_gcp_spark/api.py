@@ -543,6 +543,7 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_ccnet_buckets": lambda s, d: textquality.docs_ccnet_buckets(
         table(s, d, "documents")
     ),
+    "dedup_segments": lambda s, d: dedup.dedup_segments(table(s, d, "documents")),
 }
 
 
@@ -574,6 +575,7 @@ def _streaming_pipeline():
 # outside this window.
 _PRIORITY = [
     # -- new in round 5 (no driver row can exist yet) --
+    "dedup_segments",
     "semdedup_embeddings",
     "dsir_importance_weights",
     "dsir_sample_documents",
@@ -627,11 +629,11 @@ _PRIORITY = [
     "theta_daily_merge_events",
     "docs_remove_dup_spans",
     "events_daily_rollup_incremental",
-    "temperature_sample_documents",
     # docs_dedup_report, docs_bigram_perplexity,
-    # events_hourly_robust_anomalies and part_pagerank (all green r4)
-    # displaced by round-5's four new operators; they keep parity-sweep
-    # coverage like every out-of-window entry.
+    # events_hourly_robust_anomalies, part_pagerank and
+    # temperature_sample_documents (all green r4) displaced by
+    # round-5's five new operators; they keep parity-sweep coverage
+    # like every out-of-window entry.
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

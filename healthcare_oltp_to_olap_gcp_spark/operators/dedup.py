@@ -1078,3 +1078,73 @@ def docs_dedup_report(docs: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(contam))
         .crossJoin(F.broadcast(curated))
     )
+
+
+SEG_WORDS = 10
+
+
+def dedup_segments(docs: DataFrame, k: int = SEG_WORDS) -> DataFrame:
+    """C4-style segment-level dedup (Raffel et al. 2020 deduplicate
+    "any three-sentence span"; here the unit is a consecutive
+    ``k``-token segment): split every document into non-overlapping
+    k-token segments, keep only the globally FIRST occurrence of each
+    distinct segment — min (doc_id, seg_idx), which also removes
+    within-document repeats — excise every later occurrence, and
+    reassemble the survivors in position order. Returns
+    (doc_id, n_segments, n_removed, cleaned_text).
+
+    Scale shape: segments are non-overlapping, so the segment stream is
+    ≈ |tokens|/k rows — cheaper than the k-gram machinery of
+    ``remove_dup_spans``. The shuffle key is a fixed-width md5 of the
+    segment (never the text); first-occurrence is a groupBy MIN(struct)
+    — map-side-combined, so a hyper-duplicated segment (the C4
+    boilerplate pathology) collapses to one row per map partition
+    instead of skewing a window sort. Reassembly slices the KEPT
+    seg_idx list back out of the doc's own token array — segment text
+    never travels through the shuffle at all. Two shuffles total
+    (dedup groupBy + per-doc regroup); work ∝ token volume.
+
+    Cross-engine determinism: integer positions, a MIN keeper rule,
+    and position-ordered concat — fully value-hash-oracled (DuckDB
+    mirror groups by the same md5 and orders string_agg by seg_idx)."""
+    toks = scoped_persist(
+        docs.select("doc_id", tokens("text").alias("t")).filter(F.size("t") > 0)
+    )
+    n_seg = F.ceil(F.size("t") / F.lit(k)).cast("int")
+    segs = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.md5(F.array_join(F.slice("t", i * k + 1, k), " ")),
+            )
+        ).alias("seg_idx", "gh"),
+    )
+    first = segs.groupBy("gh").agg(F.min(F.struct("doc_id", "seg_idx")).alias("f"))
+    kept = (
+        segs.join(first, "gh")
+        .filter(
+            (F.col("doc_id") == F.col("f.doc_id"))
+            & (F.col("seg_idx") == F.col("f.seg_idx"))
+        )
+        .select("doc_id", "seg_idx")
+    )
+    cleaned = kept.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("seg_idx")).alias("_idxs")
+    )
+    return toks.join(cleaned, "doc_id", "left").select(
+        "doc_id",
+        n_seg.cast("long").alias("n_segments"),
+        (n_seg - F.coalesce(F.size("_idxs"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(
+            F.array_join(
+                F.flatten(
+                    F.transform(F.col("_idxs"), lambda i: F.slice("t", i * k + 1, k))
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("cleaned_text"),
+    )

@@ -3380,3 +3380,39 @@ u AS (
 SELECT u.doc_id, u.source, ROUND(r.rate, 6) AS accept_rate
 FROM u JOIN r USING (source) WHERE u.u <= r.rate
 """
+
+# C4-style segment-level dedup (operators/dedup.dedup_segments):
+# non-overlapping k-token segments, keeper = global first occurrence
+# (min (doc_id, seg_idx)), position-ordered reassembly. Groups by the
+# SAME md5 the Spark shuffle key uses; string_agg ORDER BY seg_idx
+# mirrors sort_array(collect_list) + ordered slice concat.
+from .operators.dedup import SEG_WORDS as _SEGK_  # noqa: E402
+
+ORACLE_SQL["dedup_segments"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+segs AS (
+  SELECT doc_id, i AS seg_idx,
+    array_to_string(list_slice(t, i * {_SEGK_} + 1, (i + 1) * {_SEGK_}), ' ')
+      AS seg
+  FROM base,
+    LATERAL unnest(range(0, CAST(ceil(n / {_SEGK_}.0) AS BIGINT))) AS u(i)
+),
+kept AS (
+  SELECT doc_id, seg_idx, seg FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+    FROM segs
+  ) WHERE rn = 1
+),
+cleaned AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY seg_idx) AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+  CAST(ceil(b.n / {_SEGK_}.0) AS BIGINT) AS n_segments,
+  CAST(ceil(b.n / {_SEGK_}.0) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed,
+  COALESCE(c.cleaned_text, '') AS cleaned_text
+FROM base b LEFT JOIN cleaned c USING (doc_id)
+"""

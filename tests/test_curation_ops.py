@@ -402,3 +402,43 @@ def test_length_histogram_partitions_the_corpus(spark):
         (F.col("min_chars") > F.col("max_chars")) | (F.col("len_bucket") < 1)
     )
     assert bad.count() == 0
+
+
+def test_dedup_segments_first_occurrence_wins(spark):
+    """C4-style contract: the globally first (doc_id, seg_idx) holder
+    of a segment keeps it; every later occurrence — across docs AND
+    within a doc — is excised; unrelated text is untouched."""
+    seg_a = " ".join(f"a{i}" for i in range(10))
+    seg_b = " ".join(f"b{i}" for i in range(10))
+    seg_c = " ".join(f"c{i}" for i in range(10))
+    out = {
+        r.doc_id: r
+        for r in dedup.dedup_segments(
+            _docs(
+                spark,
+                [
+                    f"{seg_a} {seg_b}",      # doc 0: keeper of a and b
+                    f"{seg_b} {seg_c}",      # doc 1: loses b, keeps c
+                    f"{seg_a} {seg_a}",      # doc 2: within-doc repeat, all dup
+                ],
+            )
+        ).collect()
+    }
+    assert out[0].n_removed == 0 and out[0].cleaned_text == f"{seg_a} {seg_b}"
+    assert out[1].n_removed == 1 and out[1].cleaned_text == seg_c
+    assert out[2].n_removed == 2 and out[2].cleaned_text == ""
+    assert out[2].n_segments == 2
+
+
+def test_dedup_segments_short_tail_is_its_own_segment(spark):
+    """A final partial segment (< k tokens) dedups on its own text:
+    two docs sharing only the same 3-token tail lose one copy."""
+    tail = "t0 t1 t2"
+    d0 = " ".join(f"x{i}" for i in range(10)) + " " + tail
+    d1 = " ".join(f"y{i}" for i in range(10)) + " " + tail
+    out = {
+        r.doc_id: r for r in dedup.dedup_segments(_docs(spark, [d0, d1])).collect()
+    }
+    assert out[0].n_removed == 0
+    assert out[1].n_removed == 1
+    assert out[1].cleaned_text == " ".join(f"y{i}" for i in range(10))

@@ -126,6 +126,7 @@ SF01_KEYS = [
     "dsir_importance_weights",
     "dsir_sample_documents",
     "docs_ccnet_buckets",
+    "dedup_segments",
 ]
 
 
