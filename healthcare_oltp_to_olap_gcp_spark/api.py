@@ -544,6 +544,9 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         table(s, d, "documents")
     ),
     "dedup_segments": lambda s, d: dedup.dedup_segments(table(s, d, "documents")),
+    "bpe_encode_documents": lambda s, d: textquality.bpe_encode(
+        table(s, d, "documents")
+    ),
 }
 
 
@@ -585,6 +588,7 @@ _PRIORITY = [
     "pq_trained_ann_topk",  # rows-only: KMeans fit, no SQL oracle
     "ann_recall_report_trained",  # rows-only: embeds the KMeans fit
     "bpe_merges",  # rows-only: iterative trainer, no SQL oracle
+    "bpe_encode_documents",  # rows-only: applies the trained merges
     # -- ANN family re-verify after the shared-frame refactor --
     "ann_recall_report",
     "ann_topk",
@@ -628,12 +632,11 @@ _PRIORITY = [
     "theta_segment_users",
     "theta_daily_merge_events",
     "docs_remove_dup_spans",
-    "events_daily_rollup_incremental",
     # docs_dedup_report, docs_bigram_perplexity,
-    # events_hourly_robust_anomalies, part_pagerank and
-    # temperature_sample_documents (all green r4) displaced by
-    # round-5's five new operators; they keep parity-sweep coverage
-    # like every out-of-window entry.
+    # events_hourly_robust_anomalies, part_pagerank,
+    # temperature_sample_documents and events_daily_rollup_incremental
+    # (all green r4) displaced by round-5's six new operators; they
+    # keep parity-sweep coverage like every out-of-window entry.
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -1351,3 +1351,102 @@ def bpe_merges(
     return spark.createDataFrame(
         out, "merge_rank long, left string, right string, pair_count long"
     )
+
+
+BPE_ENCODE_CHECKPOINT_EVERY = 8
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame | None = None,
+    n_merges: int = BPE_MERGES,
+    checkpoint_every: int = BPE_ENCODE_CHECKPOINT_EVERY,
+) -> DataFrame:
+    """BPE ENCODE — apply a trained merge table to the corpus (the
+    inference half of ``bpe_merges``' training): every word starts as
+    characters and each merge is fused greedy-leftmost in RANK order.
+    One pass in rank order equals the priority-queue encode: merge i
+    creates a symbol only later-ranked merges can reference (a pair
+    containing it could not have been learned before it existed), so
+    nothing already applied ever becomes applicable again. Returns
+    per-document token accounting:
+    (doc_id, n_words, n_bpe_tokens, n_token_chars, chars_per_token).
+
+    Scale shape — the tokenizer-vocabulary trick: encoding is
+    word-local, so the fold runs over DISTINCT words (|vocab| rows —
+    millions at 100 TB, never the corpus), each merge one JVM
+    ``F.aggregate`` fold (no Python, no shuffle), lineage
+    localCheckpoint-ed every ``checkpoint_every`` merges so expression
+    depth stays bounded at production merge counts. The corpus is
+    touched exactly twice: one (doc_id, word) count shuffle and one
+    encoded-length join back (word-keyed hash join; the HOT words an
+    AQE skew split handles like any power-law key). Driver traffic is
+    the merge table itself (≤ n_merges rows — a model artifact, like
+    pq_trained's codebook), never word or corpus rows.
+
+    Rows-only correctness (inherits the trainer's iterative,
+    non-SQL-expressible merges); unit tests pin per-word encodings
+    against a pure-python reference encoder."""
+    if merges is None:
+        merges = bpe_merges(docs, n_merges=n_merges)
+    ranked = [
+        (r.left, r.right)
+        for r in merges.select("merge_rank", "left", "right")
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    wc = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from ..session import scoped_persist
+
+    wc = scoped_persist(wc)
+    enc = wc.select("term").distinct().select(
+        "term", F.split("term", "").alias("syms")
+    )
+    for i, (a, b) in enumerate(ranked):
+        if checkpoint_every and i and i % checkpoint_every == 0:
+            enc = enc.localCheckpoint()
+
+        # NB: exactly (acc, x) — pyspark builds the lambda from the
+        # signature's parameter count (the trainer's _fold note); a/b
+        # bind at F.aggregate call time inside this loop iteration.
+        def _fuse(acc, x):
+            hit = (
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b))
+            )
+            return F.when(
+                hit,
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        enc = enc.withColumn(
+            "syms", F.aggregate("syms", F.array().cast("array<string>"), _fuse)
+        )
+    per_word = enc.select(
+        "term",
+        F.size("syms").cast("long").alias("_nt"),
+        F.char_length("term").cast("long").alias("_nc"),
+    )
+    out = (
+        wc.join(per_word, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("_nt")).cast("long").alias("n_bpe_tokens"),
+            F.sum(F.col("cnt") * F.col("_nc")).cast("long").alias("n_token_chars"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_bpe_tokens",
+        "n_token_chars",
+        F.round(F.col("n_token_chars") / F.col("n_bpe_tokens"), 6).alias(
+            "chars_per_token"
+        ),
+    )

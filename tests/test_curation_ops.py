@@ -442,3 +442,70 @@ def test_dedup_segments_short_tail_is_its_own_segment(spark):
     assert out[0].n_removed == 0
     assert out[1].n_removed == 1
     assert out[1].cleaned_text == " ".join(f"y{i}" for i in range(10))
+
+
+def _py_encode(word, merges):
+    syms = list(word)
+    for _, a, b, _cnt in merges:
+        out = []
+        for x in syms:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_reference(spark):
+    """Encode with a trained merge table equals the pure-python
+    greedy-leftmost rank-order encoder, word by word, aggregated to
+    per-doc token counts."""
+    rows = [
+        "low lower lowest newer newest wider wide low low newer",
+        "the wide river grew wider and the newest idea grew older",
+        "low low low lowest lowest newer wider the the the",
+    ]
+    docs = _docs(spark, rows)
+    freqs = {}
+    for t in rows:
+        for w in t.lower().split():
+            freqs[w] = freqs.get(w, 0) + 1
+    merges = _py_bpe(freqs, 12)
+    got = {
+        r.doc_id: r for r in textquality.bpe_encode(docs, n_merges=12).collect()
+    }
+    for did, text in enumerate(rows):
+        words = text.lower().split()
+        want_tokens = sum(len(_py_encode(w, merges)) for w in words)
+        assert got[did].n_words == len(words)
+        assert got[did].n_bpe_tokens == want_tokens, (did, got[did])
+        assert got[did].n_token_chars == sum(len(w) for w in words)
+
+
+def test_bpe_encode_zero_merges_is_characters(spark):
+    """With an empty merge table every word encodes to its characters."""
+    docs = _docs(spark, ["ab abc", "a bb ccc"])
+    empty = spark.createDataFrame(
+        [], "merge_rank long, left string, right string, pair_count long"
+    )
+    got = {r.doc_id: r for r in textquality.bpe_encode(docs, merges=empty).collect()}
+    assert got[0].n_bpe_tokens == 5 and got[0].n_words == 2
+    assert got[1].n_bpe_tokens == 6 and got[1].chars_per_token == 1.0
+
+
+def test_bpe_encode_external_merge_table(spark):
+    """A caller-supplied merge table (the production path: train once,
+    encode many corpora) is applied in rank order."""
+    docs = _docs(spark, ["aaab aab"])
+    merges = spark.createDataFrame(
+        [(0, "a", "a", 5), (1, "aa", "b", 2)],
+        "merge_rank long, left string, right string, pair_count long",
+    )
+    got = textquality.bpe_encode(docs, merges=merges).collect()[0]
+    # aaab -> [aa, ab]? greedy-leftmost: a+a->aa, then a,b stay; rank1
+    # fuses aa+b only when adjacent: aaab -> [aa,a,b] -> [aa,ab]? No:
+    # rank-order pass: chars a,a,a,b -> fold rank0: [aa,a,b]; rank1
+    # fuses aa+b — not adjacent, so [aa,a,b] stays (3 tokens).
+    # aab -> [aa,b] -> rank1 -> [aab] (1 token).
+    assert got.n_bpe_tokens == 3 + 1
