@@ -58,6 +58,9 @@ _ROWS_ONLY_WINDOWED = {
     "pq_trained_ann_topk",
     "ann_recall_report_trained",
     "bpe_merges",
+    # the encode half inherits the trainer's iterative merges — same
+    # rows-only rationale, pinned vs a pure-python encoder locally
+    "bpe_encode_documents",
 }
 
 

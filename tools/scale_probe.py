@@ -82,6 +82,8 @@ PROBES = {
     "dsir_importance_weights": {"documents": ["doc_id"]},
     "dsir_sample_documents": {"documents": ["doc_id"]},
     "docs_ccnet_buckets": {"documents": ["doc_id"]},
+    "dedup_segments": {"documents": ["doc_id"]},
+    "bpe_encode_documents": {"documents": ["doc_id"]},
 }
 
 ID_SPAN = 100_000_000  # shift per copy; far above any real id
