@@ -18,6 +18,7 @@ from .operators import (
     dedup,
     merge,
     multimodal,
+    retrieval,
     sessionize,
     similarity,
     textquality,
@@ -547,6 +548,19 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encode_documents": lambda s, d: textquality.bpe_encode(
         table(s, d, "documents")
     ),
+    "bm25_topk": lambda s, d: retrieval.bm25_topk(table(s, d, "documents")),
+    "docs_contamination_bloom": lambda s, d: dedup.docs_contamination_bloom(
+        table(s, d, "documents")
+    ),
+    "knn_graph_edges": lambda s, d: similarity.knn_graph_edges(
+        table(s, d, "embeddings")
+    ),
+    "unimax_sample_documents": lambda s, d: dedup.unimax_sample_documents(
+        table(s, d, "documents")
+    ),
+    "neardup_recall_report": lambda s, d: dedup.neardup_recall_report(
+        table(s, d, "documents")
+    ),
 }
 
 
@@ -578,6 +592,11 @@ def _streaming_pipeline():
 # outside this window.
 _PRIORITY = [
     # -- new in round 5 (no driver row can exist yet) --
+    "bm25_topk",
+    "docs_contamination_bloom",
+    "knn_graph_edges",
+    "unimax_sample_documents",
+    "neardup_recall_report",
     "dedup_segments",
     "semdedup_embeddings",
     "dsir_importance_weights",
@@ -619,24 +638,21 @@ _PRIORITY = [
     "asof_pandas_last_view",
     "asof_generic_last_view",
     "sessionize",
-    "session_window_agg",
     "events_debounce",
     "customer_rfm_segments",
     "q21_waiting_suppliers",
-    "dup_span_stats",
     "clean_documents_keep_best",
     "curated_documents",
-    "events_snapshot_diff",
     "fact_events_streamed",
-    "token_typo_pairs",
-    "theta_segment_users",
     "theta_daily_merge_events",
     "docs_remove_dup_spans",
     # docs_dedup_report, docs_bigram_perplexity,
     # events_hourly_robust_anomalies, part_pagerank,
-    # temperature_sample_documents and events_daily_rollup_incremental
-    # (all green r4) displaced by round-5's six new operators; they
-    # keep parity-sweep coverage like every out-of-window entry.
+    # temperature_sample_documents, events_daily_rollup_incremental,
+    # events_snapshot_diff, token_typo_pairs, theta_segment_users,
+    # dup_span_stats and session_window_agg (all green r4) displaced
+    # by round-5's eleven new operators; they keep parity-sweep
+    # coverage like every out-of-window entry.
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -89,7 +89,11 @@ def doc_shingle_hashes(docs: DataFrame, n: int = SHINGLE_WORDS) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """EXACT word-shingle Jaccard pairs via an inverted-index self-join.
 
     Identical output to the all-pairs form (the DuckDB oracle is the
@@ -107,8 +111,12 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     web scale, cap document frequency per shingle first (boilerplate
     posting lists explode the join); with heavy boilerplate prefer the
     MinHash+LSH twin (``minhash_lsh_dup_pairs``), whose candidate
-    volume is bounded by the band structure instead of df²."""
-    sh = scoped_persist(doc_shingles(docs))
+    volume is bounded by the band structure instead of df².
+
+    ``shingles`` injects a caller-persisted ``doc_shingles`` frame (the
+    ANN family's ``shared`` pattern) so a multi-method sweep like
+    ``neardup_recall_report`` builds the shingle table once."""
+    sh = shingles if shingles is not None else scoped_persist(doc_shingles(docs))
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     a = ex.select(F.col("doc_id").alias("doc_a"), "s")
@@ -213,7 +221,11 @@ def _band_buckets(sig: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_dup_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+def minhash_lsh_dup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    shingle_hashes: DataFrame | None = None,
+) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard so the
     output is (with the collision probability above) identical to
     ``ngram_jaccard_pairs`` — but without the O(n²) pair join.
@@ -223,8 +235,14 @@ def minhash_lsh_dup_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     work runs once; the hash form (``doc_shingle_hashes``) keeps the
     cache small and cheap to build. The cache is scoped: the next
     scoped persist anywhere in the package releases it, so registry
-    sweeps don't accumulate cached blocks."""
-    sh = scoped_persist(doc_shingle_hashes(docs))
+    sweeps don't accumulate cached blocks. ``shingle_hashes`` injects
+    a caller-persisted frame (the shared-sweep pattern; see
+    ``neardup_recall_report``)."""
+    sh = (
+        shingle_hashes
+        if shingle_hashes is not None
+        else scoped_persist(doc_shingle_hashes(docs))
+    )
     return _verified_lsh_pairs(sh, threshold)
 
 
@@ -429,8 +447,74 @@ def docs_contamination(docs: DataFrame) -> DataFrame:
     )
 
 
+CONTAM_BLOOM_BITS = 1 << 20
+
+
+def docs_contamination_bloom(docs: DataFrame) -> DataFrame:
+    """The 100 TB twin of ``docs_contamination``: a broadcast BLOOM
+    FILTER over the benchmark shingles prefilters the corpus side, and
+    the exact verify runs as a SHUFFLE join — so the eval-suite shingle
+    set never has to fit on one executor, which the exact operator's
+    broadcast semi-join requires.
+
+    Shape: benchmark shingles are hashed into a 1-hash Bloom bucket set
+    (2^20 buckets ≈ 128 KiB broadcast regardless of eval-suite size —
+    the same construction as plans/analytics.bloom_prejoin_revenue);
+    corpus shingles that miss a bucket are dropped BEFORE any shuffle
+    (no false negatives ⇒ no lost hits), survivors are verified against
+    the exact benchmark set via a shuffle-hash semi-join (hinted, so
+    the scale shape holds even where AQE would broadcast at test SF),
+    and false positives die there. The result is therefore provably
+    identical to ``docs_contamination`` — the two operators SHARE one
+    oracle, which is the strongest statement of the equivalence.
+
+    At 100 TB the win is twofold: the prefilter cuts the exploded
+    corpus-shingle stream to near-hits before the verify shuffle (the
+    dominant cost — most shingles of most docs are clean), and the
+    bench set distributes instead of broadcasting. Spark's AQE runtime
+    bloom (spark.sql.optimizer.runtime.bloomFilter.enabled) automates
+    the same idea for equi-joins; this is the explicit form with a
+    hand-set bucket count, kept exact so the oracle is the plain
+    computation."""
+    sh = scoped_persist(doc_shingles(docs))
+    is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
+    bench = (
+        sh.filter(is_bench)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    bloom = bench.select(
+        F.pmod(F.xxhash64("s"), F.lit(CONTAM_BLOOM_BITS)).alias("_bucket")
+    ).distinct()
+    base = sh.filter(~is_bench).select(
+        "doc_id", F.size("shingles").alias("n_shingles")
+    )
+    hits = (
+        sh.filter(~is_bench)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .withColumn("_bucket", F.pmod(F.xxhash64("s"), F.lit(CONTAM_BLOOM_BITS)))
+        .join(F.broadcast(bloom), "_bucket", "left_semi")
+        .join(bench.hint("shuffle_hash"), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0)) / F.col("n_shingles"), 6
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
 def ngram_containment_pairs(
-    docs: DataFrame, threshold: float = CONTAINMENT_THRESHOLD
+    docs: DataFrame,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by n-gram CONTAINMENT (|A∩B| / min(|A|,|B|)) via
     an inverted-index self-join — the exact-but-scalable counterpoint
@@ -450,8 +534,9 @@ def ngram_containment_pairs(
     whole shingle array once per POSTING instead of once per doc
     (measured 7× on the bench corpus). Per-doc sizes are joined onto
     the aggregated pair result instead, which is smaller than the
-    posting list by the dedup factor."""
-    sh = scoped_persist(doc_shingles(docs))
+    posting list by the dedup factor. ``shingles`` injects a
+    caller-persisted frame (shared-sweep pattern)."""
+    sh = shingles if shingles is not None else scoped_persist(doc_shingles(docs))
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     a = ex.select(F.col("doc_id").alias("doc_a"), "s")
@@ -632,7 +717,9 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return votes.withColumns(chunks).select("doc_id", *chunks.keys())
 
 
-def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_dup_pairs(
+    docs: DataFrame, max_hamming: int = 3, chain: bool = False
+) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ max_hamming,
     blocked by the pigeonhole principle on 16-bit chunks (d ≤ 3 < 4
     chunks ⇒ at least one chunk matches exactly).
@@ -643,8 +730,15 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     the vote aggregate per side). The join formulation — rather than a
     groupBy + collect_list of bucket members — keeps hot chunk values
     spread across tasks (a 16-bit chunk domain WILL have hot buckets at
-    corpus scale, and AQE skew-split only helps a join)."""
-    sig = scoped_persist(simhash_signatures(docs))
+    corpus scale, and AQE skew-split only helps a join).
+
+    ``chain=True`` joins the caller's persist scope instead of opening
+    a new one — REQUIRED when a sweep caller (neardup_recall_report)
+    holds its own chained frames: a non-chained persist here would
+    release the caller's whole chain at plan-build time and every
+    shared frame would silently recompute (measured 3x on the
+    report)."""
+    sig = scoped_persist(simhash_signatures(docs), chain=chain)
     chunk_arr = F.array(
         *[
             F.struct(F.lit(j).alias("chunk_idx"), F.col(f"c{j}").alias("chunk_val"))
@@ -963,6 +1057,159 @@ def mixture_sample_documents(docs: DataFrame) -> DataFrame:
         .join(F.broadcast(rates), "source")
         .filter(F.col("u") <= F.col("rate"))
         .select("doc_id", "source", F.round("rate", 6).alias("accept_rate"))
+    )
+
+
+def neardup_recall_report(docs: DataFrame) -> DataFrame:
+    """Near-dup index-quality dashboard — the dedup-family analog of
+    ``ann_recall_report``: precision/recall of every SCALABLE pair
+    detector (MinHash-LSH bands, SimHash pigeonhole blocking, n-gram
+    containment) against the exact Jaccard pair set
+    (``ngram_dup_pairs``), as one small metrics frame. This is the
+    number a dedup deploy watches when trading band/bit width against
+    missed duplicates: LSH banding trades recall, SimHash and
+    containment apply different predicates entirely, and the report
+    makes all three drifts measurable instead of assumed.
+
+    The truth set is persisted once; each method contributes ONE row
+    (pair count, hits = inner join on the (doc_a, doc_b) key, exact
+    precision/recall divisions rounded 6 dp) — so the output is
+    method-count-sized however large the corpus, and everything is
+    exact integers + one rounded division per column: value-hash
+    oracle-checked end to end, like every constituent (all four pair
+    operators are independently oracled, which is what makes this
+    dashboard itself oracle-able).
+
+    The shingle tables (string form for jaccard/containment, hash form
+    for minhash) and the truth set are persisted ONCE in one chained
+    scope and injected into every method — the shared-frame lesson of
+    ann_recall_report applied here from the start (each method would
+    otherwise re-tokenize and re-shingle the corpus)."""
+    # The string-shingle cache is expensive to WRITE (~25-char strings
+    # through columnar compression) but it feeds FOUR instantiations —
+    # both sides of the truth self-join and both sides of containment's
+    # — so caching still wins (uncached: 60s, cached: 11s at sf0.1).
+    sh_str = scoped_persist(doc_shingles(docs))
+    sh_hash = scoped_persist(doc_shingle_hashes(docs), chain=True)
+    truth = scoped_persist(
+        ngram_jaccard_pairs(docs, shingles=sh_str).select("doc_a", "doc_b"),
+        chain=True,
+    )
+    total = truth.agg(F.count("*").alias("n_true"))
+    methods = (
+        ("minhash_lsh", lambda d: minhash_lsh_dup_pairs(d, shingle_hashes=sh_hash)),
+        ("simhash", lambda d: simhash_dup_pairs(d, chain=True)),
+        ("containment", lambda d: ngram_containment_pairs(d, shingles=sh_str)),
+    )
+    rows = None
+    for name, fn in methods:
+        pairs = fn(docs).select("doc_a", "doc_b")
+        stats = pairs.agg(F.count("*").alias("n_pairs")).crossJoin(
+            F.broadcast(
+                pairs.join(truth, ["doc_a", "doc_b"]).agg(
+                    F.count("*").alias("n_hit")
+                )
+            )
+        )
+        row = stats.crossJoin(F.broadcast(total)).select(
+            F.lit(name).alias("method"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.col("n_true").cast("long").alias("n_true"),
+            F.when(
+                F.col("n_pairs") > 0,
+                F.round(F.col("n_hit") / F.col("n_pairs").cast("double"), 6),
+            ).alias("precision"),
+            F.when(
+                F.col("n_true") > 0,
+                F.round(F.col("n_hit") / F.col("n_true").cast("double"), 6),
+            ).alias("recall"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
+
+
+UNIMAX_NUM = 3
+UNIMAX_DEN = 5  # default budget = 3/5 of the corpus (exact rational)
+
+
+def unimax_sample_documents(
+    docs: DataFrame, budget_num: int = UNIMAX_NUM, budget_den: int = UNIMAX_DEN
+) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023): spread a fixed
+    token/doc budget as UNIFORMLY as possible across languages without
+    oversampling any of them — the water-filling allocation. Small
+    languages keep everything (rate 1); large languages are capped at
+    the equal share left after the small ones are fully served. This
+    completes the sampler family: uniform → stratified → weighted →
+    equal-share mixture → temperature n^α → DSIR → UniMax.
+
+    The budget is the exact rational ``budget_num/budget_den`` of the
+    corpus (integer arithmetic — no float boundary can flip a doc).
+    Allocation: languages sorted ascending by (n_l, lang); language i
+    saturates iff  n_i·(L−i+1) ≤ N − Σ_{j<i} n_j  (all integers; the
+    saturated set is a prefix by the water-filling property), the
+    remaining budget splits equally as cap = (N − Σ_sat n)/(L − t),
+    and every rate is min(1, cap/n_l) — saturated languages hit the
+    min at 1 exactly.
+
+    Scale shape: one count aggregate to an L-row frame, the
+    water-filling window runs over those L rows only, and the corpus
+    is touched by ONE rate-filter scan against a broadcast L-row rate
+    table — no per-language sort or window over data rows, and the
+    hash-threshold acceptance (the shared md5-uniform) runs
+    identically as a streaming filter. Value-hash-oracled like every
+    sampler in the family: the only floats are one division both
+    engines round identically and the IEEE-exact uniform."""
+    from pyspark.sql import Window
+
+    c = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    tot = c.agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_langs")
+    )
+    w = Window.orderBy("n", "lang")
+    ranked = (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "budget",
+            F.expr(f"(total * {int(budget_num)}) div {int(budget_den)}"),
+        )
+        .withColumn("i", F.row_number().over(w))
+        .withColumn("cum", F.sum("n").over(w))
+    )
+    saturated = (
+        F.col("n") * (F.col("n_langs") - F.col("i") + 1)
+        <= F.col("budget") - (F.col("cum") - F.col("n"))
+    )
+    sat = ranked.agg(
+        F.coalesce(F.sum(F.when(saturated, F.col("n"))), F.lit(0)).alias("sat_n"),
+        F.coalesce(F.sum(F.when(saturated, F.lit(1))), F.lit(0)).alias("t"),
+        F.max("budget").alias("budget"),
+        F.max("n_langs").alias("n_langs"),
+    )
+    cap = (F.col("budget") - F.col("sat_n")) / (
+        F.col("n_langs") - F.col("t")
+    ).cast("double")
+    rates = (
+        c.crossJoin(F.broadcast(sat))
+        .select(
+            "lang",
+            F.when(F.col("t") >= F.col("n_langs"), F.lit(1.0))
+            .otherwise(F.least(F.lit(1.0), cap / F.col("n")))
+            .alias("rate"),
+        )
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        + 1
+    ) / F.lit(4294967296.0)
+    return (
+        docs.select("doc_id", "lang", u.alias("u"))
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("u") <= F.col("rate"))
+        .select("doc_id", "lang", F.round("rate", 6).alias("accept_rate"))
     )
 
 

@@ -1,0 +1,122 @@
+"""Full-text retrieval over the documents table: exact BM25 top-k.
+
+The engine's LLM-data surface has TF-IDF term extraction
+(textquality.tfidf_top_terms) but no ranked retrieval — the query a
+RAG / hard-negative-mining / eval-set-construction pipeline actually
+runs. BM25 (Robertson–Spärck Jones probabilistic model, the Okapi
+weighting used by Lucene/Elasticsearch) is the standard lexical
+ranker; this module implements it exactly so a DuckDB oracle can
+value-hash the scores end to end.
+
+Scoring (classic Okapi BM25, Lucene-style non-negative IDF):
+
+    score(q, d) = Σ_{t ∈ q}  idf(t) · tf_td·(k1+1)
+                             ───────────────────────────────
+                             tf_td + k1·(1 − b + b·|d|/avgdl)
+
+    idf(t) = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+
+Scale shape: this is an inverted-index probe, never doc×doc. The
+corpus is tokenized once; the postings table (doc, term, tf) and the
+per-doc lengths are corpus-sized shuffles with map-side combine; the
+document-frequency table is vocab-sized. The query side (the
+``doc_id % QUERY_MOD`` slice standing in for a query workload) is tiny
+and BROADCAST against the postings, so scoring work is proportional to
+the posting-list lengths of the query terms — the same bound a Lucene
+term-at-a-time scorer has. At web scale production engines add a
+document-frequency cap / WAND upper-bound pruning before the probe
+(the same trick ngram_containment_pairs documents for its posting
+lists); kept exact here so the oracle is the identical computation.
+
+Determinism: per-(query, doc, term) contributions chain IEEE-double
+ops written in the same association order in both engines, are rounded
+to 6 dp per row, and summed as exact DECIMAL — order-independent, so
+the final scores (and the score-then-doc_id ranking) are
+bit-reproducible in DuckDB and the operator carries a full value-hash
+oracle. N, total token count, and df are exact integers; avgdl is one
+exact-integer division both engines round to the same double.
+
+Reference parity: the reference has no search surface (its analytics
+are the BigQuery star rollups, SURVEY §1); this is part of the
+LLM-pipeline extension surface the build brief demands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokens
+from ..session import scoped_persist
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+QUERY_MOD = 50  # doc_id % QUERY_MOD == 0 → query slice (ANN convention)
+DEFAULT_K = 10
+
+
+def bm25_topk(docs: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+    """Exact BM25 top-k retrieval: every ``doc_id % QUERY_MOD == 0``
+    document acts as a query against the whole corpus (self-match
+    excluded); returns the k best (query_id, doc_id, score, rank) rows
+    per query, ties broken on doc_id so the ranking is total."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    tok = docs.repartition(par).select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    # postings (doc, term, tf) feed tf/df/dl — one tokenize, three aggs
+    tf = scoped_persist(
+        tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = docs.agg(F.count("*").alias("n_docs")).crossJoin(
+        tok.agg(F.count("*").alias("total_tokens"))
+    )
+    # query side: the (query, term) pairs of the query slice — distinct
+    # by construction (tf is keyed on (doc, term)); tiny → broadcast
+    qt = tf.filter(F.col("doc_id") % QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    avgdl = F.col("total_tokens") / F.col("n_docs")
+    weight = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * (F.col("dl") / avgdl))
+    )
+    # probe FIRST: the broadcast qt cut shrinks the postings to the
+    # query terms' lists BEFORE the df/dl joins, so the vocab-keyed and
+    # doc-keyed shuffles carry only candidate rows, not the whole
+    # postings table (measured 3x on the bench corpus).
+    contrib = (
+        tf.join(F.broadcast(qt), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(df, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(idf * weight, 6).cast("decimal(18,6)").alias("c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c").alias("_s")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_s").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("_s").cast("double").alias("score"),
+            "rank",
+        )
+    )

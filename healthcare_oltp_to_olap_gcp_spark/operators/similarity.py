@@ -417,6 +417,84 @@ def knn_label_vote(embeddings: DataFrame, k: int = DEFAULT_K, topk_fn=None) -> D
     )
 
 
+def knn_graph_edges(
+    embeddings: DataFrame,
+    k: int = DEFAULT_K,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Directed k-NN GRAPH over the whole corpus (every vector is a
+    query), with a per-edge mutuality flag — the substrate of
+    agglomerative/semantic clustering, label propagation, and
+    graph-based dedup pipelines (mutual-kNN edges are the standard
+    pruning: an edge both endpoints agree on).
+
+    Scale shape — deliberately different from ``ivf_flat_ann_topk``:
+    there the query slice is tiny and rides a broadcast; here the query
+    side IS the corpus, so nothing broadcasts except the
+    ``n_centroids``-row centroid table. One scored pass assigns every
+    vector its cell (argmax rounded cosine, rank 1) AND its
+    ``n_probe`` probe cells (rank ≤ n_probe) — the same window, one
+    shuffle; the probe×corpus match is then a SHUFFLE join on the cell
+    key (hinted shuffle-hash so the shape survives small test SFs),
+    with per-cell work (n_probe·n/C)·(n/C). Growing C ∝ n — the
+    standard IVF deploy knob every operator in this family documents —
+    keeps cells constant-size, so total work is O(n·cell·n_probe):
+    linear in the corpus, never n². Boilerplate-heavy cells skew the
+    join; AQE skew-join splits them (same note as semdedup's
+    cell-bounded pairwise stage).
+
+    The mutual flag is a self-join of the |n|·k edge list on the
+    reversed pair key. Fully deterministic (md5 centroid draw, rounded
+    dots, id tie-breaks) ⇒ value-hash oracle end to end."""
+    from ..session import scoped_persist
+
+    corpus = _corpus(embeddings)
+    cent = (
+        corpus.orderBy(F.md5(F.col("neighbor_id").cast("string")), "neighbor_id")
+        .limit(n_centroids)
+        .select(F.col("neighbor_id").alias("cent_id"), F.col("cv").alias("centroid"))
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(
+        F.col("cdot").desc(), F.col("cent_id")
+    )
+    scored = scoped_persist(
+        corpus.select(F.col("neighbor_id").alias("vec_id"), F.col("cv").alias("nv"))
+        .join(F.broadcast(cent))
+        .withColumn("cdot", F.round(dot(F.col("nv"), F.col("centroid")), 6))
+        .withColumn("_rn", F.row_number().over(w_cell))
+        .filter(F.col("_rn") <= n_probe)
+        .select("vec_id", "nv", F.col("cent_id").alias("cell"), "_rn")
+    )
+    assigned = scored.filter(F.col("_rn") == 1).select(
+        F.col("vec_id").alias("dst_id"), F.col("nv").alias("dv"), "cell"
+    )
+    probes = scored.select(
+        F.col("vec_id").alias("src_id"), F.col("nv").alias("sv"), "cell"
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("sim").desc(), F.col("dst_id"))
+    edges = scoped_persist(
+        probes.join(assigned.hint("shuffle_hash"), "cell")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .withColumn("sim", F.round(dot(F.col("sv"), F.col("dv")), 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "dst_id", "sim", "rank")
+    )
+    rev = edges.select(
+        F.col("dst_id").alias("src_id"),
+        F.col("src_id").alias("dst_id"),
+        F.lit(True).alias("mutual"),
+    )
+    return edges.join(rev, ["src_id", "dst_id"], "left").select(
+        "src_id",
+        "dst_id",
+        "sim",
+        "rank",
+        F.coalesce("mutual", F.lit(False)).alias("mutual"),
+    )
+
+
 # Production semantic-dedup thresholds sit near 0.95+; the default is
 # set inside the synthetic corpus's similarity regime (within-cell max
 # ≈ 0.46-0.49 at every SF, 99.9th pct ≈ 0.41-0.44) so the DROP path is

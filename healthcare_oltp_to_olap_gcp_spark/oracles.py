@@ -3416,3 +3416,182 @@ SELECT b.doc_id,
   COALESCE(c.cleaned_text, '') AS cleaned_text
 FROM base b LEFT JOIN cleaned c USING (doc_id)
 """
+
+# Exact BM25 top-k retrieval (operators/retrieval.bm25_topk): Okapi
+# weighting with Lucene's non-negative idf; per-(query, doc, term)
+# contributions written in the SAME IEEE association order as the
+# Spark expression, rounded 6 dp per row and DECIMAL-summed, so the
+# scores — and the (score DESC, doc_id) ranking — value-hash match.
+from .operators.retrieval import (  # noqa: E402
+    BM25_B as _BM_B_,
+    BM25_K1 as _BM_K1_,
+    DEFAULT_K as _BM_K_,
+    QUERY_MOD as _BM_QM_,
+)
+
+ORACLE_SQL["bm25_topk"] = f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                 (SELECT COUNT(*) FROM tok) AS total_tokens),
+qt AS (SELECT doc_id AS query_id, term FROM tf
+       WHERE doc_id % {_BM_QM_} = 0),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id,
+    CAST(ROUND(
+      ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+      * ((tf.tf * {_BM_K1_ + 1.0}) /
+         (tf.tf + {_BM_K1_} * ({1.0 - _BM_B_} + {_BM_B_} *
+           (dl.dl / (CAST(stats.total_tokens AS DOUBLE) / stats.n_docs))))),
+      6) AS DECIMAL(18,6)) AS c
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  JOIN qt USING (term), stats
+  WHERE tf.doc_id <> qt.query_id
+),
+scored AS (SELECT query_id, doc_id, SUM(c) AS s FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY s DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT query_id, doc_id, CAST(s AS DOUBLE) AS score,
+  CAST(rn AS BIGINT) AS rank FROM ranked WHERE rn <= {_BM_K_}
+"""
+
+# Bloom-prefiltered decontamination (operators/dedup.
+# docs_contamination_bloom): the Bloom bucket set has no false
+# negatives and the exact shuffle verify removes false positives, so
+# the operator is provably identical to docs_contamination — the two
+# SHARE this oracle (the equivalence is the test).
+ORACLE_SQL["docs_contamination_bloom"] = ORACLE_SQL["docs_contamination"]
+
+# Directed k-NN graph with mutuality flag (operators/similarity.
+# knn_graph_edges): the ivf_flat construction with the query side =
+# the whole corpus — same md5 centroid draw, ONE scored frame serves
+# both the rank-1 cell assignment and the rank<=n_probe probes, rerank
+# within probed cells, then a reversed-pair self-join flags mutual
+# edges. Rounded dots + id tie-breaks keep every edge engine-exact.
+ORACLE_SQL["knn_graph_edges"] = f"""
+WITH {_NORM_CTE},
+cent AS (
+  SELECT vec_id AS cent_id, nv AS centroid
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+scored AS (
+  SELECT * FROM (
+    SELECT e.vec_id, e.nv, cent.cent_id AS cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(list_dot_product(e.nv, cent.centroid), 6) DESC,
+                      cent.cent_id) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn <= 4
+),
+assigned AS (SELECT vec_id AS dst_id, nv AS dv, cell FROM scored WHERE rn = 1),
+probes AS (SELECT vec_id AS src_id, nv AS sv, cell FROM scored),
+s AS (
+  SELECT p.src_id, a.dst_id, ROUND(list_dot_product(p.sv, a.dv), 6) AS sim
+  FROM probes p JOIN assigned a USING (cell)
+  WHERE p.src_id <> a.dst_id
+),
+edges AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY src_id ORDER BY sim DESC, dst_id) AS rn
+    FROM s
+  ) WHERE rn <= 10
+)
+SELECT e.src_id AS src_id, e.dst_id AS dst_id, e.sim AS sim,
+  CAST(e.rn AS BIGINT) AS rank, (m.src_id IS NOT NULL) AS mutual
+FROM edges e LEFT JOIN edges m
+  ON m.src_id = e.dst_id AND m.dst_id = e.src_id
+"""
+
+# UniMax water-filling language sampler (operators/dedup.
+# unimax_sample_documents): exact-integer saturation criterion over
+# the ascending-(n, lang) prefix, equal-share cap for the rest,
+# rate = min(1, cap/n) — one double division both engines round
+# identically, so the sampler is value-hash-oracled like its mixture
+# and temperature siblings.
+from .operators.dedup import (  # noqa: E402
+    UNIMAX_DEN as _UMD_,
+    UNIMAX_NUM as _UMN_,
+)
+
+ORACLE_SQL["unimax_sample_documents"] = f"""
+WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_langs FROM c),
+ranked AS (
+  SELECT lang, n, n_langs, (total * {_UMN_}) // {_UMD_} AS budget,
+         row_number() OVER (ORDER BY n, lang) AS i,
+         SUM(n) OVER (ORDER BY n, lang) AS cum
+  FROM c, tot
+),
+sat AS (
+  SELECT
+    COALESCE(SUM(CASE WHEN n * (n_langs - i + 1) <= budget - (cum - n)
+                      THEN n END), 0) AS sat_n,
+    COALESCE(SUM(CASE WHEN n * (n_langs - i + 1) <= budget - (cum - n)
+                      THEN 1 END), 0) AS t,
+    MAX(budget) AS budget, MAX(n_langs) AS n_langs
+  FROM ranked
+),
+rates AS (
+  SELECT c.lang,
+    CASE WHEN sat.t >= sat.n_langs THEN 1.0
+         ELSE least(1.0,
+           ((sat.budget - sat.sat_n) / CAST(sat.n_langs - sat.t AS DOUBLE))
+             / c.n)
+    END AS rate
+  FROM c, sat
+),
+u AS (
+  SELECT doc_id, lang,
+    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1)
+      / 4294967296.0 AS u
+  FROM documents
+)
+SELECT u.doc_id, u.lang, ROUND(r.rate, 6) AS accept_rate
+FROM u JOIN rates r USING (lang) WHERE u.u <= r.rate
+"""
+
+# Near-dup precision/recall dashboard (operators/dedup.
+# neardup_recall_report): composes the four independently-oracled
+# pair queries; per-method one-row counts + rounded divisions, the
+# ann_recall_report pattern applied to the dedup family.
+ORACLE_SQL["neardup_recall_report"] = f"""
+WITH truth AS (SELECT doc_a, doc_b FROM ({ORACLE_SQL["ngram_dup_pairs"]})),
+mh AS (SELECT doc_a, doc_b FROM ({ORACLE_SQL["minhash_lsh_dup_pairs"]})),
+sh AS (SELECT doc_a, doc_b FROM ({ORACLE_SQL["simhash_dup_pairs"]})),
+ct AS (SELECT doc_a, doc_b FROM ({ORACLE_SQL["ngram_containment_pairs"]})),
+m AS (
+  SELECT 'minhash_lsh' AS method,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM mh) AS n_pairs,
+    (SELECT CAST(COUNT(*) AS BIGINT)
+     FROM mh JOIN truth USING (doc_a, doc_b)) AS n_hit
+  UNION ALL
+  SELECT 'simhash',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM sh),
+    (SELECT CAST(COUNT(*) AS BIGINT)
+     FROM sh JOIN truth USING (doc_a, doc_b))
+  UNION ALL
+  SELECT 'containment',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM ct),
+    (SELECT CAST(COUNT(*) AS BIGINT)
+     FROM ct JOIN truth USING (doc_a, doc_b))
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth)
+SELECT method, n_pairs, n_hit, n_true,
+  CASE WHEN n_pairs > 0
+       THEN ROUND(n_hit / CAST(n_pairs AS DOUBLE), 6) END AS precision,
+  CASE WHEN n_true > 0
+       THEN ROUND(n_hit / CAST(n_true AS DOUBLE), 6) END AS recall
+FROM m, tot
+"""

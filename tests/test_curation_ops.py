@@ -509,3 +509,113 @@ def test_bpe_encode_external_merge_table(spark):
     # fuses aa+b — not adjacent, so [aa,a,b] stays (3 tokens).
     # aab -> [aa,b] -> rank1 -> [aab] (1 token).
     assert got.n_bpe_tokens == 3 + 1
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    """Pin the Okapi scoring against an independent pure-python BM25
+    (doc 0 is the query via the doc_id % QUERY_MOD == 0 convention):
+    same ranking and 6-dp scores, self-match excluded."""
+    import math
+
+    from healthcare_oltp_to_olap_gcp_spark.operators import retrieval
+
+    rows = [
+        "apple banana apple cherry",          # doc 0 = query
+        "apple apple apple banana",           # strong match
+        "banana cherry date",                 # partial match
+        "date egg fig",                       # no overlap -> absent
+        "apple cherry cherry cherry banana",  # match
+    ]
+    got = retrieval.bm25_topk(_docs(spark, rows), k=10).collect()
+    corpus = [t.lower().split() for t in rows]
+    n = len(corpus)
+    avgdl = sum(len(d) for d in corpus) / n
+    k1, b = retrieval.BM25_K1, retrieval.BM25_B
+
+    def score(q, d):
+        s = 0.0
+        doc = corpus[d]
+        for t in set(corpus[q]):
+            tf = doc.count(t)
+            if not tf:
+                continue
+            df = sum(1 for dd in corpus if t in dd)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            w = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * (len(doc) / avgdl)))
+            s += round(idf * w, 6)
+        return round(s, 6)
+
+    want = sorted(
+        ((score(0, d), d) for d in range(1, n) if score(0, d) > 0),
+        key=lambda x: (-x[0], x[1]),
+    )
+    assert [(r.doc_id, r.score, r.rank) for r in sorted(got, key=lambda r: r.rank)] == [
+        (d, s, i + 1) for i, (s, d) in enumerate(want)
+    ]
+    assert all(r.doc_id != r.query_id for r in got)
+
+
+def test_contamination_bloom_equals_exact_and_prefilters(spark):
+    """The Bloom twin must be row-identical to docs_contamination
+    (no false negatives + exact verify), and its plan must show the
+    bucket prefilter semi-join FEEDING the exact verify join."""
+    docs = table(spark, SF001, "documents")
+    exact = {r.doc_id: r for r in dedup.docs_contamination(docs).collect()}
+    bloom = {r.doc_id: r for r in dedup.docs_contamination_bloom(docs).collect()}
+    assert bloom == exact
+    plan = dedup.docs_contamination_bloom(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "pmod" in plan and "xxhash64" in plan  # bucket prefilter present
+    assert plan.count("LeftSemi") >= 2  # bloom probe + exact verify
+
+
+def test_knn_graph_restriction_equals_ivf_flat_and_mutual_is_symmetric(spark):
+    """The graph uses the exact ivf_flat construction with queries =
+    corpus, so restricting its edges to the vec_id % QUERY_MOD slice
+    must reproduce ivf_flat_ann_topk verbatim; and the mutual flag must
+    be symmetric: (a→b).mutual ⇔ the b→a edge exists."""
+    emb = table(spark, SF001, "embeddings")
+    edges = similarity.knn_graph_edges(emb).collect()
+    restricted = sorted(
+        (r.src_id, r.dst_id, r.sim, r.rank)
+        for r in edges
+        if r.src_id % similarity.QUERY_MOD == 0
+    )
+    ivf = sorted(
+        (r.query_id, r.neighbor_id, r.sim, r.rank)
+        for r in similarity.ivf_flat_ann_topk(emb).collect()
+    )
+    assert restricted == ivf
+    directed = {(r.src_id, r.dst_id) for r in edges}
+    for r in edges:
+        assert r.mutual == ((r.dst_id, r.src_id) in directed)
+
+
+def test_unimax_water_filling_rates(spark):
+    """Hand-checkable allocation: langs a=2, b=10 docs, budget 3/5·12=7
+    → a saturates (rate 1.0), b gets the leftover cap 5 (rate 0.5);
+    and with the budget >= corpus every language keeps rate 1.0."""
+    rows = [(i, f"t {i}", "a" if i < 2 else "b", "s", 3) for i in range(12)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = dedup.unimax_sample_documents(docs).collect()
+    rates = {r.lang: r.accept_rate for r in out}
+    assert rates["a"] == 1.0 and rates["b"] == 0.5
+    assert sum(1 for r in out if r.lang == "a") == 2  # rate-1 langs keep all
+    full = dedup.unimax_sample_documents(docs, budget_num=1, budget_den=1).collect()
+    assert len(full) == 12 and all(r.accept_rate == 1.0 for r in full)
+
+
+def test_neardup_report_verified_methods_have_perfect_precision(spark):
+    """MinHash-LSH and containment verify candidates with exact
+    set-overlap predicates derived from the same shingles as the truth
+    set, so when they emit pairs their precision must be 1.0; recalls
+    are bounded (0, 1]; simhash (different predicate) may drift on
+    either axis but its counts must be self-consistent."""
+    docs = table(spark, SF001, "documents")
+    rows = {r.method: r for r in dedup.neardup_recall_report(docs).collect()}
+    assert set(rows) == {"minhash_lsh", "simhash", "containment"}
+    assert rows["minhash_lsh"].precision == 1.0
+    for r in rows.values():
+        assert r.n_hit <= min(r.n_pairs, r.n_true)
+        assert r.recall is None or 0.0 < r.recall <= 1.0

@@ -283,6 +283,18 @@ _BNLJ_ALLOWED = {
     "dsir_sample_documents",  # inherits the weights' one-row cross
     "docs_ccnet_buckets",  # one-row percentile-boundary cross (the
     # orders_revenue_concentration shape)
+    # reviewed: one-row (n_docs, total_tokens) corpus-stats cross onto
+    # the scored postings — same shape as tfidf_top_terms' count cross
+    "bm25_topk",
+    # reviewed: 16-row centroid-table cross for the shared cell/probe
+    # scoring — the same intentional shape as ivf_flat_ann_topk
+    "knn_graph_edges",
+    # reviewed: |langs|-row × one-row water-filling crosses (totals,
+    # saturation scalars) — same shape as mixture_sample_documents
+    "unimax_sample_documents",
+    # reviewed: per-method one-row count × one-row total crosses — the
+    # ann_recall_report dashboard shape on the dedup family
+    "neardup_recall_report",
     # theta set algebra: one-row theta-bound / fallback / n_days crosses
     "theta_union_segment_users",
     "theta_intersect_segment_users",

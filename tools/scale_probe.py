@@ -84,6 +84,12 @@ PROBES = {
     "docs_ccnet_buckets": {"documents": ["doc_id"]},
     "dedup_segments": {"documents": ["doc_id"]},
     "bpe_encode_documents": {"documents": ["doc_id"]},
+    # round-5 continuation additions
+    "bm25_topk": {"documents": ["doc_id"]},
+    "docs_contamination_bloom": {"documents": ["doc_id"]},
+    "knn_graph_edges": {"embeddings": ["vec_id"]},
+    "unimax_sample_documents": {"documents": ["doc_id"]},
+    "neardup_recall_report": {"documents": ["doc_id"]},
 }
 
 ID_SPAN = 100_000_000  # shift per copy; far above any real id
