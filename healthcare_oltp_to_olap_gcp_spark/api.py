@@ -549,10 +549,25 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         table(s, d, "documents")
     ),
     "bm25_topk": lambda s, d: retrieval.bm25_topk(table(s, d, "documents")),
+    "bm25_dfcap_topk": lambda s, d: retrieval.bm25_topk(
+        table(s, d, "documents"), df_cap=True
+    ),
     "docs_contamination_bloom": lambda s, d: dedup.docs_contamination_bloom(
         table(s, d, "documents")
     ),
+    "dedup_incremental": lambda s, d: dedup.dedup_incremental(
+        table(s, d, "documents")
+    ),
+    "dup_source_matrix": lambda s, d: dedup.dup_source_matrix(
+        table(s, d, "documents")
+    ),
+    "quality_auc_report": lambda s, d: textquality.quality_auc_report(
+        table(s, d, "documents")
+    ),
     "knn_graph_edges": lambda s, d: similarity.knn_graph_edges(
+        table(s, d, "embeddings")
+    ),
+    "centroid_auc_report": lambda s, d: similarity.centroid_auc_report(
         table(s, d, "embeddings")
     ),
     "unimax_sample_documents": lambda s, d: dedup.unimax_sample_documents(
@@ -592,7 +607,12 @@ def _streaming_pipeline():
 # outside this window.
 _PRIORITY = [
     # -- new in round 5 (no driver row can exist yet) --
+    "dedup_incremental",
+    "dup_source_matrix",
+    "quality_auc_report",
+    "centroid_auc_report",
     "bm25_topk",
+    "bm25_dfcap_topk",
     "docs_contamination_bloom",
     "knn_graph_edges",
     "unimax_sample_documents",
@@ -639,20 +659,18 @@ _PRIORITY = [
     "asof_generic_last_view",
     "sessionize",
     "events_debounce",
-    "customer_rfm_segments",
     "q21_waiting_suppliers",
     "clean_documents_keep_best",
-    "curated_documents",
-    "fact_events_streamed",
-    "theta_daily_merge_events",
-    "docs_remove_dup_spans",
+    # curated_documents also displaced (green r4);
     # docs_dedup_report, docs_bigram_perplexity,
     # events_hourly_robust_anomalies, part_pagerank,
     # temperature_sample_documents, events_daily_rollup_incremental,
     # events_snapshot_diff, token_typo_pairs, theta_segment_users,
-    # dup_span_stats and session_window_agg (all green r4) displaced
-    # by round-5's eleven new operators; they keep parity-sweep
-    # coverage like every out-of-window entry.
+    # dup_span_stats, session_window_agg, customer_rfm_segments,
+    # fact_events_streamed, theta_daily_merge_events and
+    # docs_remove_dup_spans (all green r4) displaced by round-5's
+    # fifteen new operators; they keep parity-sweep coverage like
+    # every out-of-window entry.
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

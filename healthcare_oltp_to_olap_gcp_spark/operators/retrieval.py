@@ -54,13 +54,40 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 QUERY_MOD = 50  # doc_id % QUERY_MOD == 0 → query slice (ANN convention)
 DEFAULT_K = 10
+# Production posting-list caps drop terms above an absolute corpus
+# fraction (df > N/4 or so — their idf is near zero anyway). The
+# synthetic corpus has a 31-term vocabulary whose df is near-uniform
+# at ~0.8·N, so a fraction cap would drop everything or nothing;
+# the scale twin instead caps at the MEDIAN vocabulary df — the
+# data-fitted-threshold convention semdedup/simhash use so both the
+# kept and the dropped paths are non-trivially exercised at every SF.
+# θ = the ⌈V/2⌉-th smallest df value (exact integer rank rule).
 
 
-def bm25_topk(docs: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+def bm25_topk(
+    docs: DataFrame, k: int = DEFAULT_K, df_cap: bool = False
+) -> DataFrame:
     """Exact BM25 top-k retrieval: every ``doc_id % QUERY_MOD == 0``
     document acts as a query against the whole corpus (self-match
     excluded); returns the k best (query_id, doc_id, score, rank) rows
-    per query, ties broken on doc_id so the ranking is total."""
+    per query, ties broken on doc_id so the ranking is total.
+
+    ``df_cap=True`` is the SCALE TWIN (registered as
+    ``bm25_dfcap_topk``): terms with df above the median vocabulary
+    df (θ = the ⌈V/2⌉-th smallest df, an exact integer rank rule —
+    see the constant note for why a fraction-of-N cap degenerates on
+    the synthetic corpus) are dropped BEFORE the probe — the
+    stopword/WAND-style cut every posting-list operator in this
+    package documents, here implemented and separately oracled. The
+    cut bounds per-query work by the capped posting lengths (the
+    boilerplate lists that explode Σ df under corpus growth are
+    exactly the ones removed) at a measurable ranking drift. On a
+    natural vocabulary the drift is small — high-df terms carry the
+    lowest idf, so their contributions are the first to be
+    negligible; on the synthetic 31-term near-uniform-df corpus idf
+    is flat and the drift is large, which is exactly why the twin is
+    a SEPARATE query with its own full value-hash oracle rather than
+    an approximation claim against the exact form."""
     par = docs.sparkSession.sparkContext.defaultParallelism
     tok = docs.repartition(par).select(
         "doc_id", F.explode(tokens("text")).alias("term")
@@ -71,6 +98,24 @@ def bm25_topk(docs: DataFrame, k: int = DEFAULT_K) -> DataFrame:
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if df_cap:
+        # θ = ⌈V/2⌉-th smallest df: rank the vocab by (df, term), take
+        # MAX(df) over ranks ≤ ⌈V/2⌉ (rn·2 ≤ V+1), keep df ≤ θ. All
+        # exact integers over the V-row vocab frame — no float
+        # boundary, no data-row work.
+        w_df = Window.orderBy("df", "term")
+        vc = df.agg(F.count("*").alias("_v"))
+        theta = (
+            df.withColumn("_rn", F.row_number().over(w_df))
+            .crossJoin(F.broadcast(vc))
+            .filter(F.col("_rn") * 2 <= F.col("_v") + 1)
+            .agg(F.max("df").alias("_theta"))
+        )
+        df = (
+            df.crossJoin(F.broadcast(theta))
+            .filter(F.col("df") <= F.col("_theta"))
+            .select("term", "df")
+        )
     stats = docs.agg(F.count("*").alias("n_docs")).crossJoin(
         tok.agg(F.count("*").alias("total_tokens"))
     )
@@ -79,6 +124,12 @@ def bm25_topk(docs: DataFrame, k: int = DEFAULT_K) -> DataFrame:
     qt = tf.filter(F.col("doc_id") % QUERY_MOD == 0).select(
         F.col("doc_id").alias("query_id"), "term"
     )
+    if df_cap:
+        # prune the PROBE side too: a capped term must never expand its
+        # posting list — the semi-join keeps the cut a work bound, not
+        # just a scoring filter (the inner df join below would already
+        # make the RESULT identical)
+        qt = qt.join(df.select("term"), "term", "left_semi")
     idf = F.log(
         1.0
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)

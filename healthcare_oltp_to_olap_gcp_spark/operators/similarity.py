@@ -1430,3 +1430,75 @@ def ann_recall_report_trained(embeddings: DataFrame, k: int = DEFAULT_K) -> Data
     total = brute.agg(F.count("*").alias("n_total"))
     methods = (("pq", pq_ann_topk), ("pq_trained", pq_trained_ann_topk))
     return _recall_rows(brute, total, embeddings, k, methods, shared)
+
+
+def centroid_auc_report(embeddings: DataFrame) -> DataFrame:
+    """Embedding-space separability report: per label, the
+    tie-corrected ROC AUC of cosine-to-that-label's-prototype as a
+    one-vs-rest membership score — the QA a pipeline runs on an
+    embedding column BEFORE trusting it for semantic dedup /
+    clustering / hard-negative mining ("are the classes actually
+    separated in this space?"). One row per label: n_pos (members),
+    n_neg (rest), auc.
+
+    Composition: ``label_centroids``' oracled prototypes, normalized
+    and broadcast as an L-row table; every vector is scored against
+    every prototype in one zero-shuffle O(n·L) scan (the
+    ``nearest_centroid_assign`` pattern, kept long instead of
+    argmax'd). AUC uses the same per-SCORE-BIN Mann-Whitney identity
+    as ``textquality.quality_auc_report`` — group by (label, rounded
+    sim) map-side combines the n·L scored rows to a bounded bin table,
+    the window runs over bins only, and all arithmetic before the one
+    final rounded divide is integer-exact. Fully value-hash-oracled."""
+    cent_long = label_centroids(embeddings)
+    cents = (
+        cent_long.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+                lambda s: s["centroid"],
+            ).alias("cv")
+        )
+        .select(
+            F.col("label").alias("cent_label"),
+            normalized(F.col("cv")).alias("cnv"),
+        )
+    )
+    corpus = embeddings.select(
+        F.col("label").cast("long").alias("vec_label"),
+        normalized(as_double("embedding")).alias("nv"),
+    )
+    scored = corpus.join(F.broadcast(cents)).select(
+        "cent_label",
+        (F.col("vec_label") == F.col("cent_label")).alias("is_pos"),
+        F.round(dot(F.col("nv"), F.col("cnv")), 6).alias("sim"),
+    )
+    bins = scored.groupBy("cent_label", "sim").agg(
+        F.count(F.when(F.col("is_pos"), F.lit(1))).alias("p"),
+        F.count(F.when(~F.col("is_pos"), F.lit(1))).alias("n"),
+    )
+    w = (
+        Window.partitionBy("cent_label")
+        .orderBy("sim")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = bins.withColumn("cn", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    return (
+        c.groupBy("cent_label")
+        .agg(
+            F.sum("p").cast("long").alias("n_pos"),
+            F.sum("n").cast("long").alias("n_neg"),
+            F.sum(F.col("p") * (2 * F.col("cn") + F.col("n"))).alias("_s2"),
+        )
+        .select(
+            F.col("cent_label").alias("label"),
+            "n_pos",
+            "n_neg",
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.round(
+                    F.col("_s2") / (2.0 * F.col("n_pos") * F.col("n_neg")), 6
+                ),
+            ).alias("auc"),
+        )
+    )

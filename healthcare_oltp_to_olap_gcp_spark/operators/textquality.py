@@ -1450,3 +1450,80 @@ def bpe_encode(
             "chars_per_token"
         ),
     )
+
+
+AUC_SCORERS = ("quality_logit", "stopword_ratio", "avg_token_len", "punct_ratio")
+
+
+def quality_auc_report(docs: DataFrame) -> DataFrame:
+    """Scorer-calibration report: tie-corrected ROC AUC of each cheap
+    per-document signal (the fixed-weight model logit plus the three
+    raw ratios) against the rule-based ``quality_filter`` verdict —
+    the question a curation team actually asks before swapping an
+    expensive rule cascade for a scalar score ("at what fidelity does
+    the model reproduce the gate?"). One row per scorer with n_pos /
+    n_neg / auc; AUC < 0.5 marks an anti-correlated signal
+    (punct_ratio, by construction).
+
+    Exactness + scale: AUC is computed from per-SCORE-BIN counts, not
+    per-row ranks — group by (scorer, rounded score) map-side combines
+    the corpus down to a bin table bounded by distinct 6-decimal score
+    values, and the Mann-Whitney sum runs as a window over bins only:
+    AUC = Σ_bins p·(2·cum_n_below + n) / (2·n_pos·n_neg), the exact
+    tie-corrected rank-sum identity in pure integer arithmetic (no
+    float accumulation order anywhere — the only division is the final
+    rounded one). A global per-row sort would be the naive plan; this
+    one's sort touches the bin table. NULL-score rows (empty docs)
+    drop per scorer before counting."""
+    from pyspark.sql import Window as W
+
+    q = quality_scores(docs)
+    m = quality_model_scores(docs).select("doc_id", "quality_logit")
+    lab = quality_filter(docs).select("doc_id", F.col("keep").alias("label"))
+    base = q.join(m, "doc_id").join(lab, "doc_id")
+    scored = (
+        base.select(
+            "label",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("scorer"),
+                            F.col(s).cast("double").alias("score"),
+                        )
+                        for s in AUC_SCORERS
+                    ]
+                )
+            ).alias("x"),
+        )
+        .select("label", F.col("x.scorer").alias("scorer"), F.col("x.score").alias("score"))
+        .filter(F.col("score").isNotNull())
+    )
+    bins = scored.groupBy("scorer", "score").agg(
+        F.count(F.when(F.col("label"), F.lit(1))).alias("p"),
+        F.count(F.when(~F.col("label"), F.lit(1))).alias("n"),
+    )
+    w = (
+        W.partitionBy("scorer")
+        .orderBy("score")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = bins.withColumn("cn", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    agg = c.groupBy("scorer").agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("n").cast("long").alias("n_neg"),
+        F.sum(F.col("p") * (2 * F.col("cn") + F.col("n"))).alias("_s2"),
+    )
+    return agg.select(
+        "scorer",
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                F.col("_s2")
+                / (2.0 * F.col("n_pos") * F.col("n_neg")),
+                6,
+            ),
+        ).alias("auc"),
+    )

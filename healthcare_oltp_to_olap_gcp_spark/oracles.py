@@ -3429,12 +3429,29 @@ from .operators.retrieval import (  # noqa: E402
     QUERY_MOD as _BM_QM_,
 )
 
-ORACLE_SQL["bm25_topk"] = f"""
+# df CTE for the capped twin: θ = the ⌈V/2⌉-th smallest df (exact
+# integer rank rule, mirrored from the Spark side), keep df ≤ θ.
+_BM25_DF_CAPPED = """(
+  SELECT term, df FROM (
+    WITH df0 AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    th AS (
+      SELECT MAX(df) AS theta FROM (
+        SELECT df, row_number() OVER (ORDER BY df, term) AS rn,
+               (SELECT COUNT(*) FROM df0) AS v
+        FROM df0)
+      WHERE rn * 2 <= v + 1)
+    SELECT term, df FROM df0, th WHERE df <= th.theta)
+)"""
+
+
+def _bm25_oracle(df_cte: str) -> str:
+    return f"""
 WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
 tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
        FROM tok GROUP BY 1, 2),
 dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+df AS {df_cte},
 stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
                  (SELECT COUNT(*) FROM tok) AS total_tokens),
 qt AS (SELECT doc_id AS query_id, term FROM tf
@@ -3462,6 +3479,12 @@ ranked AS (
 SELECT query_id, doc_id, CAST(s AS DOUBLE) AS score,
   CAST(rn AS BIGINT) AS rank FROM ranked WHERE rn <= {_BM_K_}
 """
+
+
+ORACLE_SQL["bm25_topk"] = _bm25_oracle(
+    "(SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)"
+)
+ORACLE_SQL["bm25_dfcap_topk"] = _bm25_oracle(_BM25_DF_CAPPED)
 
 # Bloom-prefiltered decontamination (operators/dedup.
 # docs_contamination_bloom): the Bloom bucket set has no false
@@ -3594,4 +3617,145 @@ SELECT method, n_pairs, n_hit, n_true,
   CASE WHEN n_true > 0
        THEN ROUND(n_hit / CAST(n_true AS DOUBLE), 6) END AS recall
 FROM m, tot
+"""
+
+# Incremental cross-corpus dedup (operators/dedup.dedup_incremental):
+# the LSH+verify screen provably equals the exact batch-vs-corpus
+# Jaccard join at the 0.8 threshold (same 1-(1-j²)^16 recall argument
+# as minhash_lsh_dup_pairs), so the oracle is the exact cross join
+# with the same deterministic best-match rule.
+from .operators.dedup import INCR_MOD as _INCR_MOD_  # noqa: E402
+
+ORACLE_SQL["dedup_incremental"] = f"""
+WITH {SHINGLES_CTE},
+ns AS (SELECT * FROM shf WHERE doc_id % {_INCR_MOD_} = 0),
+os AS (SELECT * FROM shf WHERE doc_id % {_INCR_MOD_} <> 0),
+m AS (
+  SELECT n.doc_id, o.doc_id AS old_id,
+    ROUND(len(list_intersect(n.s, o.s))
+          / CAST(len(list_distinct(list_concat(n.s, o.s))) AS DOUBLE), 6) AS j
+  FROM ns n, os o
+),
+hits AS (SELECT * FROM m WHERE j >= 0.8),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches FROM hits GROUP BY 1
+),
+best AS (
+  SELECT doc_id, old_id AS best_match, j AS best_jaccard FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY j DESC, old_id) AS rn
+    FROM hits)
+  WHERE rn = 1
+)
+SELECT d.doc_id,
+  COALESCE(a.n_matches, 0) > 0 AS is_dup,
+  CAST(COALESCE(a.n_matches, 0) AS BIGINT) AS n_matches,
+  b.best_match, b.best_jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % {_INCR_MOD_} = 0) d
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN best b USING (doc_id)
+"""
+
+# Near-dup provenance crosstab (operators/dedup.dup_source_matrix):
+# exact-Jaccard pair set (≡ the verified LSH output) joined to the
+# source labels; mean Jaccard via the money_sum convention (exact
+# DECIMAL sum of the 6-decimal per-pair values, one final divide).
+ORACLE_SQL["dup_source_matrix"] = f"""
+WITH pairs AS ({ORACLE_SQL["minhash_lsh_dup_pairs"]}),
+lab AS (
+  SELECT least(sa.source, sb.source) AS source_a,
+         greatest(sa.source, sb.source) AS source_b,
+         CAST(p.jaccard AS DECIMAL(18,8)) AS jd
+  FROM pairs p
+  JOIN documents sa ON p.doc_a = sa.doc_id
+  JOIN documents sb ON p.doc_b = sb.doc_id
+)
+SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  ROUND(CAST(SUM(jd) AS DOUBLE) / COUNT(*), 6) AS avg_jaccard
+FROM lab GROUP BY 1, 2
+"""
+
+# Scorer-calibration AUC (operators/textquality.quality_auc_report):
+# tie-corrected Mann-Whitney over per-score bins — identical integer
+# arithmetic on both engines (the only division is the final rounded
+# one); label = the rule-filter verdict, scores = the independently
+# oracled rounded signals.
+ORACLE_SQL["quality_auc_report"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+{_QF_CTES},
+ql AS (SELECT doc_id, quality_logit
+       FROM ({ORACLE_SQL["docs_quality_model"]})),
+qs AS (SELECT doc_id, stopword_ratio, avg_token_len, punct_ratio
+       FROM ({ORACLE_SQL["docs_quality"]})),
+base AS (
+  SELECT q.doc_id, (v.reasons = '') AS label,
+    l.quality_logit, q.stopword_ratio, q.avg_token_len, q.punct_ratio
+  FROM qs q JOIN ql l USING (doc_id) JOIN qf_v v USING (doc_id)
+),
+sc AS (
+  SELECT 'quality_logit' AS scorer, label,
+         CAST(quality_logit AS DOUBLE) AS score FROM base
+  UNION ALL SELECT 'stopword_ratio', label, stopword_ratio FROM base
+  UNION ALL SELECT 'avg_token_len', label, avg_token_len FROM base
+  UNION ALL SELECT 'punct_ratio', label, punct_ratio FROM base
+),
+bins AS (
+  SELECT scorer, score,
+    CAST(COUNT(*) FILTER (WHERE label) AS BIGINT) AS p,
+    CAST(COUNT(*) FILTER (WHERE NOT label) AS BIGINT) AS n
+  FROM sc WHERE score IS NOT NULL GROUP BY 1, 2
+),
+c AS (
+  SELECT *, COALESCE(SUM(n) OVER (PARTITION BY scorer ORDER BY score
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn
+  FROM bins
+)
+SELECT scorer, CAST(SUM(p) AS BIGINT) AS n_pos,
+  CAST(SUM(n) AS BIGINT) AS n_neg,
+  CASE WHEN SUM(p) > 0 AND SUM(n) > 0 THEN
+    ROUND(SUM(p * (2 * cn + n)) / (2.0 * SUM(p) * SUM(n)), 6)
+  END AS auc
+FROM c GROUP BY 1
+"""
+
+# Embedding-space separability (operators/similarity.
+# centroid_auc_report): label_centroids' prototypes cross-scored onto
+# every vector, then the same per-bin tie-corrected Mann-Whitney sum
+# as quality_auc_report — integer-exact until the final rounded
+# divide.
+ORACLE_SQL["centroid_auc_report"] = f"""
+WITH cent0 AS ({ORACLE_SQL["label_centroids"]}),
+cent AS (
+  SELECT label AS cent_label, list(centroid ORDER BY pos) AS cv
+  FROM cent0 GROUP BY label
+),
+cn AS (
+  SELECT cent_label,
+         list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cnv
+  FROM cent
+),
+{_NORM_CTE},
+lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS vec_label FROM embeddings),
+sc AS (
+  SELECT cn.cent_label, (l.vec_label = cn.cent_label) AS is_pos,
+         ROUND(list_dot_product(e.nv, cn.cnv), 6) AS sim
+  FROM e JOIN lbl l USING (vec_id) CROSS JOIN cn
+),
+bins AS (
+  SELECT cent_label, sim,
+    CAST(COUNT(*) FILTER (WHERE is_pos) AS BIGINT) AS p,
+    CAST(COUNT(*) FILTER (WHERE NOT is_pos) AS BIGINT) AS n
+  FROM sc GROUP BY 1, 2
+),
+c AS (
+  SELECT *, COALESCE(SUM(n) OVER (PARTITION BY cent_label ORDER BY sim
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_n
+  FROM bins
+)
+SELECT cent_label AS label, CAST(SUM(p) AS BIGINT) AS n_pos,
+  CAST(SUM(n) AS BIGINT) AS n_neg,
+  CASE WHEN SUM(p) > 0 AND SUM(n) > 0 THEN
+    ROUND(SUM(p * (2 * cum_n + n)) / (2.0 * SUM(p) * SUM(n)), 6)
+  END AS auc
+FROM c GROUP BY 1
 """

@@ -619,3 +619,99 @@ def test_neardup_report_verified_methods_have_perfect_precision(spark):
     for r in rows.values():
         assert r.n_hit <= min(r.n_pairs, r.n_true)
         assert r.recall is None or 0.0 < r.recall <= 1.0
+
+
+def test_bm25_dfcap_drops_high_df_terms_only(spark):
+    """Hand-case: 'the' appears in every doc (df above the median rule's
+    theta), so the capped twin must score query doc 0 = 'the a' ONLY
+    through 'a' — its sole match is doc 3; the exact form also matches
+    docs 1 and 2 via 'the'."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import retrieval
+
+    rows = ["the a", "the b", "the c", "the a b"]
+    docs = _docs(spark, rows)
+    exact = {r.doc_id for r in retrieval.bm25_topk(docs).collect()}
+    capped = {r.doc_id for r in retrieval.bm25_topk(docs, df_cap=True).collect()}
+    assert exact == {1, 2, 3}
+    assert capped == {3}
+
+
+def _docs_src(spark, rows):
+    """rows: (doc_id, text, source)."""
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_dedup_incremental_flags_cross_matches_only(spark):
+    from healthcare_oltp_to_olap_gcp_spark.operators import dedup
+
+    base = " ".join(f"w{i}" for i in range(20))
+    other = " ".join(f"x{i}" for i in range(20))
+    third = " ".join(f"y{i}" for i in range(20))
+    # new batch = doc_id % 3 == 0; old corpus = the rest
+    rows = [
+        (0, base, "src"),   # new: exact dup of OLD doc 1 and OLD doc 4
+        (1, base, "src"),   # old
+        (2, other, "src"),  # old
+        (3, third, "src"),  # new: dups only NEW doc 6 → must NOT flag
+        (4, base, "src"),   # old
+        (6, third, "src"),  # new
+    ]
+    out = {
+        r.doc_id: r
+        for r in dedup.dedup_incremental(_docs_src(spark, rows)).collect()
+    }
+    assert set(out) == {0, 3, 6}  # one verdict row per incoming doc
+    assert out[0].is_dup and out[0].n_matches == 2
+    assert out[0].best_match == 1 and out[0].best_jaccard == 1.0
+    # batch-internal duplicates are NOT the incremental screen's job
+    assert not out[3].is_dup and out[3].n_matches == 0
+    assert out[3].best_match is None and out[3].best_jaccard is None
+    assert not out[6].is_dup
+
+
+def test_dup_source_matrix_normalizes_pair_order(spark):
+    from healthcare_oltp_to_olap_gcp_spark.operators import dedup
+
+    base = " ".join(f"w{i}" for i in range(20))
+    other = " ".join(f"x{i}" for i in range(20))
+    rows = [
+        (0, base, "mirror"),
+        (1, base, "crawl"),   # cross-source dup with 0
+        (2, other, "crawl"),
+        (3, other, "crawl"),  # intra-source dup with 2
+    ]
+    out = {
+        (r.source_a, r.source_b): r
+        for r in dedup.dup_source_matrix(_docs_src(spark, rows)).collect()
+    }
+    assert set(out) == {("crawl", "mirror"), ("crawl", "crawl")}
+    assert out[("crawl", "mirror")].n_pairs == 1
+    assert out[("crawl", "mirror")].avg_jaccard == 1.0
+    assert out[("crawl", "crawl")].n_pairs == 1
+
+
+def test_quality_auc_hand_case(spark):
+    """3 clean docs (keep) vs 2 drops; a scorer that ranks every keep
+    above every drop has AUC 1.0 on that corpus."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import textquality
+
+    clean = " ".join(
+        "the quick brown fox jumps over a lazy dog and then some".split()
+    )
+    rows = [clean, clean + " more plain words here", clean + " extra tail"]
+    rows += ["!!! ??? ***", "##$$%%&&"]  # high punct + too short → drop
+    out = {
+        r.scorer: r
+        for r in textquality.quality_auc_report(_docs(spark, rows)).collect()
+    }
+    assert set(out) == set(textquality.AUC_SCORERS)
+    for r in out.values():
+        assert r.auc is None or 0.0 <= r.auc <= 1.0
+    # the model logit separates these perfectly
+    assert out["quality_logit"].n_pos == 3 and out["quality_logit"].n_neg == 2
+    assert out["quality_logit"].auc == 1.0
+    # punct_ratio is anti-correlated by construction
+    assert out["punct_ratio"].auc == 0.0

@@ -679,3 +679,26 @@ def test_events_debounce_spacing(spark):
             assert gap_us > sz.DEBOUNCE_GAP_US
         # burst indices are 1..n in order
         assert [r.burst_idx for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_centroid_auc_separable_labels(spark):
+    """Three well-separated synthetic clusters: every label's
+    one-vs-rest cosine-to-prototype AUC must be ~1; counts match the
+    20/40 split."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import similarity
+
+    rows = []
+    for i in range(60):
+        label = i % 3
+        base = [0.0] * 8
+        base[label] = 1.0
+        base[3 + (i % 5)] += 0.05 + (i % 7) * 0.01
+        rows.append((i, base, label))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r.label: r for r in similarity.centroid_auc_report(emb).collect()}
+    assert set(out) == {0, 1, 2}
+    for r in out.values():
+        assert r.n_pos == 20 and r.n_neg == 40
+        assert r.auc > 0.95

@@ -254,6 +254,10 @@ _BNLJ_ALLOWED = {
     "ivf_flat_ann_topk",  # 16-row centroid table cross
     "customer_rfm_segments",  # one-row max-date + quartile-bounds crosses
     "nearest_centroid_assign",  # one-row centroid-struct-array cross
+    # reviewed: L-row normalized-prototype broadcast cross for the
+    # one-vs-rest scoring scan — nearest_centroid_assign's shape kept
+    # long (one row per (vector, label)) instead of argmax'd
+    "centroid_auc_report",
     "events_hourly_gapfill",  # one-row hour-bounds cross onto the type list
     "kmv_type_overlap_matrix",  # T×T pair expansion over ≤T·k sketch rows
     "sq8_ann_topk",  # one-row quant-bounds cross + code scan vs broadcast queries
@@ -286,6 +290,8 @@ _BNLJ_ALLOWED = {
     # reviewed: one-row (n_docs, total_tokens) corpus-stats cross onto
     # the scored postings — same shape as tfidf_top_terms' count cross
     "bm25_topk",
+    "bm25_dfcap_topk",  # adds one-row vocab-count + theta crosses
+
     # reviewed: 16-row centroid-table cross for the shared cell/probe
     # scoring — the same intentional shape as ivf_flat_ann_topk
     "knn_graph_edges",

@@ -86,6 +86,11 @@ PROBES = {
     "bpe_encode_documents": {"documents": ["doc_id"]},
     # round-5 continuation additions
     "bm25_topk": {"documents": ["doc_id"]},
+    "bm25_dfcap_topk": {"documents": ["doc_id"]},
+    "dedup_incremental": {"documents": ["doc_id"]},
+    "dup_source_matrix": {"documents": ["doc_id"]},
+    "quality_auc_report": {"documents": ["doc_id"]},
+    "centroid_auc_report": {"embeddings": ["vec_id"]},
     "docs_contamination_bloom": {"documents": ["doc_id"]},
     "knn_graph_edges": {"embeddings": ["vec_id"]},
     "unimax_sample_documents": {"documents": ["doc_id"]},
