@@ -570,6 +570,12 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "centroid_auc_report": lambda s, d: similarity.centroid_auc_report(
         table(s, d, "embeddings")
     ),
+    "ivf_probe_sweep": lambda s, d: similarity.ivf_probe_sweep(
+        table(s, d, "embeddings")
+    ),
+    "knn_graph_components": lambda s, d: similarity.knn_graph_components(
+        table(s, d, "embeddings")
+    ),
     "unimax_sample_documents": lambda s, d: dedup.unimax_sample_documents(
         table(s, d, "documents")
     ),
@@ -611,6 +617,8 @@ _PRIORITY = [
     "dup_source_matrix",
     "quality_auc_report",
     "centroid_auc_report",
+    "ivf_probe_sweep",
+    "knn_graph_components",
     "bm25_topk",
     "bm25_dfcap_topk",
     "docs_contamination_bloom",
@@ -659,8 +667,7 @@ _PRIORITY = [
     "asof_generic_last_view",
     "sessionize",
     "events_debounce",
-    "q21_waiting_suppliers",
-    "clean_documents_keep_best",
+    # q21_waiting_suppliers, clean_documents_keep_best and
     # curated_documents also displaced (green r4);
     # docs_dedup_report, docs_bigram_perplexity,
     # events_hourly_robust_anomalies, part_pagerank,

@@ -1502,3 +1502,84 @@ def centroid_auc_report(embeddings: DataFrame) -> DataFrame:
             ).alias("auc"),
         )
     )
+
+
+IVF_SWEEP_PROBES = (1, 2, 4, 8)
+
+
+def ivf_probe_sweep(embeddings: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+    """IVF probe-width tuning curve: recall@k of ``ivf_flat_ann_topk``
+    at n_probe ∈ {1, 2, 4, 8} against the exact brute-force top-k —
+    the accuracy-vs-work trade an IVF deploy tunes FIRST (probed-cell
+    fraction IS the per-query cost multiplier at any corpus size).
+    One row per width: (n_probe, n_hit, n_total, recall).
+
+    Recall is provably non-decreasing in n_probe under the package's
+    deterministic total order: probed cells at width p are a prefix of
+    width p' > p, so the candidate set only grows, and a true
+    neighbor displaced from the wider top-k would need k candidates
+    globally better than it — contradicting its membership in the
+    exact top-k (asserted in tests, not just assumed).
+
+    Cost shape: the ``_shared_frames`` persist serves all four widths
+    (corpus normalized/assigned once per width but never re-derived);
+    the brute denominator is scope-persisted once. Each width's
+    output is |Q|·k rows collapsed to one count — the report row set
+    is 4 rows whatever the corpus."""
+    from ..session import scoped_persist
+
+    shared = _shared_frames(embeddings)
+    brute = scoped_persist(
+        ann_brute_topk(embeddings, k, shared).select("query_id", "neighbor_id"),
+        chain=True,
+    )
+    total = brute.agg(F.count("*").alias("n_total"))
+    rows = None
+    for p in IVF_SWEEP_PROBES:
+        hits = (
+            ivf_flat_ann_topk(embeddings, k, n_probe=p, shared=shared)
+            .select("query_id", "neighbor_id")
+            .join(brute, ["query_id", "neighbor_id"])
+            .agg(F.count("*").alias("n_hit"))
+        )
+        row = hits.crossJoin(F.broadcast(total)).select(
+            F.lit(p).cast("long").alias("n_probe"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.col("n_total").cast("long").alias("n_total"),
+            F.when(
+                F.col("n_total") > 0,
+                F.round(F.col("n_hit") / F.col("n_total").cast("double"), 6),
+            ).alias("recall"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
+
+
+def knn_graph_components(
+    embeddings: DataFrame, k: int = DEFAULT_K
+) -> DataFrame:
+    """Semantic clusters: connected components of the MUTUAL k-NN
+    graph — the standard agglomerative step on top of
+    ``knn_graph_edges`` (mutual pruning kills hub edges, components
+    are then tight semantic groups a curation pipeline samples from /
+    caps / dedups as units). One row per vector with ≥1 mutual edge:
+    (vec_id, component = smallest reachable vec_id).
+
+    Pure composition of two oracled pieces: the mutual edge list
+    (already symmetric by construction — e(a,b) mutual ⟺ e(b,a)
+    mutual) feeds ``dedup.dedup_components``' pointer-jumping
+    min-label propagation verbatim; that loop's O(log diameter)
+    convergence, scalar-only driver checks and localCheckpoint
+    handling carry over unchanged. Work per round is two joins + a
+    groupBy on the |mutual| ≤ n·k edge list — corpus-linear with the
+    C ∝ n cell knob the edge builder documents."""
+    from .dedup import dedup_components
+
+    mutual = (
+        knn_graph_edges(embeddings, k)
+        .filter(F.col("mutual"))
+        .select(F.col("src_id").alias("doc_a"), F.col("dst_id").alias("doc_b"))
+    )
+    return dedup_components(None, pairs=mutual).select(
+        F.col("doc_id").alias("vec_id"), "component"
+    )

@@ -829,8 +829,13 @@ ORACLE_SQL["simhash_dup_pairs"] = _simhash_oracle()
 # IVF-Flat with hash-seeded centroids (operators/similarity.
 # ivf_flat_ann_topk): centroid draw, argmax cell assignment, probing
 # and rerank all mirrored; rounded dots + id tie-breaks keep the
-# ranking engine-independent.
-ORACLE_SQL["ivf_flat_ann_topk"] = f"""
+# ranking engine-independent. Parameterized over n_probe so the
+# probe-width tuning sweep (ivf_probe_sweep) embeds the identical
+# template per width.
+
+
+def _ivf_flat_sql(n_probe: int) -> str:
+    return f"""
 WITH {_NORM_CTE},
 cent AS (
   SELECT vec_id AS cent_id, nv AS centroid
@@ -856,7 +861,7 @@ probed AS (
   SELECT query_id, qv, cent_id AS cell FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, cent_id) AS rn
     FROM q0
-  ) WHERE rn <= 4
+  ) WHERE rn <= {n_probe}
 ),
 s AS (
   SELECT p.query_id, a.neighbor_id, ROUND(list_dot_product(p.qv, a.cv), 6) AS sim
@@ -869,6 +874,9 @@ r AS (
 )
 SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 10
 """
+
+
+ORACLE_SQL["ivf_flat_ann_topk"] = _ivf_flat_sql(4)
 
 # SemDeDup (operators/similarity.semdedup_embeddings): md5-seeded
 # cells, argmax rounded-cosine assignment, cell-bounded pairwise test,
@@ -3758,4 +3766,49 @@ SELECT cent_label AS label, CAST(SUM(p) AS BIGINT) AS n_pos,
     ROUND(SUM(p * (2 * cum_n + n)) / (2.0 * SUM(p) * SUM(n)), 6)
   END AS auc
 FROM c GROUP BY 1
+"""
+
+# IVF probe-width tuning curve (operators/similarity.ivf_probe_sweep):
+# the parameterized ivf_flat template embedded once per width, counted
+# against the brute-force oracle — value-hash-checked end to end.
+ORACLE_SQL["ivf_probe_sweep"] = f"""
+WITH brute AS (SELECT query_id, neighbor_id FROM ({ORACLE_SQL["ann_topk"]})),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM brute),
+p1 AS (SELECT query_id, neighbor_id FROM ({_ivf_flat_sql(1)})),
+p2 AS (SELECT query_id, neighbor_id FROM ({_ivf_flat_sql(2)})),
+p4 AS (SELECT query_id, neighbor_id FROM ({_ivf_flat_sql(4)})),
+p8 AS (SELECT query_id, neighbor_id FROM ({_ivf_flat_sql(8)})),
+hits AS (
+  SELECT 1 AS n_probe, (SELECT COUNT(*) FROM p1 JOIN brute
+    USING (query_id, neighbor_id)) AS n_hit
+  UNION ALL SELECT 2, (SELECT COUNT(*) FROM p2 JOIN brute
+    USING (query_id, neighbor_id))
+  UNION ALL SELECT 4, (SELECT COUNT(*) FROM p4 JOIN brute
+    USING (query_id, neighbor_id))
+  UNION ALL SELECT 8, (SELECT COUNT(*) FROM p8 JOIN brute
+    USING (query_id, neighbor_id))
+)
+SELECT CAST(n_probe AS BIGINT) AS n_probe, CAST(n_hit AS BIGINT) AS n_hit,
+  n_total,
+  CASE WHEN n_total > 0
+       THEN ROUND(n_hit / CAST(n_total AS DOUBLE), 6) END AS recall
+FROM hits, tot
+"""
+
+# Mutual-kNN connected components (operators/similarity.
+# knn_graph_components): the knn_graph_edges oracle's mutual subset,
+# symmetrized (a no-op by mutuality, kept for form parity with
+# dedup_components) and closed with the same recursive reach CTE.
+ORACLE_SQL["knn_graph_components"] = f"""
+WITH RECURSIVE knn AS ({ORACLE_SQL["knn_graph_edges"]}),
+kc_mut AS (SELECT src_id, dst_id FROM knn WHERE mutual),
+kc_edges AS (SELECT src_id AS a, dst_id AS b FROM kc_mut
+             UNION SELECT dst_id, src_id FROM kc_mut),
+kc_nodes AS (SELECT DISTINCT a AS vec_id FROM kc_edges),
+kc_reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM kc_nodes
+  UNION
+  SELECT r.src, g.b FROM kc_reach r JOIN kc_edges g ON r.dst = g.a
+)
+SELECT src AS vec_id, MIN(dst) AS component FROM kc_reach GROUP BY src
 """

@@ -702,3 +702,50 @@ def test_centroid_auc_separable_labels(spark):
     for r in out.values():
         assert r.n_pos == 20 and r.n_neg == 40
         assert r.auc > 0.95
+
+
+def test_ivf_probe_sweep_recall_monotone(spark):
+    """Probed cells at width p are a prefix of width p' > p, so recall
+    must be non-decreasing in n_probe and hit 1.0-adjacent at the top
+    end only if the index is good — assert the provable monotonicity
+    plus sane bounds."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import similarity
+
+    emb = table(spark, SF001, "embeddings")
+    rows = sorted(
+        similarity.ivf_probe_sweep(emb).collect(), key=lambda r: r.n_probe
+    )
+    assert [r.n_probe for r in rows] == [1, 2, 4, 8]
+    recalls = [r.recall for r in rows]
+    assert all(0.0 <= r <= 1.0 for r in recalls)
+    assert all(a <= b for a, b in zip(recalls, recalls[1:]))
+    assert rows[0].n_total == rows[-1].n_total > 0
+
+
+def test_knn_graph_components_consistent_with_mutual_edges(spark):
+    """Both endpoints of every mutual edge share a component; every
+    component id is the min vec_id of its member set; vectors without
+    mutual edges are absent."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import similarity
+
+    emb = table(spark, SF001, "embeddings")
+    comp = {
+        r.vec_id: r.component
+        for r in similarity.knn_graph_components(emb).collect()
+    }
+    mutual = [
+        (r.src_id, r.dst_id)
+        for r in similarity.knn_graph_edges(emb).collect()
+        if r.mutual
+    ]
+    assert mutual, "synthetic corpus should have mutual kNN edges"
+    touched = {v for e in mutual for v in e}
+    assert set(comp) == touched
+    for a, b in mutual:
+        assert comp[a] == comp[b]
+    # component label is the minimum member id
+    members = {}
+    for v, c in comp.items():
+        members.setdefault(c, []).append(v)
+    for c, vs in members.items():
+        assert c == min(vs)

@@ -127,6 +127,20 @@ SF01_KEYS = [
     "dsir_sample_documents",
     "docs_ccnet_buckets",
     "dedup_segments",
+    # late round-5 additions: LSH screens, top-k cuts, bin-AUC curves
+    # and graph components are all data-dependent
+    "bm25_topk",
+    "bm25_dfcap_topk",
+    "dedup_incremental",
+    "dup_source_matrix",
+    "quality_auc_report",
+    "centroid_auc_report",
+    "ivf_probe_sweep",
+    "knn_graph_components",
+    "knn_graph_edges",
+    "unimax_sample_documents",
+    "docs_contamination_bloom",
+    "neardup_recall_report",
 ]
 
 

@@ -252,6 +252,9 @@ _BNLJ_ALLOWED = {
     "mon_7d_summary",
     "mon_errors",
     "ivf_flat_ann_topk",  # 16-row centroid table cross
+    # reviewed: inherits ivf_flat's 16-row centroid cross per width +
+    # the recall report's one-row hit-count × one-row total crosses
+    "ivf_probe_sweep",
     "customer_rfm_segments",  # one-row max-date + quartile-bounds crosses
     "nearest_centroid_assign",  # one-row centroid-struct-array cross
     # reviewed: L-row normalized-prototype broadcast cross for the
@@ -295,6 +298,7 @@ _BNLJ_ALLOWED = {
     # reviewed: 16-row centroid-table cross for the shared cell/probe
     # scoring — the same intentional shape as ivf_flat_ann_topk
     "knn_graph_edges",
+    "knn_graph_components",  # inherits knn_graph_edges' centroid cross
     # reviewed: |langs|-row × one-row water-filling crosses (totals,
     # saturation scalars) — same shape as mixture_sample_documents
     "unimax_sample_documents",

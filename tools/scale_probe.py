@@ -91,6 +91,8 @@ PROBES = {
     "dup_source_matrix": {"documents": ["doc_id"]},
     "quality_auc_report": {"documents": ["doc_id"]},
     "centroid_auc_report": {"embeddings": ["vec_id"]},
+    "ivf_probe_sweep": {"embeddings": ["vec_id"]},
+    "knn_graph_components": {"embeddings": ["vec_id"]},
     "docs_contamination_bloom": {"documents": ["doc_id"]},
     "knn_graph_edges": {"embeddings": ["vec_id"]},
     "unimax_sample_documents": {"documents": ["doc_id"]},
