@@ -561,6 +561,9 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_source_matrix": lambda s, d: dedup.dup_source_matrix(
         table(s, d, "documents")
     ),
+    "split_leakage_report": lambda s, d: dedup.split_leakage_report(
+        table(s, d, "documents")
+    ),
     "quality_auc_report": lambda s, d: textquality.quality_auc_report(
         table(s, d, "documents")
     ),
@@ -615,6 +618,7 @@ _PRIORITY = [
     # -- new in round 5 (no driver row can exist yet) --
     "dedup_incremental",
     "dup_source_matrix",
+    "split_leakage_report",
     "quality_auc_report",
     "centroid_auc_report",
     "ivf_probe_sweep",
@@ -666,9 +670,8 @@ _PRIORITY = [
     "asof_pandas_last_view",
     "asof_generic_last_view",
     "sessionize",
-    "events_debounce",
-    # q21_waiting_suppliers, clean_documents_keep_best and
-    # curated_documents also displaced (green r4);
+    # events_debounce, q21_waiting_suppliers, clean_documents_keep_best
+    # and curated_documents also displaced (green r4);
     # docs_dedup_report, docs_bigram_perplexity,
     # events_hourly_robust_anomalies, part_pagerank,
     # temperature_sample_documents, events_daily_rollup_incremental,

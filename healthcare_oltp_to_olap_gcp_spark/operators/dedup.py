@@ -1523,3 +1523,50 @@ def dup_source_matrix(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
             F.sum("_jd").cast("double") / F.count("*"), 6
         ).alias("avg_jaccard"),
     )
+
+
+def split_leakage_report(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Train/val/test contamination audit: verified near-dup pairs
+    crosstabbed by the SPLIT of each endpoint — the leakage check every
+    training pipeline must run after splitting (a val/test doc with a
+    train-side near-duplicate inflates eval; C4/GPT-style dedup papers
+    report exactly this cross-split dup mass). One row per unordered
+    split pair with the pair count, exact mean Jaccard, and a
+    ``leaky`` flag (endpoints in different splits).
+
+    Composes two independently-oracled stages —
+    ``minhash_lsh_dup_pairs`` (≡ exact Jaccard at the threshold) ×
+    ``split_assignments`` (pure column math, zero shuffle) — so the
+    whole report keeps a value-hash oracle. The split table is a
+    narrow (doc_id, split) projection; both joins ride the
+    dup-density-bounded pair list. The production fix for a leaky
+    report is upstream (content-hash splitting or cross-split dedup —
+    ``dedup_incremental``'s shape with the train side as the index);
+    this op is the measurement."""
+    pairs = minhash_lsh_dup_pairs(docs, threshold)
+    sp = split_assignments(docs)
+    labeled = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("_pa")),
+            "doc_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("_pb")),
+            "doc_b",
+        )
+        .select(
+            F.least("_pa", "_pb").alias("split_a"),
+            F.greatest("_pa", "_pb").alias("split_b"),
+            F.col("jaccard").cast("decimal(18,8)").alias("_jd"),
+        )
+    )
+    return (
+        labeled.groupBy("split_a", "split_b")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.sum("_jd").cast("double") / F.count("*"), 6).alias(
+                "avg_jaccard"
+            ),
+        )
+        .withColumn("leaky", F.col("split_a") != F.col("split_b"))
+    )

@@ -3812,3 +3812,23 @@ kc_reach(src, dst) AS (
 )
 SELECT src AS vec_id, MIN(dst) AS component FROM kc_reach GROUP BY src
 """
+
+# Cross-split near-dup leakage (operators/dedup.split_leakage_report):
+# exact-Jaccard pairs × the integer-threshold split oracle — the
+# dup_source_matrix shape keyed by split, plus the leaky flag.
+ORACLE_SQL["split_leakage_report"] = f"""
+WITH pairs AS ({ORACLE_SQL["minhash_lsh_dup_pairs"]}),
+sp AS ({_split_oracle()}),
+lab AS (
+  SELECT least(pa.split, pb.split) AS split_a,
+         greatest(pa.split, pb.split) AS split_b,
+         CAST(p.jaccard AS DECIMAL(18,8)) AS jd
+  FROM pairs p
+  JOIN sp pa ON p.doc_a = pa.doc_id
+  JOIN sp pb ON p.doc_b = pb.doc_id
+)
+SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  ROUND(CAST(SUM(jd) AS DOUBLE) / COUNT(*), 6) AS avg_jaccard,
+  split_a <> split_b AS leaky
+FROM lab GROUP BY 1, 2
+"""

@@ -715,3 +715,22 @@ def test_quality_auc_hand_case(spark):
     assert out["quality_logit"].auc == 1.0
     # punct_ratio is anti-correlated by construction
     assert out["punct_ratio"].auc == 0.0
+
+
+def test_split_leakage_flags_cross_split_pairs(spark):
+    """Two exact-dup docs forced into known splits must show up as one
+    pair whose leaky flag equals (their splits differ); the report's
+    split labels must agree with split_assignments."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import dedup
+
+    base = " ".join(f"w{i}" for i in range(20))
+    other = " ".join(f"x{i}" for i in range(20))
+    docs = _docs(spark, [base, base, other])
+    sp = {r.doc_id: r.split for r in dedup.split_assignments(docs).collect()}
+    rows = dedup.split_leakage_report(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_pairs == 1 and r.avg_jaccard == 1.0
+    expect = tuple(sorted((sp[0], sp[1])))
+    assert (r.split_a, r.split_b) == expect
+    assert r.leaky == (sp[0] != sp[1])

@@ -133,6 +133,7 @@ SF01_KEYS = [
     "bm25_dfcap_topk",
     "dedup_incremental",
     "dup_source_matrix",
+    "split_leakage_report",
     "quality_auc_report",
     "centroid_auc_report",
     "ivf_probe_sweep",
