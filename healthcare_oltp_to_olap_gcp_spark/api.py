@@ -564,6 +564,12 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_leakage_report": lambda s, d: dedup.split_leakage_report(
         table(s, d, "documents")
     ),
+    "docs_ngram_novelty": lambda s, d: dedup.docs_ngram_novelty(
+        table(s, d, "documents")
+    ),
+    "quality_signal_corr": lambda s, d: textquality.quality_signal_corr(
+        table(s, d, "documents")
+    ),
     "quality_auc_report": lambda s, d: textquality.quality_auc_report(
         table(s, d, "documents")
     ),
@@ -619,6 +625,8 @@ _PRIORITY = [
     "dedup_incremental",
     "dup_source_matrix",
     "split_leakage_report",
+    "docs_ngram_novelty",
+    "quality_signal_corr",
     "quality_auc_report",
     "centroid_auc_report",
     "ivf_probe_sweep",
@@ -668,10 +676,9 @@ _PRIORITY = [
     "embedding_neardup_lsh_pairs",
     "asof_last_view_before_purchase",
     "asof_pandas_last_view",
-    "asof_generic_last_view",
-    "sessionize",
-    # events_debounce, q21_waiting_suppliers, clean_documents_keep_best
-    # and curated_documents also displaced (green r4);
+    # asof_generic_last_view, sessionize, events_debounce,
+    # q21_waiting_suppliers, clean_documents_keep_best and
+    # curated_documents also displaced (green r4);
     # docs_dedup_report, docs_bigram_perplexity,
     # events_hourly_robust_anomalies, part_pagerank,
     # temperature_sample_documents, events_daily_rollup_incremental,

@@ -1570,3 +1570,44 @@ def split_leakage_report(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
         )
         .withColumn("leaky", F.col("split_a") != F.col("split_b"))
     )
+
+
+def docs_ngram_novelty(docs: DataFrame) -> DataFrame:
+    """Crawl-saturation metric: per document, the fraction of its
+    distinct word shingles appearing for the FIRST time in doc_id
+    order (first occurrence = smallest doc_id) — the novelty curve a
+    crawl pipeline watches to decide when another snapshot stops
+    adding information (novelty → 0 as the frontier saturates; C4-era
+    crawl reports plot exactly this). Docs shorter than the shingle
+    width drop out (no shingles ⇒ no novelty denominator), matching
+    every shingle-family operator.
+
+    Shape: the denominator is per-row (size of the shingle-hash set —
+    zero shuffle) and the numerator NEVER joins back to the gram
+    stream: the first-occurrence map (gram-hash → min doc_id) is
+    immediately re-aggregated BY its winning doc_id, so the two
+    shuffles carry (8-byte hash, id) pairs map-side combined and the
+    final join is per-doc count rows only. A first formulation that
+    joined the first-occurrence map back onto the exploded string
+    grams measured 29s at sf0.1 vs 1-2s for this one. At production
+    scale the first-occurrence map is the artifact you materialize
+    once and maintain incrementally, exactly like
+    ``dedup_incremental``'s band index. Gram identity uses the
+    package's 64-bit shingle hashes (collision odds as documented on
+    ``doc_shingle_hashes``)."""
+    sh = doc_shingle_hashes(docs)
+    base = sh.select("doc_id", F.size("hs").cast("long").alias("n_grams"))
+    ex = sh.select("doc_id", F.explode("hs").alias("g"))
+    first = ex.groupBy("g").agg(F.min("doc_id").alias("doc_id"))
+    nov = first.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_novel")
+    )
+    return base.join(nov, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        F.round(
+            F.coalesce("n_novel", F.lit(0)) / F.col("n_grams").cast("double"),
+            6,
+        ).alias("novelty"),
+    )

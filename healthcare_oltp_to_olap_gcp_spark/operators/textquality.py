@@ -1527,3 +1527,70 @@ def quality_auc_report(docs: DataFrame) -> DataFrame:
             ),
         ).alias("auc"),
     )
+
+
+CORR_SIGNALS = ("n_tokens", "punct_ratio", "stopword_ratio", "avg_token_len")
+
+
+def quality_signal_corr(docs: DataFrame) -> DataFrame:
+    """Exact Pearson correlation matrix over the per-document quality
+    signals (the profiling step before feeding them to a filter model:
+    two signals at |r| ≈ 1 are one feature, a signal uncorrelated with
+    everything may be noise). One row per unordered signal pair with
+    the pairwise-complete n and r.
+
+    Determinism: per-row values and products are ROUNDED then summed
+    as exact DECIMAL(38,8) (the ``token_zipf_fit`` convention —
+    order- and partitioning-independent under any shuffle), and the
+    closed-form r runs once per pair on the 6-row aggregate in an
+    operation order mirrored by the oracle. Scale shape: one
+    zero-shuffle signal scan, a 6-way struct explode (constant
+    factor), one map-side-combined aggregation to SIX rows — no
+    window, no join, corpus-linear."""
+    from itertools import combinations
+
+    q = quality_scores(docs)
+    entries = [
+        F.struct(
+            F.lit(a).alias("sig_a"),
+            F.lit(b).alias("sig_b"),
+            F.col(a).cast("double").alias("x"),
+            F.col(b).cast("double").alias("y"),
+        )
+        for a, b in combinations(CORR_SIGNALS, 2)
+    ]
+    e = (
+        q.select(F.explode(F.array(*entries)).alias("p"))
+        .select("p.*")
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    pts = e.select(
+        "sig_a",
+        "sig_b",
+        F.round(F.col("x"), 8).cast("decimal(38,8)").alias("x"),
+        F.round(F.col("y"), 8).cast("decimal(38,8)").alias("y"),
+        F.round(F.col("x") * F.col("y"), 8).cast("decimal(38,8)").alias("xy"),
+        F.round(F.col("x") * F.col("x"), 8).cast("decimal(38,8)").alias("xx"),
+        F.round(F.col("y") * F.col("y"), 8).cast("decimal(38,8)").alias("yy"),
+    )
+    agg = pts.groupBy("sig_a", "sig_b").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("yy").cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "sig_a",
+        "sig_b",
+        "n",
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.round(cov / F.sqrt(varx * vary), 6),
+        ).alias("corr"),
+    )

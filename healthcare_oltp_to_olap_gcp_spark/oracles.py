@@ -3832,3 +3832,66 @@ SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
   split_a <> split_b AS leaky
 FROM lab GROUP BY 1, 2
 """
+
+# Crawl-saturation novelty (operators/dedup.docs_ngram_novelty):
+# first-occurrence = MIN(doc_id) per shingle, per-doc novel fraction.
+ORACLE_SQL["docs_ngram_novelty"] = f"""
+WITH {SHINGLES_CTE},
+ex AS (SELECT doc_id, unnest(s) AS g FROM shf),
+fo AS (SELECT g, MIN(doc_id) AS fd FROM ex GROUP BY 1),
+nov AS (SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+        FROM fo GROUP BY 1),
+base AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_grams FROM shf)
+SELECT b.doc_id, b.n_grams,
+  COALESCE(n.n_novel, 0) AS n_novel,
+  ROUND(COALESCE(n.n_novel, 0) / CAST(b.n_grams AS DOUBLE), 6) AS novelty
+FROM base b LEFT JOIN nov n USING (doc_id)
+"""
+
+# Quality-signal correlation matrix (operators/textquality.
+# quality_signal_corr): rounded per-row products summed as exact
+# DECIMAL(38,8), closed-form Pearson in the token_zipf_fit operation
+# order.
+from itertools import combinations as _combos_  # noqa: E402
+
+from .operators.textquality import CORR_SIGNALS as _CORR_SIGS_  # noqa: E402
+
+_CORR_PAIRS_SQL = "\n  UNION ALL ".join(
+    f"SELECT '{a}' AS sig_a, '{b}' AS sig_b, "
+    f"CAST({a} AS DOUBLE) AS x, CAST({b} AS DOUBLE) AS y FROM qbase"
+    for a, b in _combos_(_CORR_SIGS_, 2)
+)
+
+ORACLE_SQL["quality_signal_corr"] = f"""
+WITH qbase AS (
+  SELECT n_tokens, punct_ratio, stopword_ratio, avg_token_len
+  FROM ({ORACLE_SQL["docs_quality"]})
+),
+pairs AS (
+  {_CORR_PAIRS_SQL}
+),
+pts AS (
+  SELECT sig_a, sig_b,
+    CAST(ROUND(x, 8) AS DECIMAL(38,8)) AS x,
+    CAST(ROUND(y, 8) AS DECIMAL(38,8)) AS y,
+    CAST(ROUND(x * y, 8) AS DECIMAL(38,8)) AS xy,
+    CAST(ROUND(x * x, 8) AS DECIMAL(38,8)) AS xx,
+    CAST(ROUND(y * y, 8) AS DECIMAL(38,8)) AS yy
+  FROM pairs WHERE x IS NOT NULL AND y IS NOT NULL
+),
+agg AS (
+  SELECT sig_a, sig_b, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+    CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx,
+    CAST(SUM(yy) AS DOUBLE) AS syy
+  FROM pts GROUP BY 1, 2
+)
+SELECT sig_a, sig_b, n,
+  CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+        AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0 THEN
+    ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+          / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                 * (CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+  END AS corr
+FROM agg
+"""

@@ -734,3 +734,46 @@ def test_split_leakage_flags_cross_split_pairs(spark):
     expect = tuple(sorted((sp[0], sp[1])))
     assert (r.split_a, r.split_b) == expect
     assert r.leaky == (sp[0] != sp[1])
+
+
+def test_ngram_novelty_first_occurrence_order(spark):
+    """Doc 0 is all-novel by definition; an exact copy later has zero
+    novelty; a half-overlapping doc scores the fraction of its grams
+    not seen before."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import dedup
+
+    a = " ".join(f"w{i}" for i in range(10))       # 8 shingles, all novel
+    b = a                                          # copy → novelty 0
+    c = " ".join(f"w{i}" for i in range(5, 15))    # back half novel
+    out = {
+        r.doc_id: r for r in dedup.docs_ngram_novelty(
+            _docs(spark, [a, b, c])
+        ).collect()
+    }
+    assert out[0].novelty == 1.0 and out[0].n_grams == 8
+    assert out[1].novelty == 0.0
+    # c's shingles w5..w12: those fully inside w5..w9 (w5 w6 w7, w6 w7 w8,
+    # w7 w8 w9) already occurred in doc 0; the other 5 are new
+    assert out[2].n_grams == 8 and out[2].n_novel == 5
+    assert out[2].novelty == round(5 / 8, 6)
+
+
+def test_quality_signal_corr_perfect_and_bounded(spark):
+    """corr(n_tokens, n_tokens-proxy) sanity: all pairs emitted once,
+    |r| ≤ 1, and a corpus where avg_token_len is constant yields NULL
+    (zero variance) for its pairs."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import textquality
+
+    # constant token length (all tokens 2 chars) → avg_token_len variance 0
+    rows = [" ".join(["ab"] * n) for n in (2, 4, 8, 16)]
+    out = {
+        (r.sig_a, r.sig_b): r
+        for r in textquality.quality_signal_corr(_docs(spark, rows)).collect()
+    }
+    from itertools import combinations
+
+    assert set(out) == set(combinations(textquality.CORR_SIGNALS, 2))
+    for r in out.values():
+        assert r.corr is None or -1.0 <= r.corr <= 1.0
+    assert out[("n_tokens", "avg_token_len")].corr is None
+    assert out[("punct_ratio", "avg_token_len")].corr is None

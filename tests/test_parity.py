@@ -134,6 +134,8 @@ SF01_KEYS = [
     "dedup_incremental",
     "dup_source_matrix",
     "split_leakage_report",
+    "docs_ngram_novelty",
+    "quality_signal_corr",
     "quality_auc_report",
     "centroid_auc_report",
     "ivf_probe_sweep",

@@ -90,6 +90,8 @@ PROBES = {
     "dedup_incremental": {"documents": ["doc_id"]},
     "dup_source_matrix": {"documents": ["doc_id"]},
     "split_leakage_report": {"documents": ["doc_id"]},
+    "docs_ngram_novelty": {"documents": ["doc_id"]},
+    "quality_signal_corr": {"documents": ["doc_id"]},
     "quality_auc_report": {"documents": ["doc_id"]},
     "centroid_auc_report": {"embeddings": ["vec_id"]},
     "ivf_probe_sweep": {"embeddings": ["vec_id"]},
