@@ -123,6 +123,9 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": lambda s, d: multimodal.frame_sample(
         multimodal.attach_payload(table(s, d, "documents"))
     ),
+    "multimodal_audio_energy": lambda s, d: multimodal.audio_window_energy(
+        multimodal.attach_payload(table(s, d, "documents"))
+    ),
     "winnow_fingerprint": lambda s, d: textquality.winnow_fingerprints(
         table(s, d, "documents")
     ),
@@ -629,6 +632,7 @@ _PRIORITY = [
     "quality_signal_corr",
     "quality_auc_report",
     "centroid_auc_report",
+    "multimodal_audio_energy",
     "ivf_probe_sweep",
     "knn_graph_components",
     "bm25_topk",
@@ -675,8 +679,8 @@ _PRIORITY = [
     "ngram_containment_pairs",
     "embedding_neardup_lsh_pairs",
     "asof_last_view_before_purchase",
-    "asof_pandas_last_view",
-    # asof_generic_last_view, sessionize, events_debounce,
+    # asof_pandas_last_view, asof_generic_last_view, sessionize,
+    # events_debounce,
     # q21_waiting_suppliers, clean_documents_keep_best and
     # curated_documents also displaced (green r4);
     # docs_dedup_report, docs_bigram_perplexity,

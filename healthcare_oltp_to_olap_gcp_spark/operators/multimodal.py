@@ -142,3 +142,78 @@ def decode_features(with_payload: DataFrame) -> DataFrame:
             )
 
     return with_payload.select("doc_id", "payload").mapInPandas(gen, FRAME_SCHEMA)
+
+
+AUDIO_WIN = 64  # samples per analysis window
+AUDIO_HOP = 32  # hop (50% overlap — the standard audio framing)
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("win_idx", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("energy", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def audio_window_energy(
+    with_payload: DataFrame, win: int = AUDIO_WIN, hop: int = AUDIO_HOP
+) -> DataFrame:
+    """Audio feature-extraction plumbing: the binary payload is decoded
+    as unsigned 8-bit PCM (the environment's stand-in for a real
+    pcm/flac decoder — same documented-stub convention as
+    ``decode_image``) and framed into overlapping analysis windows;
+    per window the operator emits the classic cheap features a speech/
+    music curation pass filters on — absolute energy, sum of squares
+    (RMS numerator) and zero-crossing count — as EXACT integers, so
+    unlike a float RMS the whole frame table is value-hash-oracled.
+
+    Shape: a one-to-many Arrow-batched ``mapInPandas`` (one payload →
+    ~n/hop window rows) with numpy-vectorized window math inside the
+    batch — the real audio batch shape; the binary never leaves its
+    partition and nothing shuffles. Window w covers samples
+    [w·hop, w·hop+win) truncated at the payload end."""
+    import numpy as np
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = (
+                    np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    - 128
+                )
+                n = len(s)
+                for start in range(0, n, hop):
+                    w = s[start : start + win]
+                    sign = w >= 0
+                    rows.append(
+                        (
+                            doc_id,
+                            start // hop,
+                            len(w),
+                            int(np.abs(w).sum()),
+                            int((w * w).sum()),
+                            int((sign[1:] != sign[:-1]).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "win_idx",
+                    "n_samples",
+                    "energy",
+                    "sum_sq",
+                    "zero_crossings",
+                ],
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        gen, AUDIO_SCHEMA
+    )

@@ -3895,3 +3895,44 @@ SELECT sig_a, sig_b, n,
   END AS corr
 FROM agg
 """
+
+# Audio window features (operators/multimodal.audio_window_energy):
+# unsigned-8-bit PCM decode from the payload hex, windows of
+# AUDIO_WIN samples every AUDIO_HOP, exact-integer energy / sum of
+# squares / zero crossings — value-hash parity despite the Pandas-UDF
+# execution path.
+from .operators.multimodal import (  # noqa: E402
+    AUDIO_HOP as _AHOP_,
+    AUDIO_WIN as _AWIN_,
+)
+
+ORACLE_SQL["multimodal_audio_energy"] = f"""
+WITH d AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+w AS (
+  SELECT doc_id, hx, n,
+         unnest(range(0, CAST(n AS BIGINT), {_AHOP_})) AS start
+  FROM d WHERE n > 0
+),
+s AS (
+  SELECT doc_id, CAST(start // {_AHOP_} AS BIGINT) AS win_idx,
+    list_transform(range(CAST(start AS INT),
+                         CAST(least(start + {_AWIN_}, n) AS INT)),
+      i -> ('0x' || substr(hx, i * 2 + 1, 2))::BIGINT - 128) AS smp
+  FROM w
+)
+SELECT doc_id, win_idx,
+  CAST(len(smp) AS BIGINT) AS n_samples,
+  CAST(list_aggregate(list_transform(smp, x -> abs(x)), 'sum') AS BIGINT)
+    AS energy,
+  CAST(list_aggregate(list_transform(smp, x -> x * x), 'sum') AS BIGINT)
+    AS sum_sq,
+  CAST(COALESCE(list_aggregate(
+    list_transform(range(1, len(smp)),
+      j -> CASE WHEN (smp[j + 1] >= 0) <> (smp[j] >= 0)
+           THEN 1 ELSE 0 END), 'sum'), 0) AS BIGINT) AS zero_crossings
+FROM s
+"""

@@ -749,3 +749,31 @@ def test_knn_graph_components_consistent_with_mutual_edges(spark):
         members.setdefault(c, []).append(v)
     for c, vs in members.items():
         assert c == min(vs)
+
+
+def test_audio_window_energy_hand_case(spark):
+    """Known byte payloads: 'a'*70 gives three overlapping windows of
+    64/38/6 samples, all at amplitude -31; 'a\xc3\x84' ('aÄ' utf-8)
+    crosses zero once between samples 0 and 1."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(0, "a" * 70, "en", "src", 70), (1, "aÄ", "en", "src", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = multimodal.audio_window_energy(
+        multimodal.attach_payload(docs)
+    ).collect()
+    by = {(r.doc_id, r.win_idx): r for r in rows}
+    assert {(0, 0), (0, 1), (0, 2), (1, 0)} == set(by)
+    assert (by[(0, 0)].n_samples, by[(0, 0)].energy) == (64, 64 * 31)
+    assert (by[(0, 1)].n_samples, by[(0, 1)].energy) == (38, 38 * 31)
+    assert (by[(0, 2)].n_samples, by[(0, 2)].energy) == (6, 6 * 31)
+    assert by[(0, 0)].sum_sq == 64 * 31 * 31
+    assert by[(0, 0)].zero_crossings == 0
+    # 'aÄ' bytes: 0x61, 0xC3, 0x84 → samples -31, 67, 4
+    r = by[(1, 0)]
+    assert r.n_samples == 3
+    assert r.energy == 31 + 67 + 4
+    assert r.sum_sq == 31 * 31 + 67 * 67 + 4 * 4
+    assert r.zero_crossings == 1

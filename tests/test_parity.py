@@ -136,6 +136,7 @@ SF01_KEYS = [
     "split_leakage_report",
     "docs_ngram_novelty",
     "quality_signal_corr",
+    "multimodal_audio_energy",
     "quality_auc_report",
     "centroid_auc_report",
     "ivf_probe_sweep",

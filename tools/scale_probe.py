@@ -92,6 +92,7 @@ PROBES = {
     "split_leakage_report": {"documents": ["doc_id"]},
     "docs_ngram_novelty": {"documents": ["doc_id"]},
     "quality_signal_corr": {"documents": ["doc_id"]},
+    "multimodal_audio_energy": {"documents": ["doc_id"]},
     "quality_auc_report": {"documents": ["doc_id"]},
     "centroid_auc_report": {"embeddings": ["vec_id"]},
     "ivf_probe_sweep": {"embeddings": ["vec_id"]},
