@@ -79,6 +79,9 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Priority block A — driver-unchecked in round 1 (30)
     # =========================================================
     "sessionize": lambda s, d: sessionize.sessionize(table(s, d, "events")),
+    "session_paths_topk": lambda s, d: sessionize.session_paths_topk(
+        table(s, d, "events")
+    ),
     "session_window_agg": lambda s, d: sessionize.session_window_agg(
         table(s, d, "events")
     ),
@@ -633,6 +636,7 @@ _PRIORITY = [
     "quality_auc_report",
     "centroid_auc_report",
     "multimodal_audio_energy",
+    "session_paths_topk",
     "ivf_probe_sweep",
     "knn_graph_components",
     "bm25_topk",
@@ -678,7 +682,7 @@ _PRIORITY = [
     "ngram_dup_pairs",
     "ngram_containment_pairs",
     "embedding_neardup_lsh_pairs",
-    "asof_last_view_before_purchase",
+    # asof_last_view_before_purchase,
     # asof_pandas_last_view, asof_generic_last_view, sessionize,
     # events_debounce,
     # q21_waiting_suppliers, clean_documents_keep_best and

@@ -98,3 +98,62 @@ def events_debounce(events: DataFrame, gap_us: int = DEBOUNCE_GAP_US) -> DataFra
         .filter(F.col("_nb") == 1)
         .select("event_id", "ts", "user_id", "event_type", "value", "burst_idx")
     )
+
+
+SESSION_PATH_K = 20
+
+
+def session_paths_topk(
+    events: DataFrame, gap_us: int = DEFAULT_GAP_US, k: int = SESSION_PATH_K
+) -> DataFrame:
+    """Top-k session PATHS: the most frequent ordered event-type
+    sequences across gap-sessions (the journey/funnel-discovery query
+    behind "what do users actually do before purchasing") — one row
+    per path with session count, distinct-user count, and rank.
+
+    Shape: ``sessionize``'s island detection verbatim (one shuffle on
+    user_id serves the lag, the running sum AND the per-session
+    rollup), the path assembled per session from a sort_array'd
+    (ts_us, event_id, type) struct list — bounded by session length,
+    ordered by the package's exact (ts, event_id) total order so the
+    string is partitioning-independent; the path frequency table is a
+    map-side-combined aggregation and the cut is TakeOrdered
+    (orderBy+limit → per-partition heaps, never a global sort), with
+    the rank window running over k rows only."""
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    ts_us = F.unix_micros("ts")
+    new_session = F.when(
+        F.lag(ts_us).over(w).isNull() | (ts_us - F.lag(ts_us).over(w) > gap_us),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = events.withColumn(
+        "session_idx", F.sum(new_session).over(run).cast("long")
+    )
+    paths = sess.groupBy("user_id", "session_idx").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.unix_micros("ts").alias("tu"),
+                            F.col("event_id").alias("eid"),
+                            F.col("event_type").alias("et"),
+                        )
+                    )
+                ),
+                lambda s: s["et"],
+            ),
+        ).alias("path")
+    )
+    agg = paths.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    top = agg.orderBy(F.col("n_sessions").desc(), "path").limit(k)
+    wr = Window.orderBy(F.col("n_sessions").desc(), "path")
+    return top.withColumn("rank", F.row_number().over(wr).cast("long"))

@@ -3936,3 +3936,44 @@ SELECT doc_id, win_idx,
            THEN 1 ELSE 0 END), 'sum'), 0) AS BIGINT) AS zero_crossings
 FROM s
 """
+
+# Top-k session paths (operators/sessionize.session_paths_topk): the
+# sessionize island SQL + ordered string_agg, identical (n desc, path)
+# cut and rank.
+from .operators.sessionize import (  # noqa: E402
+    DEFAULT_GAP_US as _SPGAP_,
+    SESSION_PATH_K as _SPK_,
+)
+
+ORACLE_SQL["session_paths_topk"] = f"""
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tu, event_type FROM events
+),
+lagd AS (
+  SELECT *, CASE WHEN lag(tu) OVER w IS NULL
+                   OR tu - lag(tu) OVER w > {_SPGAP_}
+            THEN 1 ELSE 0 END AS ns
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+),
+sess AS (
+  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY tu, event_id
+    ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM lagd
+),
+paths AS (
+  SELECT user_id, session_idx,
+    string_agg(event_type, '>' ORDER BY tu, event_id) AS path
+  FROM sess GROUP BY 1, 2
+),
+agg AS (
+  SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM paths GROUP BY 1
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path) AS rank
+  FROM agg
+)
+SELECT path, n_sessions, n_users, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {_SPK_}
+"""

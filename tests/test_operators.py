@@ -777,3 +777,33 @@ def test_audio_window_energy_hand_case(spark):
     assert r.energy == 31 + 67 + 4
     assert r.sum_sq == 31 * 31 + 67 * 67 + 4 * 4
     assert r.zero_crossings == 1
+
+
+def test_session_paths_hand_case(spark):
+    """Two users with the same view>purchase session plus one solo
+    view session: the shared path ranks first with n_users = 2."""
+    import datetime as dt
+
+    from healthcare_oltp_to_olap_gcp_spark.operators import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    h = dt.timedelta(hours=2)
+    rows = [
+        (1, t0, 10, "view", 1.0, "{}"),
+        (2, t0 + m, 10, "purchase", 5.0, "{}"),
+        (3, t0, 20, "view", 1.0, "{}"),
+        (4, t0 + m, 20, "purchase", 5.0, "{}"),
+        (5, t0 + h, 10, "view", 1.0, "{}"),  # new session (gap > 30 min)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = sessionize.session_paths_topk(events).collect()
+    by = {r.path: r for r in out}
+    assert by["view>purchase"].n_sessions == 2
+    assert by["view>purchase"].n_users == 2
+    assert by["view>purchase"].rank == 1
+    assert by["view"].n_sessions == 1 and by["view"].n_users == 1

@@ -137,6 +137,7 @@ SF01_KEYS = [
     "docs_ngram_novelty",
     "quality_signal_corr",
     "multimodal_audio_energy",
+    "session_paths_topk",
     "quality_auc_report",
     "centroid_auc_report",
     "ivf_probe_sweep",
