@@ -30,6 +30,13 @@ SENSITIVE = [
     # cut; cell argmax + dominated-by-any keeper tie-breaks
     "dsir_sample_documents",
     "semdedup_embeddings",
+    # late round-5: DECIMAL product sums; decimal mean Jaccard; path
+    # assembly from collect_list + top-k cut; decimal centroids + bin
+    # cumsum window
+    "quality_signal_corr",
+    "dup_source_matrix",
+    "session_paths_topk",
+    "centroid_auc_report",
 ]
 
 _TABLE_FOR = {
@@ -42,6 +49,10 @@ _TABLE_FOR = {
     "value_percentiles": "events",
     "dsir_sample_documents": "documents",
     "semdedup_embeddings": "embeddings",
+    "quality_signal_corr": "documents",
+    "dup_source_matrix": "documents",
+    "session_paths_topk": "events",
+    "centroid_auc_report": "embeddings",
 }
 
 
