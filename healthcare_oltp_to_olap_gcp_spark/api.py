@@ -576,6 +576,9 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_signal_corr": lambda s, d: textquality.quality_signal_corr(
         table(s, d, "documents")
     ),
+    "vocab_growth_fit": lambda s, d: textquality.vocab_growth_fit(
+        table(s, d, "documents")
+    ),
     "quality_auc_report": lambda s, d: textquality.quality_auc_report(
         table(s, d, "documents")
     ),
@@ -637,6 +640,7 @@ _PRIORITY = [
     "centroid_auc_report",
     "multimodal_audio_energy",
     "session_paths_topk",
+    "vocab_growth_fit",
     "ivf_probe_sweep",
     "knn_graph_components",
     "bm25_topk",
@@ -681,8 +685,7 @@ _PRIORITY = [
     "clean_documents",
     "ngram_dup_pairs",
     "ngram_containment_pairs",
-    "embedding_neardup_lsh_pairs",
-    # asof_last_view_before_purchase,
+    # embedding_neardup_lsh_pairs, asof_last_view_before_purchase,
     # asof_pandas_last_view, asof_generic_last_view, sessionize,
     # events_debounce,
     # q21_waiting_suppliers, clean_documents_keep_best and

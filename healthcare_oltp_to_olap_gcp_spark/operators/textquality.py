@@ -1594,3 +1594,86 @@ def quality_signal_corr(docs: DataFrame) -> DataFrame:
             F.round(cov / F.sqrt(varx * vary), 6),
         ).alias("corr"),
     )
+
+
+VOCAB_BUCKET_DOCS = 50  # doc_id bucket width for the growth checkpoints
+
+
+def vocab_growth_fit(docs: DataFrame, bucket: int = VOCAB_BUCKET_DOCS) -> DataFrame:
+    """Heaps'-law fit — the companion of ``token_zipf_fit``: distinct
+    vocabulary V grows ≈ K·nᵝ with corpus tokens n (natural text sits
+    near β ≈ 0.4-0.6; a templated or looped corpus flattens early).
+    The measured growth curve also answers "is another crawl snapshot
+    still adding vocabulary" — the token-level twin of
+    ``docs_ngram_novelty``'s document-level novelty.
+
+    The curve is sampled at doc_id-BUCKET checkpoints, never per doc:
+    each term is attributed to the bucket of its FIRST occurrence
+    (min doc_id — one map-side-combined aggregation, the same
+    first-occurrence map discipline as the novelty operator), token
+    counts roll up per bucket, and the cumulative window + the log-log
+    OLS run over the bucket table only. With the deploy convention
+    bucket ∝ corpus/1024 the checkpoint table is bounded, so the one
+    ordered window never sees data-scale rows (the raw per-doc
+    formulation would drag every doc through a single-partition
+    window). Log-log points are rounded then summed as exact DECIMAL
+    (zipf-fit convention); output is ONE row: n_points, heaps_k,
+    heaps_beta, r2."""
+    from pyspark.sql import Window
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    tok = docs.repartition(par).select(
+        (F.col("doc_id") / bucket).cast("long").alias("b"),
+        F.col("doc_id"),
+        F.explode(tokens("text")).alias("term"),
+    )
+    toks_per_bucket = tok.groupBy("b").agg(
+        F.count("*").alias("n_tok")
+    )
+    first = tok.groupBy("term").agg(F.min("doc_id").alias("_fd"))
+    new_per_bucket = first.groupBy(
+        (F.col("_fd") / bucket).cast("long").alias("b")
+    ).agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    pts0 = (
+        toks_per_bucket.join(new_per_bucket, "b", "left")
+        .select("b", "n_tok", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+        .select(
+            "b",
+            F.sum("n_tok").over(w).alias("cum_tok"),
+            F.sum("n_new").over(w).alias("cum_vocab"),
+        )
+        .filter((F.col("cum_tok") > 0) & (F.col("cum_vocab") > 0))
+    )
+    lx = F.log(F.col("cum_tok").cast("double"))
+    ly = F.log(F.col("cum_vocab").cast("double"))
+    pts = pts0.select(
+        F.round(lx, 8).cast("decimal(18,8)").alias("x"),
+        F.round(ly, 8).cast("decimal(18,8)").alias("y"),
+        F.round(lx * ly, 8).cast("decimal(18,8)").alias("xy"),
+        F.round(lx * lx, 8).cast("decimal(18,8)").alias("xx"),
+        F.round(ly * ly, 8).cast("decimal(18,8)").alias("yy"),
+    )
+    agg = pts.agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("yy").cast("double").alias("syy"),
+    )
+    n = F.col("n_points").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return agg.select(
+        "n_points",
+        F.when(
+            varx > 0, F.round(F.exp((F.col("sy") - slope * F.col("sx")) / n), 6)
+        ).alias("heaps_k"),
+        F.when(varx > 0, F.round(slope, 6)).alias("heaps_beta"),
+        F.when(
+            (varx > 0) & (vary > 0), F.round((cov * cov) / (varx * vary), 6)
+        ).alias("r2"),
+    )

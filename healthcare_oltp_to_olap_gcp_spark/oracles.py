@@ -3977,3 +3977,62 @@ r AS (
 SELECT path, n_sessions, n_users, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {_SPK_}
 """
+
+# Heaps'-law vocabulary growth fit (operators/textquality.
+# vocab_growth_fit): first-occurrence bucket attribution, cumulative
+# window over the bucket table, zipf-convention decimal OLS.
+from .operators.textquality import (  # noqa: E402
+    VOCAB_BUCKET_DOCS as _VGB_,
+)
+
+ORACLE_SQL["vocab_growth_fit"] = f"""
+WITH tok AS (
+  SELECT doc_id // {_VGB_} AS b, doc_id, unnest({TOKS}) AS term
+  FROM documents
+),
+tpb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY 1),
+fst AS (SELECT term, MIN(doc_id) AS fd FROM tok GROUP BY 1),
+npb AS (SELECT fd // {_VGB_} AS b, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM fst GROUP BY 1),
+cum AS (
+  SELECT t.b,
+    SUM(t.n_tok) OVER (ORDER BY t.b ROWS UNBOUNDED PRECEDING) AS cum_tok,
+    SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY t.b ROWS UNBOUNDED PRECEDING)
+      AS cum_vocab
+  FROM tpb t LEFT JOIN npb n USING (b)
+),
+pts AS (
+  SELECT
+    CAST(ROUND(ln(CAST(cum_tok AS DOUBLE)), 8) AS DECIMAL(18,8)) AS x,
+    CAST(ROUND(ln(CAST(cum_vocab AS DOUBLE)), 8) AS DECIMAL(18,8)) AS y,
+    CAST(ROUND(ln(CAST(cum_tok AS DOUBLE))
+               * ln(CAST(cum_vocab AS DOUBLE)), 8) AS DECIMAL(18,8)) AS xy,
+    CAST(ROUND(ln(CAST(cum_tok AS DOUBLE))
+               * ln(CAST(cum_tok AS DOUBLE)), 8) AS DECIMAL(18,8)) AS xx,
+    CAST(ROUND(ln(CAST(cum_vocab AS DOUBLE))
+               * ln(CAST(cum_vocab AS DOUBLE)), 8) AS DECIMAL(18,8)) AS yy
+  FROM cum WHERE cum_tok > 0 AND cum_vocab > 0
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+    CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx,
+    CAST(SUM(yy) AS DOUBLE) AS syy
+  FROM pts
+)
+SELECT n_points,
+  CASE WHEN (CAST(n_points AS DOUBLE) * sxx - sx * sx) > 0 THEN
+    ROUND(exp((sy - ((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n_points AS DOUBLE) * sxx - sx * sx)) * sx)
+              / CAST(n_points AS DOUBLE)), 6) END AS heaps_k,
+  CASE WHEN (CAST(n_points AS DOUBLE) * sxx - sx * sx) > 0 THEN
+    ROUND((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+          / (CAST(n_points AS DOUBLE) * sxx - sx * sx), 6) END AS heaps_beta,
+  CASE WHEN (CAST(n_points AS DOUBLE) * sxx - sx * sx) > 0
+        AND (CAST(n_points AS DOUBLE) * syy - sy * sy) > 0 THEN
+    ROUND(((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+           * (CAST(n_points AS DOUBLE) * sxy - sx * sy))
+          / ((CAST(n_points AS DOUBLE) * sxx - sx * sx)
+             * (CAST(n_points AS DOUBLE) * syy - sy * sy)), 6) END AS r2
+FROM agg
+"""

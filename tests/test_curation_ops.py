@@ -777,3 +777,26 @@ def test_quality_signal_corr_perfect_and_bounded(spark):
         assert r.corr is None or -1.0 <= r.corr <= 1.0
     assert out[("n_tokens", "avg_token_len")].corr is None
     assert out[("punct_ratio", "avg_token_len")].corr is None
+
+
+def test_vocab_growth_fit_power_law(spark):
+    """A corpus built to follow V = n^0.5 exactly at every bucket
+    checkpoint must fit beta ~= 0.5 with r2 ~= 1; K ~= 1."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import textquality
+
+    # bucket width 1 doc: doc d brings total tokens to (d+1)^2 and
+    # total vocab to (d+1): tokens in doc d = (d+1)^2 - d^2 = 2d+1,
+    # exactly ONE of them new.
+    rows = []
+    for d in range(12):
+        new = f"t{d}"
+        seen = [f"t{i}" for i in range(d + 1)]
+        toks = [new] + [seen[i % (d + 1)] for i in range(2 * d)]
+        rows.append(" ".join(toks))
+    out = textquality.vocab_growth_fit(_docs(spark, rows), bucket=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_points == 12
+    assert abs(r.heaps_beta - 0.5) < 0.01
+    assert r.r2 > 0.999
+    assert abs(r.heaps_k - 1.0) < 0.05

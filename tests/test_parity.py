@@ -138,6 +138,7 @@ SF01_KEYS = [
     "quality_signal_corr",
     "multimodal_audio_energy",
     "session_paths_topk",
+    "vocab_growth_fit",
     "quality_auc_report",
     "centroid_auc_report",
     "ivf_probe_sweep",
