@@ -594,6 +594,9 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_graph_components": lambda s, d: similarity.knn_graph_components(
         table(s, d, "embeddings")
     ),
+    "embedding_classifier_report": lambda s, d: (
+        similarity.embedding_classifier_report(table(s, d, "embeddings"))
+    ),
     "unimax_sample_documents": lambda s, d: dedup.unimax_sample_documents(
         table(s, d, "documents")
     ),
@@ -641,6 +644,7 @@ _PRIORITY = [
     "multimodal_audio_energy",
     "session_paths_topk",
     "vocab_growth_fit",
+    "embedding_classifier_report",
     "ivf_probe_sweep",
     "knn_graph_components",
     "bm25_topk",
@@ -684,7 +688,7 @@ _PRIORITY = [
     "dedup_components",
     "clean_documents",
     "ngram_dup_pairs",
-    "ngram_containment_pairs",
+    # ngram_containment_pairs,
     # embedding_neardup_lsh_pairs, asof_last_view_before_purchase,
     # asof_pandas_last_view, asof_generic_last_view, sessionize,
     # events_debounce,

@@ -1583,3 +1583,62 @@ def knn_graph_components(
     return dedup_components(None, pairs=mutual).select(
         F.col("doc_id").alias("vec_id"), "component"
     )
+
+
+def embedding_classifier_report(embeddings: DataFrame) -> DataFrame:
+    """Classifier-eval dashboard over the embedding space: accuracy of
+    the two deployed label predictors — the k-NN majority vote
+    (IVF-backed) on the query slice and the nearest-centroid linear
+    classifier on the whole corpus — against the true ``label``
+    column, one row per classifier with n_scored / n_correct /
+    accuracy. The number an embedding-based labeling pipeline watches
+    before trusting propagated labels for curation.
+
+    Pure composition of two independently-oracled predictors joined to
+    the label projection; each branch collapses to ONE row before the
+    union, so the report costs its constituents plus two count
+    aggregates. Exact integer counts + one rounded division keep the
+    value-hash oracle end to end."""
+    truth = embeddings.select(
+        "vec_id", F.col("label").cast("long").alias("true_label")
+    )
+    rows = None
+    preds = (
+        (
+            "knn_vote",
+            knn_label_vote(embeddings).select(
+                F.col("query_id").alias("vec_id"), "pred_label"
+            ),
+        ),
+        (
+            "nearest_centroid",
+            nearest_centroid_assign(embeddings).select("vec_id", "pred_label"),
+        ),
+    )
+    for name, p in preds:
+        row = (
+            p.join(truth, "vec_id")
+            .agg(
+                F.count("*").cast("long").alias("n_scored"),
+                F.sum(
+                    F.when(F.col("pred_label") == F.col("true_label"), 1)
+                    .otherwise(0)
+                )
+                .cast("long")
+                .alias("n_correct"),
+            )
+            .select(
+                F.lit(name).alias("classifier"),
+                "n_scored",
+                "n_correct",
+                F.when(
+                    F.col("n_scored") > 0,
+                    F.round(
+                        F.col("n_correct") / F.col("n_scored").cast("double"),
+                        6,
+                    ),
+                ).alias("accuracy"),
+            )
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

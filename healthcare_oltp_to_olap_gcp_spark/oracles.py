@@ -4036,3 +4036,32 @@ SELECT n_points,
              * (CAST(n_points AS DOUBLE) * syy - sy * sy)), 6) END AS r2
 FROM agg
 """
+
+# Embedding classifier accuracy report (operators/similarity.
+# embedding_classifier_report): both predictors' oracles joined to the
+# true labels, exact counts + one rounded division per row.
+ORACLE_SQL["embedding_classifier_report"] = f"""
+WITH kv AS (SELECT query_id AS vec_id, pred_label
+            FROM ({ORACLE_SQL["knn_label_vote"]})),
+nc AS (SELECT vec_id, pred_label
+       FROM ({ORACLE_SQL["nearest_centroid_assign"]})),
+truth AS (SELECT vec_id, CAST(label AS BIGINT) AS true_label
+          FROM embeddings),
+m AS (
+  SELECT 'knn_vote' AS classifier,
+    CAST(COUNT(*) AS BIGINT) AS n_scored,
+    CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_correct
+  FROM kv JOIN truth USING (vec_id)
+  UNION ALL
+  SELECT 'nearest_centroid',
+    CAST(COUNT(*) AS BIGINT),
+    CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+         AS BIGINT)
+  FROM nc JOIN truth USING (vec_id)
+)
+SELECT classifier, n_scored, n_correct,
+  CASE WHEN n_scored > 0
+       THEN ROUND(n_correct / CAST(n_scored AS DOUBLE), 6) END AS accuracy
+FROM m
+"""

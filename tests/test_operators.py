@@ -807,3 +807,31 @@ def test_session_paths_hand_case(spark):
     assert by["view>purchase"].n_users == 2
     assert by["view>purchase"].rank == 1
     assert by["view"].n_sessions == 1 and by["view"].n_users == 1
+
+
+def test_embedding_classifier_report_consistent(spark):
+    """Report accuracies must equal the recomputed agreement of each
+    constituent predictor with the labels, and the synthetic clustered
+    corpus should classify well above chance."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import similarity
+
+    emb = table(spark, SF001, "embeddings")
+    out = {
+        r.classifier: r
+        for r in similarity.embedding_classifier_report(emb).collect()
+    }
+    assert set(out) == {"knn_vote", "nearest_centroid"}
+    truth = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    kv = {
+        r.query_id: r.pred_label
+        for r in similarity.knn_label_vote(emb).collect()
+    }
+    n_correct = sum(1 for v, p in kv.items() if p == truth[v])
+    assert out["knn_vote"].n_scored == len(kv)
+    assert out["knn_vote"].n_correct == n_correct
+    n_labels = emb.select("label").distinct().count()
+    for r in out.values():
+        assert 0.0 <= r.accuracy <= 1.0
+        # clustered synthetic labels beat uniform chance (1/n_labels);
+        # the tiny sf0.001 query slice keeps this a loose floor
+        assert r.accuracy > 1.0 / n_labels

@@ -139,6 +139,7 @@ SF01_KEYS = [
     "multimodal_audio_energy",
     "session_paths_topk",
     "vocab_growth_fit",
+    "embedding_classifier_report",
     "quality_auc_report",
     "centroid_auc_report",
     "ivf_probe_sweep",

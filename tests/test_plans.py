@@ -241,6 +241,9 @@ _BNLJ_ALLOWED = {
     "embedding_neardup_pairs",
     "ann_topk",
     "knn_label_vote",  # inherits ivf_flat's 16-row centroid cross
+    # reviewed: composes knn_label_vote (ivf_flat centroid cross) and
+    # nearest_centroid_assign (one-row struct-array cross)
+    "embedding_classifier_report",
     # one-row-scalar broadcast crosses
     "q11_important_parts",  # global value total
     "q22_global_sales_opportunity",  # global average balance
