@@ -356,6 +356,9 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         table(s, d, "customer"), table(s, d, "orders"), table(s, d, "nation")
     ),
     "events_hourly": lambda s, d: analytics.events_hourly(table(s, d, "events")),
+    "events_seasonality": lambda s, d: analytics.events_seasonality(
+        table(s, d, "events")
+    ),
     "funnel_view_to_purchase": lambda s, d: analytics.funnel_view_to_purchase(
         table(s, d, "events")
     ),
@@ -643,6 +646,7 @@ _PRIORITY = [
     "centroid_auc_report",
     "multimodal_audio_energy",
     "session_paths_topk",
+    "events_seasonality",
     "vocab_growth_fit",
     "embedding_classifier_report",
     "ivf_probe_sweep",
@@ -687,8 +691,7 @@ _PRIORITY = [
     "simhash_dup_pairs",
     "dedup_components",
     "clean_documents",
-    "ngram_dup_pairs",
-    # ngram_containment_pairs,
+    # ngram_dup_pairs, ngram_containment_pairs,
     # embedding_neardup_lsh_pairs, asof_last_view_before_purchase,
     # asof_pandas_last_view, asof_generic_last_view, sessionize,
     # events_debounce,

@@ -4065,3 +4065,20 @@ SELECT classifier, n_scored, n_correct,
        THEN ROUND(n_correct / CAST(n_scored AS DOUBLE), 6) END AS accuracy
 FROM m
 """
+
+# Seasonality heatmap (plans/analytics.events_seasonality): DuckDB
+# dayofweek is 0=Sunday → +1 to match Spark; exact counts + one
+# rounded share division.
+ORACLE_SQL["events_seasonality"] = """
+WITH cells AS (
+  SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS day_of_week,
+    CAST(hour(ts) AS BIGINT) AS hour,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM events)
+SELECT day_of_week, hour, n_events, n_users,
+  CASE WHEN t > 0 THEN ROUND(n_events / CAST(t AS DOUBLE), 6) END AS share
+FROM cells, tot
+"""

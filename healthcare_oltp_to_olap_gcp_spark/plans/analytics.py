@@ -2376,3 +2376,36 @@ def view_purchase_attribution(
         F.count("*").cast("long").alias("n_touches"),
         F.round(F.sum("credit").cast("double"), 6).alias("attributed_revenue"),
     )
+
+
+def events_seasonality(events: DataFrame) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap — the seasonality
+    panel of an ops dashboard (ingest dips, batch-window spikes and
+    weekend effects all read directly off this grid), and the load
+    profile a scheduler consults before placing heavy refreshes. One
+    row per (day_of_week, hour) cell with event count, distinct users
+    and the cell's exact share of all events.
+
+    Spark's ``dayofweek`` is 1=Sunday (the dim_time convention; the
+    oracle applies DuckDB's +1 correction). One map-side-combined
+    aggregation to ≤168 cells; the share divides by a one-row total
+    broadcast cross — the tfidf count-cross shape. Zero data-scale
+    windows; corpus-linear."""
+    cells = events.groupBy(
+        F.dayofweek("ts").cast("long").alias("day_of_week"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    total = events.agg(F.count("*").cast("long").alias("_tot"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "day_of_week",
+        "hour",
+        "n_events",
+        "n_users",
+        F.when(
+            F.col("_tot") > 0,
+            F.round(F.col("n_events") / F.col("_tot").cast("double"), 6),
+        ).alias("share"),
+    )

@@ -835,3 +835,18 @@ def test_embedding_classifier_report_consistent(spark):
         # clustered synthetic labels beat uniform chance (1/n_labels);
         # the tiny sf0.001 query slice keeps this a loose floor
         assert r.accuracy > 1.0 / n_labels
+
+
+def test_events_seasonality_shares_sum_to_one(spark):
+    """Cell shares must sum to ~1 over all cells, counts to the total,
+    and every dow/hour lands in the valid grid."""
+    from healthcare_oltp_to_olap_gcp_spark.plans import analytics
+
+    events = table(spark, SF001, "events")
+    rows = analytics.events_seasonality(events).collect()
+    total = events.count()
+    assert sum(r.n_events for r in rows) == total
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert 1 <= r.day_of_week <= 7 and 0 <= r.hour <= 23
+        assert 0 < r.n_users <= r.n_events

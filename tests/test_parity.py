@@ -140,6 +140,7 @@ SF01_KEYS = [
     "session_paths_topk",
     "vocab_growth_fit",
     "embedding_classifier_report",
+    "events_seasonality",
     "quality_auc_report",
     "centroid_auc_report",
     "ivf_probe_sweep",

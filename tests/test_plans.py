@@ -248,6 +248,7 @@ _BNLJ_ALLOWED = {
     "q11_important_parts",  # global value total
     "q22_global_sales_opportunity",  # global average balance
     "tfidf_top_terms",  # corpus doc count
+    "events_seasonality",  # one-row event-total cross (tfidf shape)
     "sanity_row_counts",  # two one-row counts
     "mon_executions",  # max(ts) window bound
     "mon_last_status",

@@ -96,6 +96,7 @@ PROBES = {
     "session_paths_topk": {"events": ["event_id", "user_id"]},
     "vocab_growth_fit": {"documents": ["doc_id"]},
     "embedding_classifier_report": {"embeddings": ["vec_id"]},
+    "events_seasonality": {"events": ["event_id", "user_id"]},
     "quality_auc_report": {"documents": ["doc_id"]},
     "centroid_auc_report": {"embeddings": ["vec_id"]},
     "ivf_probe_sweep": {"embeddings": ["vec_id"]},
