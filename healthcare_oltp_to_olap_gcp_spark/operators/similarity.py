@@ -1556,7 +1556,10 @@ def ivf_probe_sweep(embeddings: DataFrame, k: int = DEFAULT_K) -> DataFrame:
 
 
 def knn_graph_components(
-    embeddings: DataFrame, k: int = DEFAULT_K
+    embeddings: DataFrame,
+    k: int = DEFAULT_K,
+    n_centroids: int = 16,
+    n_probe: int = 4,
 ) -> DataFrame:
     """Semantic clusters: connected components of the MUTUAL k-NN
     graph — the standard agglomerative step on top of
@@ -1572,11 +1575,13 @@ def knn_graph_components(
     convergence, scalar-only driver checks and localCheckpoint
     handling carry over unchanged. Work per round is two joins + a
     groupBy on the |mutual| ≤ n·k edge list — corpus-linear with the
-    C ∝ n cell knob the edge builder documents."""
+    C ∝ n cell knob the edge builder documents (``n_centroids`` /
+    ``n_probe`` pass straight through to it, so a deploy can grow C
+    with the corpus without touching this wrapper)."""
     from .dedup import dedup_components
 
     mutual = (
-        knn_graph_edges(embeddings, k)
+        knn_graph_edges(embeddings, k, n_centroids, n_probe)
         .filter(F.col("mutual"))
         .select(F.col("src_id").alias("doc_a"), F.col("dst_id").alias("doc_b"))
     )

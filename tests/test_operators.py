@@ -140,12 +140,23 @@ def test_embedding_neardup_lsh_recall(spark):
         assert recall >= 0.8, f"banded-LSH recall collapsed: {recall}"
 
 
-def test_semdedup_keeps_edge_exemplars_and_drops_neardups(spark):
+@pytest.mark.parametrize(
+    "n_cells", [similarity.SEMDEDUP_CELLS, 64], ids=["fixed_C", "grown_C"]
+)
+def test_semdedup_keeps_edge_exemplars_and_drops_neardups(spark, n_cells):
+    """Contract holds at the oracle's fixed C AND at grown C — the
+    n_cells ∝ n deploy knob (VERDICT r5 item 1): finer cells must still
+    give one verdict per vector, keep each cell's least-(cent_sim, id)
+    exemplar, and never drop a vector without a same-cell dominator
+    within tau."""
     emb = table(spark, SF001, "embeddings")
-    rows = similarity.semdedup_embeddings(emb).collect()
+    rows = similarity.semdedup_embeddings(emb, n_cells=n_cells).collect()
     assert len(rows) == emb.count()  # verdict for every vector
     dropped = [r for r in rows if not r.kept]
-    assert dropped, "synthetic corpus has within-cell pairs above tau"
+    if n_cells == similarity.SEMDEDUP_CELLS:
+        # Finer cells may legitimately separate all near-dup pairs, so
+        # non-emptiness is only guaranteed at the oracle's cell count.
+        assert dropped, "synthetic corpus has within-cell pairs above tau"
     # The paper's keeper rule: the least-(cent_sim, vec_id) member of
     # every cell is un-dominatable, hence always kept.
     by_cell: dict[int, list] = {}
@@ -722,20 +733,26 @@ def test_ivf_probe_sweep_recall_monotone(spark):
     assert rows[0].n_total == rows[-1].n_total > 0
 
 
-def test_knn_graph_components_consistent_with_mutual_edges(spark):
+@pytest.mark.parametrize("n_centroids", [16, 64], ids=["fixed_C", "grown_C"])
+def test_knn_graph_components_consistent_with_mutual_edges(spark, n_centroids):
     """Both endpoints of every mutual edge share a component; every
     component id is the min vec_id of its member set; vectors without
-    mutual edges are absent."""
+    mutual edges are absent. Checked at the oracle's fixed C=16 AND at
+    grown C=64 (the C ∝ n deploy knob, threaded through the wrapper)."""
     from healthcare_oltp_to_olap_gcp_spark.operators import similarity
 
     emb = table(spark, SF001, "embeddings")
     comp = {
         r.vec_id: r.component
-        for r in similarity.knn_graph_components(emb).collect()
+        for r in similarity.knn_graph_components(
+            emb, n_centroids=n_centroids
+        ).collect()
     }
     mutual = [
         (r.src_id, r.dst_id)
-        for r in similarity.knn_graph_edges(emb).collect()
+        for r in similarity.knn_graph_edges(
+            emb, n_centroids=n_centroids
+        ).collect()
         if r.mutual
     ]
     assert mutual, "synthetic corpus should have mutual kNN edges"

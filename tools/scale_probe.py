@@ -107,6 +107,44 @@ PROBES = {
     "neardup_recall_report": {"documents": ["doc_id"]},
 }
 
+# C ∝ n probe variants (VERDICT r5 item 1). The corpus-as-queries
+# graph ops keep n_cells FIXED inside QUERIES so the DuckDB oracle is
+# the identical computation — at fixed C their per-cell work is
+# (n_probe·n/C)·(n/C) ∝ n², which the standard probe duly measures as
+# ~30x at 10x. Their documented deploy knob is C ∝ n (constant cell
+# size ⇒ O(n·cell·n_probe) total). These entries measure exactly that
+# deployment: the 1x run uses the default C, the Nx run grows C by the
+# same factor, so a ~N (linear) observed ratio is the evidence the
+# knob works — recorded in SCALING.md next to the fixed-C rows.
+# Each value: (tables-to-amplify, builder(spark, sf_dir, mult)).
+def _grown_c_builders():
+    from healthcare_oltp_to_olap_gcp_spark.operators import similarity
+
+    emb = {"embeddings": ["vec_id"]}
+    return {
+        "knn_graph_edges@grownC": (
+            emb,
+            lambda s, d, m: similarity.knn_graph_edges(
+                table(s, d, "embeddings"), n_centroids=16 * m
+            ),
+        ),
+        "knn_graph_components@grownC": (
+            emb,
+            lambda s, d, m: similarity.knn_graph_components(
+                table(s, d, "embeddings"), n_centroids=16 * m
+            ),
+        ),
+        "semdedup_embeddings@grownC": (
+            emb,
+            lambda s, d, m: similarity.semdedup_embeddings(
+                table(s, d, "embeddings"), n_cells=16 * m
+            ),
+        ),
+    }
+
+
+GROWN_C = _grown_c_builders()
+
 ID_SPAN = 100_000_000  # shift per copy; far above any real id
 
 
@@ -131,24 +169,31 @@ def amplify(spark, out_dir: str, tables: dict[str, list[str]], factor: int) -> N
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = sys.argv[2:]
-    unknown = [q for q in only if q not in PROBES]
+    unknown = [q for q in only if q not in PROBES and q not in GROWN_C]
     if unknown:
-        raise SystemExit(f"not in PROBES: {unknown}")
-    todo = {k: PROBES[k] for k in only} if only else PROBES
+        raise SystemExit(f"not in PROBES/GROWN_C: {unknown}")
+    todo = dict.fromkeys(only) if only else dict.fromkeys(PROBES)
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     results = {}
     with tempfile.TemporaryDirectory(prefix="scale_probe_") as tmp:
         needed: dict[str, list[str]] = {}
-        for t in todo.values():
-            needed.update(t)
+        for name in todo:
+            needed.update(GROWN_C[name][0] if name in GROWN_C else PROBES[name])
         amplify(spark, tmp, needed, factor)
         for name in todo:
+            if name in GROWN_C:
+                _, build = GROWN_C[name]
+                run_1x = lambda: build(spark, SF_DIR, 1)  # noqa: E731
+                run_nx = lambda: build(spark, tmp, factor)  # noqa: E731
+            else:
+                run_1x = lambda: QUERIES[name](spark, SF_DIR)  # noqa: E731
+                run_nx = lambda: QUERIES[name](spark, tmp)  # noqa: E731
             t0 = time.perf_counter()
-            QUERIES[name](spark, SF_DIR).count()
+            run_1x().count()
             base = time.perf_counter() - t0
             t0 = time.perf_counter()
-            QUERIES[name](spark, tmp).count()
+            run_nx().count()
             big = time.perf_counter() - t0
             results[name] = {
                 "t_1x": round(base, 2),
