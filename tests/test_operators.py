@@ -631,10 +631,11 @@ def test_bq_recall_and_exact_rerank(spark):
 
 
 def test_pq_trained_beats_seeded(spark):
-    """The 'trained codebooks raise recall' claim, measured: KMeans
-    per-subspace codebooks must reach at least the seeded twin's recall
-    at sf0.01 (VERDICT r3 item 5), with exact rerank sims. Also checks
-    the report query surfaces both rows."""
+    """The 'training raises recall' claim, measured per trained/seeded
+    pair: KMeans codebooks (PQ), spherical-KMeans cells (IVF-Flat), and
+    both combined (IVF-PQ) must each reach at least their hash-seeded
+    twin's recall at sf0.01 (VERDICT r3 item 5 / r5 item 7), with exact
+    rerank sims. Also checks the report query surfaces all six rows."""
     from .conftest import SF01
     from healthcare_oltp_to_olap_gcp_spark.operators import similarity
 
@@ -642,9 +643,12 @@ def test_pq_trained_beats_seeded(spark):
     report = {
         r.method: r for r in similarity.ann_recall_report_trained(emb).collect()
     }
-    assert set(report) == {"pq", "pq_trained"}
-    assert report["pq_trained"].n_total == report["pq"].n_total > 0
-    assert report["pq_trained"].recall >= report["pq"].recall, report
+    pairs = ["pq", "ivf_flat", "ivfpq"]
+    assert set(report) == {m for p in pairs for m in (p, p + "_trained")}
+    for p in pairs:
+        t, s = report[p + "_trained"], report[p]
+        assert t.n_total == s.n_total > 0
+        assert t.recall >= s.recall, (p, t, s)
 
     brute = {
         (r.query_id, r.neighbor_id): r.sim

@@ -322,6 +322,8 @@ _EAGER_BUILD = {
     "ann_gemm_topk",
     "fact_events_streamed",
     "pq_trained_ann_topk",
+    "ivf_flat_trained_ann_topk",
+    "ivfpq_trained_ann_topk",
     "ann_recall_report_trained",
     "bpe_merges",
 }

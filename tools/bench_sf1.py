@@ -1,0 +1,141 @@
+"""Composed sf1 bench (VERDICT r5 item 4): do the per-operator 10x
+probe predictions COMPOSE when the heavy subset runs back-to-back at
+10x the bench scale?
+
+SCALING.md carries a measured 10x ratio per operator, each taken in
+isolation. This tool runs the headline subset (the top-N most
+expensive queries from tools/bench_full.json, plus the @grownC deploy
+variants of the corpus-as-queries graph ops) against an sf1-sized
+amplification of the driver's sf0.1 parquet (the same id-shifted
+10x-union scale_probe uses — synthetic amplification ONLY for
+performance measurement, never correctness), in ONE session, and
+reconciles each query's measured ratio against its SCALING prediction:
+
+    flag if measured > 2 x predicted      (prediction parsed from
+                                           SCALING.md's probe tables,
+                                           last occurrence wins)
+
+Writes BENCH_sf1.json next to the other bench artifacts. Single-run
+timings (a composed run, not a min-of-2 steady-state measurement) —
+read flags as "go re-probe this", not as a regression verdict; the
+known cold-first-query JIT effect is called out in SCALING.md.
+
+The fixed-C knn_graph_edges/knn_graph_components entries are NOT
+re-run at sf1 — their ~30x fixed-C growth is already measured and
+documented (SCALING.md round-5 probe); the @grownC variants here are
+the deployment configuration (C grown with the corpus).
+
+Usage:  python tools/bench_sf1.py [top_n]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from healthcare_oltp_to_olap_gcp_spark.api import QUERIES  # noqa: E402
+from healthcare_oltp_to_olap_gcp_spark.session import get_spark  # noqa: E402
+
+import scale_probe  # noqa: E402  (sibling tool: PROBES/GROWN_C/amplify)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FACTOR = 10
+# fixed-C forms whose sf1 cost is already measured + documented; the
+# @grownC deploy twins stand in for them below
+SKIP_FIXED_C = {"knn_graph_edges", "knn_graph_components", "semdedup_embeddings"}
+
+
+def predicted_ratios() -> dict[str, float]:
+    """Parse every `| query | 1x | 10x | ratio |` probe row out of
+    SCALING.md; later tables override earlier ones (refreshes win)."""
+    pat = re.compile(
+        r"^\| ([\w@]+) \| [\d.]+\*? \| [\d.]+\*? \| ([\d.]+)\*? \|"
+    )
+    out: dict[str, float] = {}
+    for line in open(os.path.join(REPO, "SCALING.md")):
+        m = pat.match(line)
+        if m:
+            out[m.group(1)] = float(m.group(2))
+    return out
+
+
+def headline(top_n: int) -> list[str]:
+    full = json.load(open(os.path.join(REPO, "tools", "bench_full.json")))
+    ranked = sorted(full["queries"].items(), key=lambda kv: -kv[1])
+    names = [k for k, _ in ranked if k not in SKIP_FIXED_C][:top_n]
+    return names + sorted(scale_probe.GROWN_C)
+
+
+def main() -> int:
+    top_n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    names = headline(top_n)
+    pred = predicted_ratios()
+    spark = get_spark("bench-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, dict] = {}
+    flags: list[str] = []
+    with tempfile.TemporaryDirectory(prefix="bench_sf1_") as tmp:
+        needed: dict[str, list[str]] = {}
+        for name in names:
+            if name in scale_probe.GROWN_C:
+                needed.update(scale_probe.GROWN_C[name][0])
+            else:
+                # amplify the tables scale_probe knows about; queries
+                # without a probe entry amplify nothing extra (their
+                # non-amplified tables are still copied 1:1)
+                needed.update(scale_probe.PROBES.get(name, {}))
+        scale_probe.amplify(spark, tmp, needed, FACTOR)
+        for name in names:
+            if name in scale_probe.GROWN_C:
+                _, build = scale_probe.GROWN_C[name]
+                run_1x = lambda: build(spark, SF_DIR, 1)  # noqa: E731
+                run_nx = lambda: build(spark, tmp, FACTOR)  # noqa: E731
+            else:
+                run_1x = lambda: QUERIES[name](spark, SF_DIR)  # noqa: E731
+                run_nx = lambda: QUERIES[name](spark, tmp)  # noqa: E731
+            t0 = time.perf_counter()
+            run_1x().count()
+            t1 = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            run_nx().count()
+            t10 = round(time.perf_counter() - t0, 3)
+            spark.catalog.clearCache()
+            ratio = round(t10 / t1, 2)
+            p = pred.get(name)
+            flagged = p is not None and ratio > 2 * p
+            if flagged:
+                flags.append(name)
+            results[name] = {
+                "t_sf01": t1,
+                "t_sf1": t10,
+                "ratio": ratio,
+                "predicted": p,
+                "flagged": flagged,
+            }
+            print(name, results[name], flush=True)
+    artifact = {
+        "sf": 1.0,
+        "amplified_from": f"{SF_DIR} x{FACTOR} id-shifted (scale_probe.amplify)",
+        "run": "single composed pass, one session",
+        "flag_rule": "measured ratio > 2 x SCALING.md predicted ratio",
+        "total_sf1_sec": round(sum(r["t_sf1"] for r in results.values()), 1),
+        "queries": results,
+        "flagged": flags,
+    }
+    out = os.path.join(REPO, "BENCH_sf1.json")
+    json.dump(artifact, open(out, "w"), indent=1)
+    print(json.dumps({"flagged": flags, "total_sf1_sec": artifact["total_sf1_sec"]}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

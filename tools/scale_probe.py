@@ -105,6 +105,16 @@ PROBES = {
     "knn_graph_edges": {"embeddings": ["vec_id"]},
     "unimax_sample_documents": {"documents": ["doc_id"]},
     "neardup_recall_report": {"documents": ["doc_id"]},
+    # round-6 additions (bench_sf1 headline coverage + trained twins)
+    "docs_dedup_report": {"documents": ["doc_id"]},
+    "clean_documents": {"documents": ["doc_id"]},
+    "clean_documents_keep_best": {"documents": ["doc_id"]},
+    "ann_gemm_topk": {"embeddings": ["vec_id"]},
+    "ivf_ann_topk": {"embeddings": ["vec_id"]},
+    "ivf_flat_ann_topk": {"embeddings": ["vec_id"]},
+    "ivf_flat_trained_ann_topk": {"embeddings": ["vec_id"]},
+    "ivfpq_trained_ann_topk": {"embeddings": ["vec_id"]},
+    "ann_recall_report_trained": {"embeddings": ["vec_id"]},
 }
 
 # C ∝ n probe variants (VERDICT r5 item 1). The corpus-as-queries
