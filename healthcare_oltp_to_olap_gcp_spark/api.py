@@ -612,6 +612,22 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_recall_report": lambda s, d: dedup.neardup_recall_report(
         table(s, d, "documents")
     ),
+    # -- round 6 --
+    "gopher_quality_rules": lambda s, d: textquality.gopher_quality_rules(
+        table(s, d, "documents")
+    ),
+    "domain_mixture_weights": lambda s, d: textquality.domain_mixture_weights(
+        table(s, d, "documents")
+    ),
+    "bm25_rerank_topk": lambda s, d: retrieval.bm25_rerank_topk(
+        table(s, d, "documents"), table(s, d, "embeddings")
+    ),
+    "prototypicality_prune": lambda s, d: similarity.prototypicality_prune(
+        table(s, d, "embeddings")
+    ),
+    "kcenter_diversity_sample": lambda s, d: similarity.kcenter_diversity_sample(
+        table(s, d, "embeddings")
+    ),
 }
 
 
@@ -646,7 +662,13 @@ def _streaming_pipeline():
 # CI if ANY registered query — oracle-backed or rows-only — has never
 # been driver-checked AND is outside this window.
 _PRIORITY = [
-    # -- new in round 6 (no driver row can exist yet; rows-only) --
+    # -- new in round 6: oracle-backed --
+    "gopher_quality_rules",
+    "domain_mixture_weights",
+    "bm25_rerank_topk",
+    "prototypicality_prune",
+    # -- new in round 6: rows-only (iterative / driver-bounded fits) --
+    "kcenter_diversity_sample",
     "ivf_flat_trained_ann_topk",
     "ivfpq_trained_ann_topk",
     # -- reference-parity set, stale since round 1 --
@@ -693,13 +715,11 @@ _PRIORITY = [
     "events_rollup",
     "events_cube",
     "events_pivot",
-    "events_unpivot",
-    "distinct_users_by_type",
     "value_percentiles",
-    "value_range_window",
-    # -- oldest round-2 greens: start the r2 refresh --
-    "dedup_exact",
-    "docs_fingerprint",
+    # (events_unpivot, distinct_users_by_type, value_range_window and
+    # the two oldest r2 greens fell out of the 50-slot window to make
+    # room for the five round-6 operators; all have green driver rows
+    # — r1/r2 — and stay covered by the sf0.001+sf0.01 parity sweeps)
     # Displaced (green r5, kept covered by the parity sweeps like
     # every out-of-window entry): the whole round-5 window — the ANN
     # family re-verify, the r5 new-operator set, and the risk-ranked

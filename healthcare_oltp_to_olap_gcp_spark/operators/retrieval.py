@@ -197,3 +197,66 @@ def bm25_topk(
             "rank",
         )
     )
+
+
+RERANK_M = 25  # first-stage candidate depth per query
+
+
+def bm25_rerank_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    m: int = RERANK_M,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Two-stage retrieval — the shape every production RAG stack runs:
+    a cheap lexical recall stage (exact BM25, top-``m`` per query) cut
+    down by an exact embedding-cosine rerank to the final top-``k``.
+    Queries are the shared ``doc_id % QUERY_MOD == 0`` slice; a
+    document participates when its ``doc_id`` has an embedding row
+    (``vec_id`` keyspace), mirrored by the oracle's inner joins.
+
+    Scale shape: stage 1 inherits BM25's inverted-index probe bound
+    (never doc×doc); its output is |Q|·m rows — TINY relative to the
+    corpus — so stage 2 BROADCASTS the candidate list against the
+    embedding table (one corpus scan, no shuffle) and then broadcasts
+    the |Q|-row query-vector frame onto the |Q|·m candidate frame.
+    The expensive vector math runs on |Q|·m pairs instead of |Q|·n —
+    the entire point of the cascade; at 100 TB the embedding join is
+    the same broadcast-semi shape with the candidate frame still
+    driver-invisible.
+
+    Determinism: BM25 scores are the oracle-checked decimal sums of
+    ``bm25_topk``; the rerank cosine is the normalize-once sequential
+    fold every ANN operator uses, rounded 6 dp; ranks break ties on
+    doc_id — full value-hash oracle."""
+    from ..functions.vectors import as_double, normalized
+
+    cand = bm25_topk(docs, k=m).select(
+        "query_id", "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    emb = embeddings.select(
+        "vec_id", normalized(as_double("embedding")).alias("nv")
+    )
+    qv = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")
+    )
+    from ..functions.vectors import dot
+
+    scored = (
+        emb.join(F.broadcast(cand), emb.vec_id == cand.doc_id)
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "bm25_rank",
+            F.round(dot(F.col("qv"), F.col("nv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "bm25_rank", "sim", "rank")
+    )

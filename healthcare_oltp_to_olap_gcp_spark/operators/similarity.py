@@ -1851,3 +1851,193 @@ def embedding_classifier_report(embeddings: DataFrame) -> DataFrame:
         )
         rows = row if rows is None else rows.unionByName(row)
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Prototypicality pruning (Sorscher et al. 2022, "Beyond neural scaling
+# laws": with abundant data, prune the EASIEST — most prototypical —
+# examples and keep the hard ones near class boundaries)
+# ---------------------------------------------------------------------------
+PROTO_PRUNE_NUM, PROTO_PRUNE_DEN = 1, 4  # prune the top 1/4 per label
+
+
+def prototypicality_prune(embeddings: DataFrame) -> DataFrame:
+    """Per-vector prototypicality = cosine to the vector's OWN label
+    centroid (the class prototype from ``label_centroids``), ranked
+    within the label; the ``keep`` flag drops the most prototypical
+    ``PROTO_PRUNE_NUM/PROTO_PRUNE_DEN`` of every class — the
+    abundant-data pruning rule of Sorscher et al., where self-supervised
+    prototype distance is the pruning metric.
+
+    Differs from ``semdedup_embeddings`` (pairwise near-dup removal
+    inside cells) and ``nearest_centroid_assign`` (argmax over ALL
+    centroids): here each row is scored against one broadcast-joined
+    prototype and ranked within its class.
+
+    Scale shape: the centroid table is |labels|·dim rows (tiny),
+    broadcast onto the corpus — one corpus scan, then one shuffle
+    partitioned by label for the within-class rank window (at 100 TB
+    the window key is (label, sim-bucket) salt-able; label cardinality
+    ≪ corpus keeps the sort bounded per reducer after AQE skew split).
+
+    Determinism: centroids are the rounded-decimal-sum prototypes of
+    ``label_centroids``; cosine is the normalize-once sequential fold
+    rounded 6 dp; ranks tie-break on vec_id; keep is an integer
+    cross-multiply — full value-hash oracle."""
+    cent = (
+        label_centroids(embeddings)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+                lambda s: s["centroid"],
+            ).alias("cv")
+        )
+        .select("label", normalized(F.col("cv")).alias("cnv"))
+    )
+    corpus = embeddings.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        normalized(as_double("embedding")).alias("nv"),
+    )
+    scored = corpus.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.round(dot(F.col("nv"), F.col("cnv")), 6).alias("proto_sim"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("proto_sim").desc(), F.col("vec_id")
+    )
+    wn = Window.partitionBy("label")
+    return scored.select(
+        "vec_id",
+        "label",
+        "proto_sim",
+        F.row_number().over(w).cast("long").alias("proto_rank"),
+        F.count("*").over(wn).cast("long").alias("n_label"),
+    ).withColumn(
+        "keep",
+        F.col("proto_rank") * PROTO_PRUNE_DEN
+        > PROTO_PRUNE_NUM * F.col("n_label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-center diversity coreset (Gonzalez 1985 greedy 2-approximation) —
+# the geometric dual of prototypicality pruning: SELECT a maximally
+# spread subset instead of dropping redundant ones
+# ---------------------------------------------------------------------------
+KCENTER_K = 16
+KCENTER_FIT_SAMPLE = 512
+
+
+def kcenter_diversity_sample(
+    embeddings: DataFrame,
+    k: int = KCENTER_K,
+    fit_sample: int = KCENTER_FIT_SAMPLE,
+) -> DataFrame:
+    """Greedy k-center coreset selection over cosine distance
+    (1 − cosine of normalized vectors) + full-corpus coverage report:
+    one row per selected center with its assigned population, coverage
+    radius (max distance of any assigned vector) and rounded-decimal
+    mean distance — the diversity-sampling step an embedding-curation
+    pipeline runs to build an evaluation coreset or to seed clustered
+    sharding.
+
+    Same driver-bounded fit contract as ``pq_trained_ann_topk``: the
+    greedy runs on the ``fit_sample`` rows ranked first by
+    md5(vec_id) — ONE bounded collect (≤ fit_sample·DIM doubles),
+    pure-numpy Gonzalez sweep (start = first sample row in the md5
+    order, then k−1 farthest-point pulls; ties broken by sample
+    order) — and the k chosen centers are broadcast back as a k-row
+    frame. The corpus-sized work (assign every vector to its nearest
+    center, per-center aggregates) never touches the driver.
+
+    Rows-only correctness: the farthest-point recursion isn't
+    SQL-portable; tests pin the Gonzalez invariants (centers are
+    corpus members, coverage radius non-increasing in k, every
+    pairwise center distance ≥ the final pull distance) and partition-
+    order independence.
+
+    At 100 TB: the assignment scan is O(n·k) with a k-row broadcast —
+    the same linear shape as ``nearest_centroid_assign``; the fit stays
+    constant-size by contract (sample-based k-center is the standard
+    scalable approximation, cf. coreset literature)."""
+    import numpy as np
+
+    corpus = _corpus(embeddings)
+    sample_rows = (
+        corpus.orderBy(F.md5(F.col("neighbor_id").cast("string")), "neighbor_id")
+        .limit(fit_sample)
+        .select("neighbor_id", "cv")
+        .collect()
+    )
+    if not sample_rows:
+        return embeddings.sparkSession.createDataFrame(
+            [],
+            "center_rank long, center_vec_id long, n_assigned long, "
+            "coverage_radius double, mean_dist double",
+        )
+    ids = np.array([r.neighbor_id for r in sample_rows], dtype=np.int64)
+    x = np.array([r.cv for r in sample_rows], dtype=np.float64)
+    k_eff = min(k, len(ids))
+    chosen = [0]
+    # distance to nearest chosen center so far (cosine distance on
+    # normalized rows = 1 - dot)
+    d = 1.0 - x @ x[0]
+    for _ in range(k_eff - 1):
+        nxt = int(d.argmax())  # np.argmax: first max wins = sample order
+        chosen.append(nxt)
+        d = np.minimum(d, 1.0 - x @ x[nxt])
+    centers = embeddings.sparkSession.createDataFrame(
+        [
+            (int(rank), int(ids[i]), [float(v) for v in x[i]])
+            for rank, i in enumerate(chosen)
+        ],
+        "center_rank long, center_vec_id long, cv array<double>",
+    )
+    # nearest-center assignment: k-row broadcast cross, per-row argmin
+    # over the struct array (ties: smaller center_rank), zero shuffle
+    # until the k-row aggregate
+    cents_row = centers.agg(
+        F.collect_list(F.struct("center_rank", "center_vec_id", "cv")).alias(
+            "_cents"
+        )
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                F.round(1.0 - dot(F.col("nv"), c["cv"]), 6).alias("dist"),
+                c["center_rank"].alias("center_rank"),
+                c["center_vec_id"].alias("center_vec_id"),
+            ),
+        )
+    )
+    assigned = (
+        _corpus(embeddings)
+        .withColumnRenamed("cv", "nv")
+        .crossJoin(F.broadcast(cents_row))
+        .select(F.col("neighbor_id").alias("vec_id"), best.alias("_b"))
+        .select(
+            "vec_id",
+            F.col("_b.center_rank").alias("center_rank"),
+            F.col("_b.center_vec_id").alias("center_vec_id"),
+            F.col("_b.dist").alias("dist"),
+        )
+    )
+    return (
+        assigned.groupBy("center_rank", "center_vec_id")
+        .agg(
+            F.count("*").cast("long").alias("n_assigned"),
+            F.max("dist").alias("coverage_radius"),
+            F.round(
+                F.sum(F.round(F.col("dist"), 9).cast("decimal(18,9)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("mean_dist"),
+        )
+        .orderBy("center_rank")
+    )

@@ -1677,3 +1677,162 @@ def vocab_growth_fit(docs: DataFrame, bucket: int = VOCAB_BUCKET_DOCS) -> DataFr
             (varx > 0) & (vary > 0), F.round((cov * cov) / (varx * vary), 6)
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021 §A1.1, adapted)
+# ---------------------------------------------------------------------------
+# Thresholds follow the paper's rule FAMILY with data-fitted bounds so
+# both branches of every rule are exercised at every SF on the synthetic
+# corpus (the same convention semdedup/simhash/bm25_dfcap use): the
+# paper's 50-100k word window and 3-10 mean-word-length bounds would
+# pass/fail the entire 10-99-word synthetic corpus on one side.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 90
+GOPHER_MIN_MWL_X10 = 40  # mean word length >= 4.0 (integer cross-multiply)
+GOPHER_MAX_MWL = 10  # mean word length <= 10
+GOPHER_STOP_SET = ("the", "a", "and", "of", "to", "in", "is")
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_TOP_FRAC_NUM, GOPHER_TOP_FRAC_DEN = 2, 10  # top word <= 20% of words
+GOPHER_MIN_UNIQ_NUM, GOPHER_MIN_UNIQ_DEN = 1, 2  # distinct/words >= 50%
+
+
+def gopher_quality_rules(docs: DataFrame) -> DataFrame:
+    """Gopher-style rule-based quality filter: per-document counters
+    plus one boolean per rule and the composite ``keep`` — word-count
+    window, mean-word-length window, minimum stop-word hits, maximum
+    single-word dominance, minimum unique-word ratio.
+
+    Differs from ``quality_filter`` (length/punct/dup-3gram) by
+    implementing the published Gopher rule set as an auditable flag
+    table rather than a drop decision — the form a curation pipeline
+    logs so each rule's kill-rate can be monitored per source.
+
+    Scale shape: one projection, zero shuffles — every counter is a
+    higher-order function over the row's own token array (the
+    dominance counter is O(words·distinct) per row, bounded by the
+    word-count rule's own ceiling), so the operator is a pure map over
+    the corpus at any scale. All comparisons are integer
+    cross-multiplications — no float anywhere — so the value-hash
+    oracle is trivially exact."""
+    t = tokens("text")
+    base = docs.select("doc_id", t.alias("_t"))
+    cnt = base.select(
+        "doc_id",
+        F.size("_t").cast("long").alias("n_words"),
+        F.size(F.array_distinct("_t")).cast("long").alias("n_distinct"),
+        F.aggregate("_t", F.lit(0), lambda a, x: a + F.length(x))
+        .cast("long")
+        .alias("sum_word_chars"),
+        F.size(F.filter("_t", lambda x: x.isin(*GOPHER_STOP_SET)))
+        .cast("long")
+        .alias("stop_hits"),
+        F.array_max(
+            F.transform(
+                F.array_distinct("_t"),
+                lambda x: F.size(F.filter(F.col("_t"), lambda y: y == x)),
+            )
+        )
+        .cast("long")
+        .alias("top_word_count"),
+    )
+    n = F.col("n_words")
+    r_wc = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    r_mwl = (F.col("sum_word_chars") * 10 >= GOPHER_MIN_MWL_X10 * n) & (
+        F.col("sum_word_chars") <= GOPHER_MAX_MWL * n
+    )
+    r_stop = F.col("stop_hits") >= GOPHER_MIN_STOP_HITS
+    r_top = F.col("top_word_count") * GOPHER_TOP_FRAC_DEN <= GOPHER_TOP_FRAC_NUM * n
+    r_uniq = F.col("n_distinct") * GOPHER_MIN_UNIQ_DEN >= GOPHER_MIN_UNIQ_NUM * n
+    return cnt.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        "sum_word_chars",
+        "stop_hits",
+        "top_word_count",
+        r_wc.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_stop.alias("rule_stopwords"),
+        r_top.alias("rule_top_word"),
+        r_uniq.alias("rule_unique_ratio"),
+        (r_wc & r_mwl & r_stop & r_top & r_uniq).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture domain weights (DoReMi-flavored closed-form heuristic)
+# ---------------------------------------------------------------------------
+MIX_UNIQ_DP = 9  # per-doc unique-ratio rounding before the exact sum
+
+
+def domain_mixture_weights(docs: DataFrame) -> DataFrame:
+    """Per-source training-mixture weights: the table a data-mixing
+    stage feeds the sampler (``mixture_sample_documents`` consumes
+    exactly this shape). Closed-form quality-tilted temperature
+    weighting — w_raw(s) = sqrt(token_share(s)) · mean_uniq_ratio(s),
+    normalized over sources:
+
+      - sqrt(share) is temperature sampling at α=1/2 (the same n^α
+        family as ``temperature_sample_documents``, here over token
+        mass per DOMAIN rather than docs per language), flattening the
+        head sources the way DoReMi's learned weights empirically do;
+      - mean unique-word ratio is the quality tilt — a cheap static
+        proxy standing in for DoReMi's excess-loss term (the full
+        proxy-model loop needs a trainer, out of engine scope; the
+        plumbing downstream of the weight table is identical).
+
+    Scale shape: one map-side-combined aggregation corpus → |sources|
+    rows, then one tiny cross of the source frame with its own total —
+    linear scan, no corpus shuffle beyond the per-source combine.
+
+    Determinism: token counts are exact integers; per-doc unique
+    ratios are rounded to 9 dp and summed as exact DECIMAL (the
+    label_centroids convention), so every downstream double is a
+    deterministic function of order-independent aggregates; w_raw is
+    rounded to 9 dp, DECIMAL-summed for the normalizer, and the final
+    weight rounds to 6 dp — full value-hash oracle."""
+    per_doc = docs.select(
+        "source",
+        token_count("text").alias("n_tok"),
+        F.round(
+            F.size(F.array_distinct(tokens("text")))
+            / token_count("text").cast("double"),
+            MIX_UNIQ_DP,
+        )
+        .cast(f"decimal(18,{MIX_UNIQ_DP})")
+        .alias("uniq_r"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        (F.sum("uniq_r").cast("double") / F.count("*")).alias("_mu"),
+    )
+    tot = per_src.agg(F.sum("n_tokens").cast("long").alias("_tt"))
+    raw = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("_tt").cast("double")).alias("_share"),
+        "_mu",
+    )
+    raw = raw.select(
+        "*",
+        F.round(F.sqrt(F.col("_share")) * F.col("_mu"), MIX_UNIQ_DP)
+        .cast(f"decimal(18,{MIX_UNIQ_DP})")
+        .alias("_w_raw"),
+    )
+    norm = raw.agg(F.sum("_w_raw").cast("double").alias("_z"))
+    return (
+        raw.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("_share", 6).alias("token_share"),
+            F.round("_mu", 6).alias("mean_uniq_ratio"),
+            F.round(F.col("_w_raw").cast("double") / F.col("_z"), 6).alias(
+                "weight"
+            ),
+        )
+    )

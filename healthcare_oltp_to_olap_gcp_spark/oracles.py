@@ -3453,7 +3453,7 @@ _BM25_DF_CAPPED = """(
 )"""
 
 
-def _bm25_oracle(df_cte: str) -> str:
+def _bm25_oracle(df_cte: str, k: int = _BM_K_) -> str:
     return f"""
 WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
 tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
@@ -3485,7 +3485,7 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, doc_id, CAST(s AS DOUBLE) AS score,
-  CAST(rn AS BIGINT) AS rank FROM ranked WHERE rn <= {_BM_K_}
+  CAST(rn AS BIGINT) AS rank FROM ranked WHERE rn <= {k}
 """
 
 
@@ -4081,4 +4081,165 @@ tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM events)
 SELECT day_of_week, hour, n_events, n_users,
   CASE WHEN t > 0 THEN ROUND(n_events / CAST(t AS DOUBLE), 6) END AS share
 FROM cells, tot
+"""
+
+# Gopher-style quality rules (operators/textquality.
+# gopher_quality_rules): every counter is an integer over the row's
+# own token list and every rule an integer cross-multiplication, so
+# the oracle is exact with no float convention needed.
+from .operators.textquality import (  # noqa: E402
+    GOPHER_MAX_MWL,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_MWL_X10,
+    GOPHER_MIN_STOP_HITS,
+    GOPHER_MIN_UNIQ_DEN,
+    GOPHER_MIN_UNIQ_NUM,
+    GOPHER_MIN_WORDS,
+    GOPHER_STOP_SET,
+    GOPHER_TOP_FRAC_DEN,
+    GOPHER_TOP_FRAC_NUM,
+    MIX_UNIQ_DP,
+)
+
+_GOPHER_STOPS = ", ".join(f"'{s}'" for s in GOPHER_STOP_SET)
+
+ORACLE_SQL["gopher_quality_rules"] = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS w FROM documents),
+s AS (
+  SELECT doc_id,
+    CAST(len(w) AS BIGINT) AS n_words,
+    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+    CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT)
+      AS sum_word_chars,
+    CAST(len(list_filter(w, x -> x IN ({_GOPHER_STOPS}))) AS BIGINT)
+      AS stop_hits,
+    CAST(list_max(list_transform(list_distinct(w),
+        x -> len(list_filter(w, y -> y = x)))) AS BIGINT) AS top_word_count
+  FROM t
+)
+SELECT doc_id, n_words, n_distinct, sum_word_chars, stop_hits,
+  top_word_count,
+  (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+    AS rule_word_count,
+  (sum_word_chars * 10 >= {GOPHER_MIN_MWL_X10} * n_words
+   AND sum_word_chars <= {GOPHER_MAX_MWL} * n_words) AS rule_mean_word_len,
+  stop_hits >= {GOPHER_MIN_STOP_HITS} AS rule_stopwords,
+  top_word_count * {GOPHER_TOP_FRAC_DEN} <= {GOPHER_TOP_FRAC_NUM} * n_words
+    AS rule_top_word,
+  n_distinct * {GOPHER_MIN_UNIQ_DEN} >= {GOPHER_MIN_UNIQ_NUM} * n_words
+    AS rule_unique_ratio,
+  ((n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+   AND (sum_word_chars * 10 >= {GOPHER_MIN_MWL_X10} * n_words
+        AND sum_word_chars <= {GOPHER_MAX_MWL} * n_words)
+   AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+   AND top_word_count * {GOPHER_TOP_FRAC_DEN}
+       <= {GOPHER_TOP_FRAC_NUM} * n_words
+   AND n_distinct * {GOPHER_MIN_UNIQ_DEN}
+       >= {GOPHER_MIN_UNIQ_NUM} * n_words) AS keep
+FROM s
+"""
+
+# Training-mixture domain weights (operators/textquality.
+# domain_mixture_weights): integer token counts; per-doc unique
+# ratios rounded 9 dp + DECIMAL-summed (label_centroids convention);
+# w_raw rounded 9 dp + DECIMAL-summed for the normalizer; weight
+# rounded 6 dp — every double is a deterministic function of
+# order-independent aggregates.
+ORACLE_SQL["domain_mixture_weights"] = f"""
+WITH per_doc AS (
+  SELECT source,
+    CAST(len({TOKS}) AS BIGINT) AS n_tok,
+    CAST(ROUND(len(list_distinct({TOKS}))
+               / CAST(len({TOKS}) AS DOUBLE), {MIX_UNIQ_DP})
+         AS DECIMAL(18,{MIX_UNIQ_DP})) AS uniq_r
+  FROM documents
+),
+per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+    CAST(SUM(uniq_r) AS DOUBLE) / COUNT(*) AS mu
+  FROM per_doc GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM per_src),
+raw AS (
+  SELECT source, n_docs, n_tokens,
+    n_tokens / CAST(tt AS DOUBLE) AS share, mu,
+    CAST(ROUND(sqrt(n_tokens / CAST(tt AS DOUBLE)) * mu, {MIX_UNIQ_DP})
+         AS DECIMAL(18,{MIX_UNIQ_DP})) AS w_raw
+  FROM per_src, tot
+),
+z AS (SELECT CAST(SUM(w_raw) AS DOUBLE) AS z FROM raw)
+SELECT source, n_docs, n_tokens,
+  ROUND(share, 6) AS token_share,
+  ROUND(mu, 6) AS mean_uniq_ratio,
+  ROUND(CAST(w_raw AS DOUBLE) / z, 6) AS weight
+FROM raw, z
+"""
+
+# Two-stage retrieval (operators/retrieval.bm25_rerank_topk): the
+# BM25 oracle at candidate depth M feeds an exact cosine rerank over
+# the normalized embedding vectors — same normalize-once fold and
+# 6 dp rounding as every ANN oracle, ranks tie-broken on doc_id.
+from .operators.retrieval import RERANK_M as _RR_M_  # noqa: E402
+
+ORACLE_SQL["bm25_rerank_topk"] = f"""
+WITH cand AS ({_bm25_oracle(
+    "(SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)",
+    k=_RR_M_,
+)}),
+{_NORM_CTE},
+s AS (
+  SELECT c.query_id, c.doc_id, c.rank AS bm25_rank,
+    ROUND(list_dot_product(q.nv, d.nv), 6) AS sim
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e d ON d.vec_id = c.doc_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rn
+  FROM s
+)
+SELECT query_id, doc_id, bm25_rank, sim, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= {_BM_K_}
+"""
+
+# Prototypicality pruning (operators/similarity.prototypicality_prune):
+# composes the label_centroids oracle — per-label normalized prototype,
+# exact cosine to the row's OWN label centroid, within-label rank with
+# vec_id tie-break, integer cross-multiplied keep rule.
+from .operators.similarity import (  # noqa: E402
+    PROTO_PRUNE_DEN as _PP_DEN_,
+    PROTO_PRUNE_NUM as _PP_NUM_,
+)
+
+ORACLE_SQL["prototypicality_prune"] = f"""
+WITH cent0 AS ({ORACLE_SQL["label_centroids"]}),
+cent AS (
+  SELECT label, list(centroid ORDER BY pos) AS cv FROM cent0 GROUP BY label
+),
+cn AS (
+  SELECT label,
+         list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cnv
+  FROM cent
+),
+{_NORM_CTE},
+lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+s AS (
+  SELECT e.vec_id, lbl.label,
+    ROUND(list_dot_product(e.nv, cn.cnv), 6) AS proto_sim
+  FROM e JOIN lbl USING (vec_id) JOIN cn USING (label)
+),
+r AS (
+  SELECT *,
+    row_number() OVER (
+      PARTITION BY label ORDER BY proto_sim DESC, vec_id) AS proto_rank,
+    COUNT(*) OVER (PARTITION BY label) AS n_label
+  FROM s
+)
+SELECT vec_id, label, proto_sim,
+  CAST(proto_rank AS BIGINT) AS proto_rank,
+  CAST(n_label AS BIGINT) AS n_label,
+  proto_rank * {_PP_DEN_} > {_PP_NUM_} * n_label AS keep
+FROM r
 """

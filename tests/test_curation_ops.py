@@ -859,3 +859,155 @@ def test_vocab_growth_fit_power_law(spark):
     assert abs(r.heaps_beta - 0.5) < 0.01
     assert r.r2 > 0.999
     assert abs(r.heaps_k - 1.0) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# round 6: gopher rules / mixture weights / rerank / prototypicality /
+# k-center (parity for the oracle-backed four lives in test_parity.py)
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_hand_cases(spark):
+    good = " ".join([f"word{i}" for i in range(28)] + ["the", "a"])
+    too_short = "alpha beta gamma delta epsilon"
+    low_mwl = " ".join([f"a{i % 9}" for i in range(28)] + ["the", "a"])
+    no_stops = " ".join(f"token{i}" for i in range(30))
+    dominated = " ".join(["the"] * 15 + [f"word{i}" for i in range(15)])
+    low_uniq = " ".join((["thing", "stuff", "items"] * 10))
+    out = {
+        r.doc_id: r
+        for r in textquality.gopher_quality_rules(
+            _docs(spark, [good, too_short, low_mwl, no_stops, dominated, low_uniq])
+        ).collect()
+    }
+    assert out[0].keep and all(
+        getattr(out[0], c)
+        for c in (
+            "rule_word_count",
+            "rule_mean_word_len",
+            "rule_stopwords",
+            "rule_top_word",
+            "rule_unique_ratio",
+        )
+    )
+    assert not out[1].rule_word_count and not out[1].keep
+    assert not out[2].rule_mean_word_len and out[2].rule_word_count
+    assert not out[3].rule_stopwords and out[3].rule_mean_word_len
+    assert not out[4].rule_top_word and out[4].rule_stopwords
+    assert not out[5].rule_unique_ratio and not out[5].keep
+
+
+def test_gopher_rules_every_rule_fires_both_ways_on_corpus(spark):
+    agg = textquality.gopher_quality_rules(table(spark, SF001, "documents")).agg(
+        *[
+            F.sum(F.col(c).cast("int")).alias(c)
+            for c in (
+                "rule_word_count",
+                "rule_mean_word_len",
+                "rule_stopwords",
+                "rule_top_word",
+                "rule_unique_ratio",
+                "keep",
+            )
+        ],
+        F.count("*").alias("n"),
+    ).collect()[0]
+    for c in (
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_stopwords",
+        "rule_top_word",
+        "rule_unique_ratio",
+        "keep",
+    ):
+        assert 0 < getattr(agg, c) < agg.n, c
+
+
+def test_domain_mixture_weights_normalized_and_quality_tilted(spark):
+    rows = []
+    for i in range(2):  # srcA: fully unique tokens
+        rows.append((i, " ".join(f"a{i}x{j}" for j in range(20)), "en", "srcA", 1))
+    for i in range(2):  # srcB: same token mass, 50% unique
+        rows.append(
+            (10 + i, " ".join(f"b{i}x{j % 10}" for j in range(20)), "en", "srcB", 1)
+        )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.source: r for r in textquality.domain_mixture_weights(docs).collect()}
+    assert abs(out["srcA"].weight + out["srcB"].weight - 1.0) < 1e-6
+    assert out["srcA"].n_tokens == out["srcB"].n_tokens
+    assert out["srcA"].weight > out["srcB"].weight  # quality tilt
+
+
+def test_domain_mixture_sqrt_flattens_head_source(spark):
+    rows = [(0, " ".join(f"h{j}" for j in range(80)), "en", "head", 1)]
+    rows += [(1, " ".join(f"t{j}" for j in range(20)), "en", "tail", 1)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.source: r for r in textquality.domain_mixture_weights(docs).collect()}
+    # equal quality, 4x token mass -> exactly sqrt(4)=2x the weight,
+    # not 4x (the alpha=1/2 temperature flattening)
+    assert abs(out["head"].weight / out["tail"].weight - 2.0) < 1e-3
+    assert abs(out["head"].weight + out["tail"].weight - 1.0) < 1e-6
+
+
+def test_bm25_rerank_is_a_cut_of_stage1_candidates(spark):
+    from healthcare_oltp_to_olap_gcp_spark.operators import retrieval
+
+    docs = table(spark, SF001, "documents")
+    emb = table(spark, SF001, "embeddings")
+    cand = {
+        (r.query_id, r.doc_id)
+        for r in retrieval.bm25_topk(docs, k=retrieval.RERANK_M).collect()
+    }
+    out = retrieval.bm25_rerank_topk(docs, emb).collect()
+    assert out
+    per_q: dict[int, list] = {}
+    for r in out:
+        assert (r.query_id, r.doc_id) in cand  # stage-2 never invents rows
+        assert 1 <= r.bm25_rank <= retrieval.RERANK_M
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rows in per_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= retrieval.DEFAULT_K
+        sims = [r.sim for r in rows]
+        assert sims == sorted(sims, reverse=True)  # cosine order, not bm25
+
+
+def test_prototypicality_prune_drops_top_quarter_per_label(spark):
+    out = similarity.prototypicality_prune(table(spark, SF001, "embeddings")).collect()
+    by_label: dict[int, list] = {}
+    for r in out:
+        by_label.setdefault(r.label, []).append(r)
+    for label, rows in by_label.items():
+        n = rows[0].n_label
+        assert len(rows) == n
+        pruned = [r for r in rows if not r.keep]
+        kept = [r for r in rows if r.keep]
+        assert len(pruned) == n // 4  # prune exactly the top quarter
+        assert {r.proto_rank for r in pruned} == set(range(1, n // 4 + 1))
+        if pruned and kept:
+            # pruned are the MOST prototypical (highest centroid cosine)
+            assert min(r.proto_sim for r in pruned) >= max(
+                r.proto_sim for r in kept
+            ) - 1e-9
+
+
+def test_kcenter_invariants_and_radius_monotone_in_k(spark):
+    emb = table(spark, SF001, "embeddings")
+    n = emb.count()
+    vec_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    radii = {}
+    for k in (4, 8, 16):
+        rows = similarity.kcenter_diversity_sample(emb, k=k).collect()
+        assert len(rows) == k
+        assert sum(r.n_assigned for r in rows) == n  # partition of corpus
+        assert all(r.center_vec_id in vec_ids for r in rows)
+        assert all(r.coverage_radius >= 0 and r.mean_dist >= 0 for r in rows)
+        assert all(r.mean_dist <= r.coverage_radius + 1e-9 for r in rows)
+        radii[k] = max(r.coverage_radius for r in rows)
+    # greedy centers are prefix-nested, so coverage can only shrink
+    assert radii[16] <= radii[8] <= radii[4]

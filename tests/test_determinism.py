@@ -40,6 +40,10 @@ SENSITIVE = [
     # r6: driver-side spherical-KMeans fit must be partition-order
     # independent (md5-ranked bounded sample draw + pure numpy Lloyd)
     "ivf_flat_trained_ann_topk",
+    # r6: decimal-summed per-doc ratios + decimal normalizer; md5-ranked
+    # bounded Gonzalez fit + decimal per-center mean distances
+    "domain_mixture_weights",
+    "kcenter_diversity_sample",
 ]
 
 _TABLE_FOR = {
@@ -57,6 +61,8 @@ _TABLE_FOR = {
     "session_paths_topk": "events",
     "centroid_auc_report": "embeddings",
     "ivf_flat_trained_ann_topk": "embeddings",
+    "domain_mixture_weights": "documents",
+    "kcenter_diversity_sample": "embeddings",
 }
 
 

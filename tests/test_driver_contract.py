@@ -66,6 +66,10 @@ _ROWS_ONLY_WINDOWED = {
     # the encode half inherits the trainer's iterative merges — same
     # rows-only rationale, pinned vs a pure-python encoder locally
     "bpe_encode_documents",
+    # r6: Gonzalez farthest-point recursion isn't SQL-portable; the
+    # invariants (corpus-member centers, population partition, radius
+    # monotone in k, partition-order independence) are pinned locally
+    "kcenter_diversity_sample",
 }
 
 

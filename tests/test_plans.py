@@ -314,6 +314,12 @@ _BNLJ_ALLOWED = {
     "theta_intersect_segment_users",
     "theta_anotb_segment_users",
     "theta_daily_merge_events",
+    # r6 reviewed: one-row token-total and weight-normalizer crosses
+    # over the |sources|-row frame (mixture_sample_documents shape)
+    "domain_mixture_weights",
+    # r6 reviewed: inherits bm25_topk's one-row corpus-stats cross;
+    # the candidate and query-vector joins are proper broadcast-hash
+    "bm25_rerank_topk",
 }
 # These run eager work (KMeans fit / query collect / stream drain) at
 # plan-build time; their plan shape is asserted in their own tests.
@@ -326,6 +332,9 @@ _EAGER_BUILD = {
     "ivfpq_trained_ann_topk",
     "ann_recall_report_trained",
     "bpe_merges",
+    # r6: collects its md5-ranked fit sample at plan-build time; its
+    # one-row centers cross + invariants are asserted in its own tests
+    "kcenter_diversity_sample",
 }
 
 

@@ -115,6 +115,12 @@ PROBES = {
     "ivf_flat_trained_ann_topk": {"embeddings": ["vec_id"]},
     "ivfpq_trained_ann_topk": {"embeddings": ["vec_id"]},
     "ann_recall_report_trained": {"embeddings": ["vec_id"]},
+    # round-6 new operators
+    "gopher_quality_rules": {"documents": ["doc_id"]},
+    "domain_mixture_weights": {"documents": ["doc_id"]},
+    "bm25_rerank_topk": {"documents": ["doc_id"], "embeddings": ["vec_id"]},
+    "prototypicality_prune": {"embeddings": ["vec_id"]},
+    "kcenter_diversity_sample": {"embeddings": ["vec_id"]},
 }
 
 # C ∝ n probe variants (VERDICT r5 item 1). The corpus-as-queries
