@@ -628,6 +628,15 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kcenter_diversity_sample": lambda s, d: similarity.kcenter_diversity_sample(
         table(s, d, "embeddings")
     ),
+    "multimodal_phash_pairs": lambda s, d: multimodal.multimodal_phash_pairs(
+        multimodal.attach_payload(table(s, d, "documents"))
+    ),
+    "unigram_lm_vocab": lambda s, d: textquality.unigram_lm_vocab(
+        table(s, d, "documents")
+    ),
+    "unigram_encode_documents": lambda s, d: textquality.unigram_encode(
+        table(s, d, "documents")
+    ),
 }
 
 
@@ -667,8 +676,11 @@ _PRIORITY = [
     "domain_mixture_weights",
     "bm25_rerank_topk",
     "prototypicality_prune",
+    "multimodal_phash_pairs",
     # -- new in round 6: rows-only (iterative / driver-bounded fits) --
     "kcenter_diversity_sample",
+    "unigram_lm_vocab",
+    "unigram_encode_documents",
     "ivf_flat_trained_ann_topk",
     "ivfpq_trained_ann_topk",
     # -- reference-parity set, stale since round 1 --
@@ -713,13 +725,11 @@ _PRIORITY = [
     "events_sliding_2h",
     "salted_event_type_counts",
     "events_rollup",
-    "events_cube",
-    "events_pivot",
-    "value_percentiles",
-    # (events_unpivot, distinct_users_by_type, value_range_window and
-    # the two oldest r2 greens fell out of the 50-slot window to make
-    # room for the five round-6 operators; all have green driver rows
-    # — r1/r2 — and stay covered by the sf0.001+sf0.01 parity sweeps)
+    # (events_cube, events_pivot, events_unpivot, distinct_users_by_type,
+    # value_range_window, value_percentiles and the two oldest r2 greens
+    # fell out of the 50-slot window to make room for the eight round-6
+    # operators; all have green driver rows — r1/r2 — and stay covered
+    # by the sf0.001+sf0.01 parity sweeps)
     # Displaced (green r5, kept covered by the parity sweeps like
     # every out-of-window entry): the whole round-5 window — the ANN
     # family re-verify, the r5 new-operator set, and the risk-ranked

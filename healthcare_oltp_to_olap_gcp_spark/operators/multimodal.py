@@ -18,6 +18,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -216,4 +218,117 @@ def audio_window_energy(
 
     return with_payload.select("doc_id", "payload").mapInPandas(
         gen, AUDIO_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup over binary payloads (aHash family): the
+# image-dedup step of a multimodal curation pipeline. Real pHash runs
+# a DCT over decoded pixels; the environment has no codecs (decode_image
+# stub convention), so the "pixels" are the payload's first PH_N bytes —
+# the hash construction (mean-threshold bits → banded blocking →
+# Hamming verify) is the real one and is exactly what swaps in over a
+# decoded luma plane.
+# ---------------------------------------------------------------------------
+PH_N = 64  # hash bits = "pixels" sampled from the payload
+PH_BANDS = 4
+PH_BAND_BITS = PH_N // PH_BANDS
+PH_MAX_HAMMING = 3  # pigeonhole: ≤3 differing bits ⇒ ≥1 identical band
+
+PH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_used", LongType()),
+        StructField("bits", ArrayType(IntegerType())),
+    ]
+)
+
+
+def multimodal_phash(with_payload: DataFrame) -> DataFrame:
+    """Average-hash bit vector per payload: bit_i = 1 iff byte_i is
+    above the mean of the first ``PH_N`` bytes — compared as the exact
+    integer cross-multiplication ``byte_i · m > Σbytes`` (no float
+    mean), zero-padded to ``PH_N`` bits for short payloads. Arrow
+    mapInPandas with numpy byte math; payloads never leave their
+    partition."""
+    import numpy as np
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(
+                    bytes(payload)[:PH_N], dtype=np.uint8
+                ).astype(np.int64)
+                m = len(b)
+                if m == 0:
+                    continue
+                tot = int(b.sum())
+                bits = [1 if int(x) * m > tot else 0 for x in b]
+                bits += [0] * (PH_N - m)
+                rows.append((doc_id, m, bits))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_used", "bits"])
+
+    return with_payload.select("doc_id", "payload").mapInPandas(gen, PH_SCHEMA)
+
+
+def multimodal_phash_pairs(
+    with_payload: DataFrame, max_hamming: int = PH_MAX_HAMMING
+) -> DataFrame:
+    """Near-duplicate payload pairs at Hamming ≤ ``max_hamming`` over
+    the aHash bits, found by banded blocking (simhash_dup_pairs'
+    pigeonhole: with 4 bands of 16 bits, any pair within Hamming 3
+    shares at least one exact band) and verified exactly.
+
+    Scale shape: NEVER payload×payload — candidates come from four
+    16-bit-band equi-joins (shuffle keyed on (band, value); band
+    tables carry doc_id + 64 ints, not payloads), de-duplicated before
+    the Hamming verify, which runs only on collisions. The integer
+    band fold and the zip_with Hamming are JVM-side; only the byte →
+    bit extraction is Python (Arrow-batched, the multimodal decode
+    seam). Everything is exact integers ⇒ full value-hash oracle via
+    DuckDB hex math (multimodal_audio_energy's convention)."""
+    from ..session import scoped_persist
+
+    h = scoped_persist(multimodal_phash(with_payload))
+    band_val = F.aggregate(
+        F.slice("bits", F.col("k") * PH_BAND_BITS + 1, PH_BAND_BITS),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * 2 + x,
+    )
+    bands = h.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(i) for i in range(PH_BANDS)])).alias("k"),
+        "bits",
+    ).select("doc_id", "k", band_val.alias("bv"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    ha = h.select(F.col("doc_id").alias("doc_id_a"), F.col("bits").alias("_ba"))
+    hb = h.select(F.col("doc_id").alias("doc_id_b"), F.col("bits").alias("_bb"))
+    hamming = F.aggregate(
+        F.zip_with("_ba", "_bb", lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(ha, "doc_id_a")
+        .join(hb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            hamming.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
     )

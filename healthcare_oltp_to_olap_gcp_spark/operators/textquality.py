@@ -1836,3 +1836,240 @@ def domain_mixture_weights(docs: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (Kudo 2018, SentencePiece's default model) —
+# the second production tokenizer family next to BPE: a piece
+# inventory with probabilities, fit by (hard-)EM, segmentation by
+# Viterbi. Completes the tokenizer surface: bpe_merges/bpe_encode are
+# the merge-table family; this is the probabilistic one.
+# ---------------------------------------------------------------------------
+UNI_MAX_PIECE_LEN = 6
+UNI_SEED_V = 120  # multi-char seed pieces (top by weighted occurrences)
+UNI_KEEP = 80  # multi-char pieces kept per EM prune
+UNI_EM_ROUNDS = 3
+
+
+def _uni_viterbi(term: str, logp: dict, max_len: int) -> list:
+    """Best segmentation of ``term`` under piece log-probs: maximize
+    Σ log p(piece); ties prefer the LONGER last piece (smaller split
+    point). Single characters are always in the inventory, so every
+    term segments. Pure function — the Spark E-step UDF and the test
+    reference both call exactly this."""
+    n = len(term)
+    best = [0.0] + [float("-inf")] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            piece = term[j:i]
+            lp = logp.get(piece)
+            if lp is None or best[j] == float("-inf"):
+                continue
+            cand = best[j] + lp
+            # strictly-better wins; equal scores prefer smaller j
+            # (longer last piece) — j ascends, so keep the FIRST max
+            if cand > best[i]:
+                best[i] = cand
+                back[i] = j
+    out, i = [], n
+    while i > 0:
+        out.append(term[back[i] : i])
+        i = back[i]
+    return out[::-1]
+
+
+def _uni_seed(words: list) -> dict:
+    """Seed piece counts from (term, n) rows: every substring
+    occurrence (overlaps included) of length 1..UNI_MAX_PIECE_LEN,
+    weighted by word frequency; multi-char pieces cut to the top
+    UNI_SEED_V by (count desc, piece asc), single chars always kept.
+    Used by the test reference; the Spark trainer computes the same
+    counts distributed (mapInPandas over the words table)."""
+    counts: dict = {}
+    for term, n in words:
+        ln = len(term)
+        for j in range(ln):
+            for i in range(j + 1, min(j + UNI_MAX_PIECE_LEN, ln) + 1):
+                p = term[j:i]
+                counts[p] = counts.get(p, 0) + n
+    singles = {p: c for p, c in counts.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda t: (-t[1], t[0]),
+    )[:UNI_SEED_V]
+    return {**singles, **dict(multi)}
+
+
+def _uni_logprobs(counts: dict) -> dict:
+    """Laplace-smoothed piece log-probs (+1 keeps never-used single
+    chars alive, Kudo's required-character rule)."""
+    import math
+
+    tot = sum(counts.values()) + len(counts)
+    return {p: math.log((c + 1) / tot) for p, c in counts.items()}
+
+
+def unigram_lm_vocab(
+    docs: DataFrame, em_rounds: int = UNI_EM_ROUNDS
+) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING: seed inventory from weighted
+    substring counts, then ``em_rounds`` of hard EM — E-step: Viterbi
+    re-segmentation of every distinct word; M-step: re-count, prune to
+    single chars + the top ``UNI_KEEP`` multi-char pieces, re-normalize
+    (Laplace-smoothed). Returns the shipped model table
+    (rank, piece, piece_len, piece_count, log_prob).
+
+    Spark shape (the bpe_merges state discipline): all iterative state
+    is the WORD-FREQUENCY table (|vocab| rows — millions at 100 TB,
+    never the corpus; the corpus is scanned once for it). Per round the
+    E-step is one Arrow-batched ``mapInPandas`` over the words table —
+    the Viterbi DP is genuinely imperative (winnow_fingerprint's
+    justification) — with the CURRENT piece table broadcast into the
+    closure (≤ singles+UNI_SEED_V rows, a bounded model artifact like
+    pq_trained's codebook); its (piece, weighted-count) output is one
+    map-side-combined vocab-sized aggregation, and only that ≤150-row
+    count table reaches the driver for the prune/re-normalize (loop
+    control, like bpe_merges' argmax rows).
+
+    Determinism: counts are exact longs; prune ties break (count desc,
+    piece asc); Viterbi tie-breaks are fixed (longer last piece); the
+    E-step float sums are per-word-local (no cross-partition float
+    reduction), so the fit is partition-order independent. Rows-only
+    correctness (iterative EM is not SQL); tests pin the ENTIRE model
+    table against a pure-python reference running the identical
+    algorithm, at two SFs."""
+    spark = docs.sparkSession
+    from ..session import scoped_persist
+
+    words_df = scoped_persist(
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    # seed counts are distributable (substring counts + sum): one more
+    # mapInPandas pass over the words table, so the driver only ever
+    # sees piece tables, never word rows.
+
+    def _substr_counts(batches):
+        for pdf in batches:
+            counts: dict = {}
+            for term, n in zip(pdf["term"], pdf["n"]):
+                ln = len(term)
+                for j in range(ln):
+                    for i in range(j + 1, min(j + UNI_MAX_PIECE_LEN, ln) + 1):
+                        p = term[j:i]
+                        counts[p] = counts.get(p, 0) + int(n)
+            yield pd.DataFrame(
+                {"piece": list(counts), "c": list(counts.values())}
+            )
+
+    seed_schema = "piece string, c long"
+    seed_agg = (
+        words_df.mapInPandas(_substr_counts, seed_schema)
+        .groupBy("piece")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    singles = {
+        r.piece: r.c for r in seed_agg.filter(F.length("piece") == 1).collect()
+    }
+    multi = {
+        r.piece: r.c
+        for r in seed_agg.filter(F.length("piece") > 1)
+        .orderBy(F.col("c").desc(), "piece")
+        .limit(UNI_SEED_V)
+        .collect()
+    }
+    counts = {**singles, **multi}
+    for _ in range(em_rounds):
+        logp = _uni_logprobs(counts)
+
+        def _estep(batches, logp=logp):
+            for pdf in batches:
+                acc: dict = {}
+                for term, n in zip(pdf["term"], pdf["n"]):
+                    for p in _uni_viterbi(term, logp, UNI_MAX_PIECE_LEN):
+                        acc[p] = acc.get(p, 0) + int(n)
+                yield pd.DataFrame(
+                    {"piece": list(acc), "c": list(acc.values())}
+                )
+
+        new = {
+            r.piece: r.c
+            for r in words_df.mapInPandas(_estep, seed_schema)
+            .groupBy("piece")
+            .agg(F.sum("c").cast("long").alias("c"))
+            .collect()
+        }
+        kept_multi = sorted(
+            ((p, c) for p, c in new.items() if len(p) > 1),
+            key=lambda t: (-t[1], t[0]),
+        )[:UNI_KEEP]
+        counts = {
+            **{p: new.get(p, 0) for p in singles},
+            **dict(kept_multi),
+        }
+    logp = _uni_logprobs(counts)
+    rows = sorted(counts.items(), key=lambda t: (-t[1], t[0]))
+    return spark.createDataFrame(
+        [
+            (i, p, len(p), int(c), round(logp[p], 6))
+            for i, (p, c) in enumerate(rows)
+        ],
+        "rank long, piece string, piece_len long, piece_count long, log_prob double",
+    )
+
+
+def unigram_encode(docs: DataFrame, vocab: DataFrame | None = None) -> DataFrame:
+    """Unigram-LM ENCODE: Viterbi-segment the corpus under a trained
+    piece table; per-document accounting
+    (doc_id, n_words, n_pieces, n_chars, chars_per_piece) — the
+    fertility numbers a tokenizer eval compares across models (directly
+    comparable to ``bpe_encode_documents``' columns).
+
+    Scale shape mirrors bpe_encode: segmentation is word-local, so the
+    Viterbi UDF runs over DISTINCT words only; the corpus is touched
+    for one (doc_id, word) count shuffle and one word-keyed join back.
+    The piece table rides in as a closure broadcast (model artifact).
+    Rows-only (inherits the trainer); per-word segmentations pinned
+    against the shared ``_uni_viterbi`` in tests."""
+    from ..session import scoped_persist
+
+    if vocab is None:
+        vocab = unigram_lm_vocab(docs)
+    logp = {r.piece: r.log_prob for r in vocab.collect()}
+
+    def _enc(batches):
+        for pdf in batches:
+            out = []
+            for term in pdf["term"]:
+                seg = _uni_viterbi(term, logp, UNI_MAX_PIECE_LEN)
+                out.append((term, len(seg)))
+            yield pd.DataFrame(out, columns=["term", "n_pieces_w"])
+
+    wc = scoped_persist(
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    enc = wc.select("term").distinct().mapInPandas(
+        _enc, "term string, n_pieces_w long"
+    )
+    per_doc = (
+        wc.join(enc, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_pieces_w")).cast("long").alias("n_pieces"),
+            F.sum(F.col("cnt") * F.length("term")).cast("long").alias("n_chars"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_pieces",
+        "n_chars",
+        F.round(F.col("n_chars") / F.col("n_pieces").cast("double"), 6).alias(
+            "chars_per_piece"
+        ),
+    )

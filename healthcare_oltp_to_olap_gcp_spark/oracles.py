@@ -4243,3 +4243,55 @@ SELECT vec_id, label, proto_sim,
   proto_rank * {_PP_DEN_} > {_PP_NUM_} * n_label AS keep
 FROM r
 """
+
+# Perceptual-hash (aHash) near-dup pairs over binary payloads
+# (operators/multimodal.multimodal_phash_pairs): payload bytes
+# re-derived from hex (multimodal_audio_energy's convention), exact
+# integer mean threshold (byte·m > Σ), 4×16-bit band blocking, exact
+# Hamming verify — everything integer ⇒ exact oracle.
+from .operators.multimodal import (  # noqa: E402
+    PH_BAND_BITS as _PHBB_,
+    PH_BANDS as _PHB_,
+    PH_MAX_HAMMING as _PHH_,
+    PH_N as _PHN_,
+)
+
+ORACLE_SQL["multimodal_phash_pairs"] = f"""
+WITH d AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         least(octet_length(encode(text)), {_PHN_}) AS m
+  FROM documents WHERE octet_length(encode(text)) > 0
+),
+b AS (
+  SELECT doc_id, m,
+    list_transform(range(CAST(m AS INT)),
+      i -> ('0x' || substr(hx, i * 2 + 1, 2))::BIGINT) AS bts
+  FROM d
+),
+s AS (SELECT doc_id, m, bts, list_aggregate(bts, 'sum') AS tot FROM b),
+bits AS (
+  SELECT doc_id,
+    list_transform(range({_PHN_}), i ->
+      CASE WHEN i < m AND bts[i + 1] * m > tot THEN 1 ELSE 0 END) AS bit
+  FROM s
+),
+bands AS (
+  SELECT doc_id, bit, k,
+    list_aggregate(list_transform(range({_PHBB_}),
+      j -> bit[k * {_PHBB_} + j + 1]
+           * (2 ** ({_PHBB_} - 1 - j))::BIGINT), 'sum') AS bv
+  FROM bits, unnest(range({_PHB_})) AS t(k)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b
+  FROM bands a JOIN bands c
+    ON a.k = c.k AND a.bv = c.bv AND a.doc_id < c.doc_id
+)
+SELECT doc_id_a, doc_id_b,
+  CAST(list_aggregate(list_transform(range({_PHN_}),
+    i -> abs(x.bit[i + 1] - y.bit[i + 1])), 'sum') AS BIGINT) AS hamming
+FROM cand JOIN bits x ON x.doc_id = doc_id_a
+          JOIN bits y ON y.doc_id = doc_id_b
+WHERE list_aggregate(list_transform(range({_PHN_}),
+    i -> abs(x.bit[i + 1] - y.bit[i + 1])), 'sum') <= {_PHH_}
+"""

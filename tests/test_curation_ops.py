@@ -1011,3 +1011,110 @@ def test_kcenter_invariants_and_radius_monotone_in_k(spark):
         radii[k] = max(r.coverage_radius for r in rows)
     # greedy centers are prefix-nested, so coverage can only shrink
     assert radii[16] <= radii[8] <= radii[4]
+
+
+def test_multimodal_phash_hand_case(spark):
+    from healthcare_oltp_to_olap_gcp_spark.operators import multimodal
+
+    base = "A" * 32 + "z" * 32  # bits: 32 zeros then 32 ones
+    inverted = "z" * 32 + "A" * 32  # complement: shares no band
+    one_off = "A" * 32 + "z" * 31 + "A"  # Hamming 1 from base
+    docs = _docs(spark, [base, base, inverted, one_off])
+    out = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in multimodal.multimodal_phash_pairs(
+            multimodal.attach_payload(docs)
+        ).collect()
+    }
+    assert out[(0, 1)] == 0
+    assert out[(0, 3)] == 1 and out[(1, 3)] == 1
+    assert not any(2 in p for p in out)  # complement never pairs
+
+
+def test_multimodal_phash_pairs_on_corpus(spark):
+    from healthcare_oltp_to_olap_gcp_spark.operators import multimodal
+
+    rows = multimodal.multimodal_phash_pairs(
+        multimodal.attach_payload(table(spark, SF001, "documents"))
+    ).collect()
+    assert rows  # the corpus has exact dups -> hamming-0 pairs exist
+    assert all(r.doc_id_a < r.doc_id_b for r in rows)
+    assert all(0 <= r.hamming <= multimodal.PH_MAX_HAMMING for r in rows)
+    assert any(r.hamming == 0 for r in rows)
+
+
+def _reference_unigram(words, rounds):
+    from healthcare_oltp_to_olap_gcp_spark.operators.textquality import (
+        UNI_KEEP,
+        UNI_MAX_PIECE_LEN,
+        _uni_logprobs,
+        _uni_seed,
+        _uni_viterbi,
+    )
+
+    counts = _uni_seed(words)
+    singles = {p for p in counts if len(p) == 1}
+    for _ in range(rounds):
+        logp = _uni_logprobs(counts)
+        new: dict = {}
+        for term, n in words:
+            for p in _uni_viterbi(term, logp, UNI_MAX_PIECE_LEN):
+                new[p] = new.get(p, 0) + n
+        kept = sorted(
+            ((p, c) for p, c in new.items() if len(p) > 1),
+            key=lambda t: (-t[1], t[0]),
+        )[:UNI_KEEP]
+        counts = {**{p: new.get(p, 0) for p in singles}, **dict(kept)}
+    logp = _uni_logprobs(counts)
+    rows = sorted(counts.items(), key=lambda t: (-t[1], t[0]))
+    return [(i, p, len(p), c, round(logp[p], 6)) for i, (p, c) in enumerate(rows)]
+
+
+def test_unigram_vocab_matches_pure_python_reference(spark):
+    docs = table(spark, SF001, "documents")
+    words = [
+        (r.term, r.n)
+        for r in docs.selectExpr("explode(split(lower(text), '\\\\s+')) AS term")
+        .where("term <> ''")
+        .groupBy("term")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    ]
+    expected = _reference_unigram(words, rounds=3)
+    got = [
+        (r.rank, r.piece, r.piece_len, r.piece_count, r.log_prob)
+        for r in textquality.unigram_lm_vocab(docs).orderBy("rank").collect()
+    ]
+    assert got == expected
+
+
+def test_unigram_learns_repeated_piece(spark):
+    docs = _docs(spark, ["ababab ababab ababab", "cd cd", "ababab"])
+    vocab = {r.piece: r for r in textquality.unigram_lm_vocab(docs).collect()}
+    # the dominant repeated string segments as one piece with top count
+    multi = [p for p in vocab if len(p) > 1]
+    assert "ababab" in multi
+    best_multi = max(multi, key=lambda p: vocab[p].piece_count)
+    assert best_multi == "ababab"
+
+
+def test_unigram_encode_consistent_with_viterbi(spark):
+    from healthcare_oltp_to_olap_gcp_spark.operators.textquality import (
+        UNI_MAX_PIECE_LEN,
+        _uni_viterbi,
+    )
+
+    docs = _docs(spark, ["the fast key order", "the the the", "zq"])
+    vocab = textquality.unigram_lm_vocab(docs)
+    logp = {r.piece: r.log_prob for r in vocab.collect()}
+    out = {r.doc_id: r for r in textquality.unigram_encode(docs, vocab).collect()}
+    for doc_id, text in [(0, "the fast key order"), (1, "the the the"), (2, "zq")]:
+        words = text.split()
+        n_pieces = sum(
+            len(_uni_viterbi(w, logp, UNI_MAX_PIECE_LEN)) for w in words
+        )
+        assert out[doc_id].n_words == len(words)
+        assert out[doc_id].n_pieces == n_pieces
+        assert out[doc_id].n_chars == sum(len(w) for w in words)
+        assert out[doc_id].n_pieces <= out[doc_id].n_chars

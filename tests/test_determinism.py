@@ -44,6 +44,9 @@ SENSITIVE = [
     # bounded Gonzalez fit + decimal per-center mean distances
     "domain_mixture_weights",
     "kcenter_diversity_sample",
+    # r6: EM fit state is exact-integer piece counts aggregated from a
+    # mapInPandas E-step — partitioning must not change the model
+    "unigram_lm_vocab",
 ]
 
 _TABLE_FOR = {
@@ -63,6 +66,7 @@ _TABLE_FOR = {
     "ivf_flat_trained_ann_topk": "embeddings",
     "domain_mixture_weights": "documents",
     "kcenter_diversity_sample": "embeddings",
+    "unigram_lm_vocab": "documents",
 }
 
 

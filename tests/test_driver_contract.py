@@ -70,6 +70,10 @@ _ROWS_ONLY_WINDOWED = {
     # invariants (corpus-member centers, population partition, radius
     # monotone in k, partition-order independence) are pinned locally
     "kcenter_diversity_sample",
+    # r6: unigram-LM EM is iterative (bpe_merges' rationale); the whole
+    # model table is pinned against a pure-python reference locally
+    "unigram_lm_vocab",
+    "unigram_encode_documents",
 }
 
 

@@ -335,6 +335,9 @@ _EAGER_BUILD = {
     # r6: collects its md5-ranked fit sample at plan-build time; its
     # one-row centers cross + invariants are asserted in its own tests
     "kcenter_diversity_sample",
+    # r6: EM loop / vocab collect run at plan-build time (bpe pattern)
+    "unigram_lm_vocab",
+    "unigram_encode_documents",
 }
 
 

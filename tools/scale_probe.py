@@ -121,6 +121,9 @@ PROBES = {
     "bm25_rerank_topk": {"documents": ["doc_id"], "embeddings": ["vec_id"]},
     "prototypicality_prune": {"embeddings": ["vec_id"]},
     "kcenter_diversity_sample": {"embeddings": ["vec_id"]},
+    "multimodal_phash_pairs": {"documents": ["doc_id"]},
+    "unigram_lm_vocab": {"documents": ["doc_id"]},
+    "unigram_encode_documents": {"documents": ["doc_id"]},
 }
 
 # C ∝ n probe variants (VERDICT r5 item 1). The corpus-as-queries
