@@ -637,6 +637,9 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_encode_documents": lambda s, d: textquality.unigram_encode(
         table(s, d, "documents")
     ),
+    "dataset_card_report": lambda s, d: textquality.dataset_card_report(
+        table(s, d, "documents")
+    ),
 }
 
 
@@ -677,6 +680,7 @@ _PRIORITY = [
     "bm25_rerank_topk",
     "prototypicality_prune",
     "multimodal_phash_pairs",
+    "dataset_card_report",
     # -- new in round 6: rows-only (iterative / driver-bounded fits) --
     "kcenter_diversity_sample",
     "unigram_lm_vocab",
@@ -724,8 +728,8 @@ _PRIORITY = [
     "events_json_k",
     "events_sliding_2h",
     "salted_event_type_counts",
-    "events_rollup",
-    # (events_cube, events_pivot, events_unpivot, distinct_users_by_type,
+    # (events_rollup, events_cube, events_pivot, events_unpivot,
+    # distinct_users_by_type,
     # value_range_window, value_percentiles and the two oldest r2 greens
     # fell out of the 50-slot window to make room for the eight round-6
     # operators; all have green driver rows — r1/r2 — and stay covered

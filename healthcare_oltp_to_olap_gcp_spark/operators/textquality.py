@@ -2073,3 +2073,77 @@ def unigram_encode(docs: DataFrame, vocab: DataFrame | None = None) -> DataFrame
             "chars_per_piece"
         ),
     )
+
+
+def dataset_card_report(docs: DataFrame) -> DataFrame:
+    """Per-source dataset card — the summary table a curation pipeline
+    publishes with a release (datasheet/data-card practice): document
+    and token volumes, language spread, Gopher-rule keep rate,
+    prefix-duplicate rate (corpus-wide md5 over the first 64 chars —
+    the cheap prefix-hash dedup proxy crawl pipelines run before full
+    near-dup; exact md5(text) dups don't exist in this corpus, so the
+    prefix key keeps the column live at every SF), and mean document
+    length, one row per source.
+
+    Pure composition of independently-oracled pieces
+    (gopher_quality_rules' keep flag; hash-group dedup à la
+    dedup_exact). Scale shape: two map-side-combined aggregations over
+    one corpus scan each (per-source rollup; prefix-hash dup grouping
+    whose >1-member groups join back as a semi-join) plus
+    |sources|-row joins — nothing larger than |sources| leaves an
+    aggregation. Exact counts + rounded divisions ⇒ value-hash oracle."""
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        token_count("text").alias("n_tok"),
+        F.char_length("text").cast("long").alias("n_ch"),
+        F.md5(F.substring("text", 1, 64)).alias("h"),
+    )
+    per_src = base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_ch").cast("long").alias("_chars"),
+    )
+    dup_groups = (
+        base.groupBy("h")
+        .agg(F.count("*").cast("long").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+    )
+    dup = (
+        base.join(dup_groups, "h", "left_semi")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("dup_docs"))
+    )
+    keep = (
+        gopher_quality_rules(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("keep").cast("long")).cast("long").alias("keep_docs")
+        )
+    )
+    return (
+        per_src.join(dup, "source", "left")
+        .join(keep, "source")
+        .withColumn("dup_docs", F.coalesce("dup_docs", F.lit(0).cast("long")))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            "dup_docs",
+            "keep_docs",
+            F.round(F.col("dup_docs") / F.col("n_docs").cast("double"), 6).alias(
+                "dup_rate"
+            ),
+            F.round(
+                F.col("keep_docs") / F.col("n_docs").cast("double"), 6
+            ).alias("keep_rate"),
+            F.round(F.col("_chars") / F.col("n_docs").cast("double"), 6).alias(
+                "mean_chars"
+            ),
+        )
+    )

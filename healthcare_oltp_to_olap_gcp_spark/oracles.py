@@ -4295,3 +4295,41 @@ FROM cand JOIN bits x ON x.doc_id = doc_id_a
 WHERE list_aggregate(list_transform(range({_PHN_}),
     i -> abs(x.bit[i + 1] - y.bit[i + 1])), 'sum') <= {_PHH_}
 """
+
+# Per-source dataset card (operators/textquality.dataset_card_report):
+# composed from the gopher-rules keep flag and a corpus-wide 64-char
+# prefix-hash dup key; exact integer counts, rounded divisions.
+ORACLE_SQL["dataset_card_report"] = f"""
+WITH base AS (
+  SELECT doc_id, source, lang,
+    CAST(len({TOKS}) AS BIGINT) AS n_tok,
+    CAST(length(text) AS BIGINT) AS n_ch,
+    md5(substr(text, 1, 64)) AS h
+  FROM documents
+),
+per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+    CAST(SUM(n_ch) AS BIGINT) AS chars
+  FROM base GROUP BY 1
+),
+dupg AS (SELECT h FROM base GROUP BY h HAVING COUNT(*) > 1),
+dup AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS dup_docs
+  FROM base SEMI JOIN dupg USING (h) GROUP BY 1
+),
+keep AS (
+  SELECT d.source,
+    CAST(SUM(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT) AS keep_docs
+  FROM ({ORACLE_SQL["gopher_quality_rules"]}) g
+  JOIN documents d USING (doc_id) GROUP BY 1
+)
+SELECT source, n_docs, n_tokens, n_langs, dup_docs, keep_docs,
+  ROUND(dup_docs / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+  ROUND(keep_docs / CAST(n_docs AS DOUBLE), 6) AS keep_rate,
+  ROUND(chars / CAST(n_docs AS DOUBLE), 6) AS mean_chars
+FROM (SELECT p.*, COALESCE(d.dup_docs, 0) AS dup_docs
+      FROM per_src p LEFT JOIN dup d USING (source))
+JOIN keep USING (source)
+"""

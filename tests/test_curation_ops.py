@@ -1118,3 +1118,23 @@ def test_unigram_encode_consistent_with_viterbi(spark):
         assert out[doc_id].n_pieces == n_pieces
         assert out[doc_id].n_chars == sum(len(w) for w in words)
         assert out[doc_id].n_pieces <= out[doc_id].n_chars
+
+
+def test_dataset_card_report_hand_case(spark):
+    shared_prefix = "p" * 64
+    rows = [
+        (0, shared_prefix + " alpha tail one", "en", "srcA", 1),
+        (1, shared_prefix + " beta tail two", "en", "srcA", 1),
+        (2, "completely different text here", "fr", "srcA", 1),
+        (3, "another unrelated document", "de", "srcB", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.source: r for r in textquality.dataset_card_report(docs).collect()}
+    a, b = out["srcA"], out["srcB"]
+    assert a.n_docs == 3 and b.n_docs == 1
+    assert a.n_langs == 2 and b.n_langs == 1
+    assert a.dup_docs == 2 and b.dup_docs == 0  # the shared 64-char prefix
+    assert abs(a.dup_rate - 2 / 3) < 1e-6 and b.dup_rate == 0.0
+    assert 0.0 <= a.keep_rate <= 1.0

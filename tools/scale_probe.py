@@ -124,6 +124,7 @@ PROBES = {
     "multimodal_phash_pairs": {"documents": ["doc_id"]},
     "unigram_lm_vocab": {"documents": ["doc_id"]},
     "unigram_encode_documents": {"documents": ["doc_id"]},
+    "dataset_card_report": {"documents": ["doc_id"]},
 }
 
 # C ∝ n probe variants (VERDICT r5 item 1). The corpus-as-queries
