@@ -149,6 +149,14 @@ SF01_KEYS = [
     "unimax_sample_documents",
     "docs_contamination_bloom",
     "neardup_recall_report",
+    # round-6 additions (the driver gate runs at sf0.01 — pre-verify
+    # every new oracle-backed operator there, not just at sf0.001)
+    "gopher_quality_rules",
+    "domain_mixture_weights",
+    "bm25_rerank_topk",
+    "prototypicality_prune",
+    "multimodal_phash_pairs",
+    "dataset_card_report",
 ]
 
 
