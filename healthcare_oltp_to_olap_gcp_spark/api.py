@@ -622,6 +622,9 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_rerank_topk": lambda s, d: retrieval.bm25_rerank_topk(
         table(s, d, "documents"), table(s, d, "embeddings")
     ),
+    "bm25_rerank_dfcap_topk": lambda s, d: retrieval.bm25_rerank_topk(
+        table(s, d, "documents"), table(s, d, "embeddings"), df_cap=True
+    ),
     "prototypicality_prune": lambda s, d: similarity.prototypicality_prune(
         table(s, d, "embeddings")
     ),
@@ -678,6 +681,7 @@ _PRIORITY = [
     "gopher_quality_rules",
     "domain_mixture_weights",
     "bm25_rerank_topk",
+    "bm25_rerank_dfcap_topk",
     "prototypicality_prune",
     "multimodal_phash_pairs",
     "dataset_card_report",
@@ -715,7 +719,6 @@ _PRIORITY = [
     "q12_priority_lines",
     "q14_promo_revenue",
     "q18_large_orders",
-    "q19_disjunctive_revenue",
     "min_price_supplier",
     "customers_without_orders",
     "top_customers_per_nation",
@@ -728,8 +731,8 @@ _PRIORITY = [
     "events_json_k",
     "events_sliding_2h",
     "salted_event_type_counts",
-    # (events_rollup, events_cube, events_pivot, events_unpivot,
-    # distinct_users_by_type,
+    # (q19_disjunctive_revenue, events_rollup, events_cube,
+    # events_pivot, events_unpivot, distinct_users_by_type,
     # value_range_window, value_percentiles and the two oldest r2 greens
     # fell out of the 50-slot window to make room for the eight round-6
     # operators; all have green driver rows — r1/r2 — and stay covered

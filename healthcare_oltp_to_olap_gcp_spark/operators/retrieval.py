@@ -207,6 +207,7 @@ def bm25_rerank_topk(
     embeddings: DataFrame,
     m: int = RERANK_M,
     k: int = DEFAULT_K,
+    df_cap: bool = False,
 ) -> DataFrame:
     """Two-stage retrieval — the shape every production RAG stack runs:
     a cheap lexical recall stage (exact BM25, top-``m`` per query) cut
@@ -228,10 +229,17 @@ def bm25_rerank_topk(
     Determinism: BM25 scores are the oracle-checked decimal sums of
     ``bm25_topk``; the rerank cosine is the normalize-once sequential
     fold every ANN operator uses, rounded 6 dp; ranks break ties on
-    doc_id — full value-hash oracle."""
+    doc_id — full value-hash oracle.
+
+    ``df_cap=True`` (registered as ``bm25_rerank_dfcap_topk``) swaps
+    the df-capped BM25 in as stage 1 — the deployment configuration
+    SCALING.md recommends for the cascade, since the cap bounds the
+    recall stage's candidate work by the capped posting lists while the
+    rerank stage is unchanged; separately oracled, like the bm25 twins
+    themselves."""
     from ..functions.vectors import as_double, normalized
 
-    cand = bm25_topk(docs, k=m).select(
+    cand = bm25_topk(docs, k=m, df_cap=df_cap).select(
         "query_id", "doc_id", F.col("rank").alias("bm25_rank")
     )
     emb = embeddings.select(

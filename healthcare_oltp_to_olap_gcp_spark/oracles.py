@@ -4182,11 +4182,9 @@ FROM raw, z
 # 6 dp rounding as every ANN oracle, ranks tie-broken on doc_id.
 from .operators.retrieval import RERANK_M as _RR_M_  # noqa: E402
 
-ORACLE_SQL["bm25_rerank_topk"] = f"""
-WITH cand AS ({_bm25_oracle(
-    "(SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)",
-    k=_RR_M_,
-)}),
+def _bm25_rerank_oracle(df_cte: str) -> str:
+    return f"""
+WITH cand AS ({_bm25_oracle(df_cte, k=_RR_M_)}),
 {_NORM_CTE},
 s AS (
   SELECT c.query_id, c.doc_id, c.rank AS bm25_rank,
@@ -4203,6 +4201,13 @@ r AS (
 SELECT query_id, doc_id, bm25_rank, sim, CAST(rn AS BIGINT) AS rank
 FROM r WHERE rn <= {_BM_K_}
 """
+
+
+ORACLE_SQL["bm25_rerank_topk"] = _bm25_rerank_oracle(
+    "(SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)"
+)
+# df-capped stage 1 (the deployment form of the cascade) — same rerank
+ORACLE_SQL["bm25_rerank_dfcap_topk"] = _bm25_rerank_oracle(_BM25_DF_CAPPED)
 
 # Prototypicality pruning (operators/similarity.prototypicality_prune):
 # composes the label_centroids oracle — per-label normalized prototype,

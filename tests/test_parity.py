@@ -154,6 +154,7 @@ SF01_KEYS = [
     "gopher_quality_rules",
     "domain_mixture_weights",
     "bm25_rerank_topk",
+    "bm25_rerank_dfcap_topk",
     "prototypicality_prune",
     "multimodal_phash_pairs",
     "dataset_card_report",

@@ -320,6 +320,7 @@ _BNLJ_ALLOWED = {
     # r6 reviewed: inherits bm25_topk's one-row corpus-stats cross;
     # the candidate and query-vector joins are proper broadcast-hash
     "bm25_rerank_topk",
+    "bm25_rerank_dfcap_topk",  # + the dfcap twin's theta/vocab crosses
 }
 # These run eager work (KMeans fit / query collect / stream drain) at
 # plan-build time; their plan shape is asserted in their own tests.

@@ -125,6 +125,7 @@ PROBES = {
     "unigram_lm_vocab": {"documents": ["doc_id"]},
     "unigram_encode_documents": {"documents": ["doc_id"]},
     "dataset_card_report": {"documents": ["doc_id"]},
+    "bm25_rerank_dfcap_topk": {"documents": ["doc_id"], "embeddings": ["vec_id"]},
 }
 
 # C ∝ n probe variants (VERDICT r5 item 1). The corpus-as-queries
