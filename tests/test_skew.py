@@ -101,3 +101,34 @@ def test_aqe_splits_skewed_join(spark, skew_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@pytest.fixture(scope="module")
+def label_skew_dir(tmp_path_factory):
+    """sf0.01 embeddings with the label collapsed to one value for 80%
+    of vectors — the dominant-class shape prototypicality_prune's
+    within-label rank window partitions on."""
+    d = tmp_path_factory.mktemp("labelskew")
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copy(f"{SF01}/{t}.parquet", d / f"{t}.parquet")
+    tbl = pq.read_table(f"{SF01}/embeddings.parquet")
+    pdf = tbl.to_pandas()
+    pdf.loc[pdf["vec_id"] % 5 != 0, "label"] = 1
+    import pyarrow as pa
+
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=tbl.schema, preserve_index=False),
+        d / "embeddings.parquet",
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name", ("prototypicality_prune", "label_centroids", "centroid_auc_report")
+)
+def test_label_keyed_parity_under_skew(spark, label_skew_dir, name):
+    """An 80%-one-label class distribution must not change correctness
+    of the label-keyed operators (rank windows, centroid means, AUC
+    bins all partition on the skewed key)."""
+    assert_parity(spark, name, label_skew_dir)
