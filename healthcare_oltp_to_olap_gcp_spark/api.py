@@ -628,6 +628,9 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prototypicality_prune": lambda s, d: similarity.prototypicality_prune(
         table(s, d, "embeddings")
     ),
+    "prototypicality_prune_bucketed": lambda s, d: (
+        similarity.prototypicality_prune_bucketed(table(s, d, "embeddings"))
+    ),
     "kcenter_diversity_sample": lambda s, d: similarity.kcenter_diversity_sample(
         table(s, d, "embeddings")
     ),
@@ -683,6 +686,7 @@ _PRIORITY = [
     "bm25_rerank_topk",
     "bm25_rerank_dfcap_topk",
     "prototypicality_prune",
+    "prototypicality_prune_bucketed",
     "multimodal_phash_pairs",
     "dataset_card_report",
     # -- new in round 6: rows-only (iterative / driver-bounded fits) --
@@ -718,7 +722,6 @@ _PRIORITY = [
     "q10_returned_items",
     "q12_priority_lines",
     "q14_promo_revenue",
-    "q18_large_orders",
     "min_price_supplier",
     "customers_without_orders",
     "top_customers_per_nation",

@@ -2041,3 +2041,84 @@ def kcenter_diversity_sample(
         )
         .orderBy("center_rank")
     )
+
+
+def prototypicality_prune_bucketed(embeddings: DataFrame) -> DataFrame:
+    """Scale twin of ``prototypicality_prune`` with IDENTICAL output
+    (it shares the oracle, the ann_gemm/ann_topk pattern): the
+    within-class rank is decomposed so no window ever partitions on
+    the label alone.
+
+    The plain form's ``row_number() OVER (PARTITION BY label)`` has
+    parallelism = |labels| — with a handful of classes at 100 TB each
+    reducer sorts a corpus-sized partition (and AQE's skew split only
+    helps joins, not window sorts). Here the rank is rebuilt exactly:
+
+      1. sims are already rounded to 6 dp, so the per-(label, sim)
+         COUNT table is a bounded HISTOGRAM (the hist_value_percentiles
+         trick) — the cumulative "rows strictly above this sim" window
+         runs on that table, not on rows;
+      2. the tie offset is a window partitioned by (label, sim) —
+         cardinality = distinct histogram cells, and each partition is
+         one tie set, so parallelism scales with the data;
+      3. rank = rows_above + tie_rank; keep is the same integer
+         cross-multiply.
+
+    row_number(label ORDER BY sim DESC, vec_id) ≡ (# rows with higher
+    sim) + (position among equal-sim rows by vec_id) — exact identity,
+    asserted row-for-row against the window form in tests."""
+    cent = (
+        label_centroids(embeddings)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+                lambda s: s["centroid"],
+            ).alias("cv")
+        )
+        .select("label", normalized(F.col("cv")).alias("cnv"))
+    )
+    corpus = embeddings.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        normalized(as_double("embedding")).alias("nv"),
+    )
+    scored = corpus.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.round(dot(F.col("nv"), F.col("cnv")), 6).alias("proto_sim"),
+    )
+    hist = scored.groupBy("label", "proto_sim").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    w_hist = (
+        Window.partitionBy("label")
+        .orderBy(F.col("proto_sim").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn_hist = Window.partitionBy("label")
+    cume = hist.select(
+        "label",
+        "proto_sim",
+        F.coalesce(F.sum("_c").over(w_hist), F.lit(0).cast("long")).alias(
+            "_above"
+        ),
+        F.sum("_c").over(wn_hist).cast("long").alias("n_label"),
+    )
+    w_tie = Window.partitionBy("label", "proto_sim").orderBy("vec_id")
+    return (
+        scored.withColumn("_tie", F.row_number().over(w_tie).cast("long"))
+        .join(cume, ["label", "proto_sim"])
+        .select(
+            "vec_id",
+            "label",
+            "proto_sim",
+            (F.col("_above") + F.col("_tie")).alias("proto_rank"),
+            "n_label",
+        )
+        .withColumn(
+            "keep",
+            F.col("proto_rank") * PROTO_PRUNE_DEN
+            > PROTO_PRUNE_NUM * F.col("n_label"),
+        )
+    )

@@ -4209,6 +4209,9 @@ ORACLE_SQL["bm25_rerank_topk"] = _bm25_rerank_oracle(
 # df-capped stage 1 (the deployment form of the cascade) — same rerank
 ORACLE_SQL["bm25_rerank_dfcap_topk"] = _bm25_rerank_oracle(_BM25_DF_CAPPED)
 
+# The bucketed scale twin rebuilds the identical rank from the bounded
+# sim-histogram + tie windows — same output, one oracle
+# (operators/similarity.prototypicality_prune_bucketed).
 # Prototypicality pruning (operators/similarity.prototypicality_prune):
 # composes the label_centroids oracle — per-label normalized prototype,
 # exact cosine to the row's OWN label centroid, within-label rank with
@@ -4338,3 +4341,6 @@ FROM (SELECT p.*, COALESCE(d.dup_docs, 0) AS dup_docs
       FROM per_src p LEFT JOIN dup d USING (source))
 JOIN keep USING (source)
 """
+
+
+ORACLE_SQL["prototypicality_prune_bucketed"] = ORACLE_SQL["prototypicality_prune"]

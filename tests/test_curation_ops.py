@@ -1138,3 +1138,46 @@ def test_dataset_card_report_hand_case(spark):
     assert a.dup_docs == 2 and b.dup_docs == 0  # the shared 64-char prefix
     assert abs(a.dup_rate - 2 / 3) < 1e-6 and b.dup_rate == 0.0
     assert 0.0 <= a.keep_rate <= 1.0
+
+
+def test_prototypicality_bucketed_equals_window_form(spark):
+    a = sorted(
+        map(tuple, similarity.prototypicality_prune(
+            table(spark, SF001, "embeddings")
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, similarity.prototypicality_prune_bucketed(
+            table(spark, SF001, "embeddings")
+        ).select(
+            "vec_id", "label", "proto_sim", "proto_rank", "n_label", "keep"
+        ).collect())
+    )
+    assert a == b
+
+
+def test_prototypicality_bucketed_has_no_label_only_window(spark):
+    """The twin's reason to exist: every window partition key must be
+    finer than the bare label (histogram table or (label, sim) tie
+    sets), so reducer parallelism scales with the data instead of
+    |labels|."""
+    plan = (
+        similarity.prototypicality_prune_bucketed(
+            table(spark, SF001, "embeddings")
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    for m in re.finditer(r"Window \[([^\]]*)\]", plan):
+        spec = m.group(1)
+        keys = spec.split("windowspecdefinition(")[1].split(
+            ", specifiedwindowframe"
+        )[0]
+        if "proto_sim" in keys:
+            continue  # row-level tie window keyed (label, proto_sim)
+        # label-only windows are allowed ONLY over the bounded
+        # histogram table (their function sums the _c cell counts)
+        assert spec.startswith("sum(_c"), spec[:100]

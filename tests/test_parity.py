@@ -156,6 +156,7 @@ SF01_KEYS = [
     "bm25_rerank_topk",
     "bm25_rerank_dfcap_topk",
     "prototypicality_prune",
+    "prototypicality_prune_bucketed",
     "multimodal_phash_pairs",
     "dataset_card_report",
 ]

@@ -125,7 +125,13 @@ def label_skew_dir(tmp_path_factory):
 
 
 @pytest.mark.parametrize(
-    "name", ("prototypicality_prune", "label_centroids", "centroid_auc_report")
+    "name",
+    (
+        "prototypicality_prune",
+        "prototypicality_prune_bucketed",
+        "label_centroids",
+        "centroid_auc_report",
+    ),
 )
 def test_label_keyed_parity_under_skew(spark, label_skew_dir, name):
     """An 80%-one-label class distribution must not change correctness

@@ -120,6 +120,7 @@ PROBES = {
     "domain_mixture_weights": {"documents": ["doc_id"]},
     "bm25_rerank_topk": {"documents": ["doc_id"], "embeddings": ["vec_id"]},
     "prototypicality_prune": {"embeddings": ["vec_id"]},
+    "prototypicality_prune_bucketed": {"embeddings": ["vec_id"]},
     "kcenter_diversity_sample": {"embeddings": ["vec_id"]},
     "multimodal_phash_pairs": {"documents": ["doc_id"]},
     "unigram_lm_vocab": {"documents": ["doc_id"]},
