@@ -646,6 +646,13 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_card_report": lambda s, d: textquality.dataset_card_report(
         table(s, d, "documents")
     ),
+    # -- round 7 --
+    "retrieval_quality_report": lambda s, d: retrieval.retrieval_quality_report(
+        table(s, d, "documents"), table(s, d, "embeddings")
+    ),
+    "ann_index_incremental": lambda s, d: similarity.ann_index_incremental(
+        table(s, d, "embeddings")
+    ),
 }
 
 
@@ -656,94 +663,87 @@ def _streaming_pipeline():
 
 
 # The driver's correctness gate checks the FIRST 50 entries of QUERIES in
-# insertion order (confirmed rounds 1-5). Window composition for round 6
-# (VERDICT r5 item 3 — the stale-green rotation):
+# insertion order (confirmed rounds 1-6). Window composition for round 7
+# (VERDICT r6 item 2 — oldest-first recency rotation, now ENFORCED by
+# tools/window_check.py's staleness gate):
 #   1-2   the two operators new this round (no driver row can exist
-#         yet): the KMeans-trained IVF twins, rows-only like
-#         pq_trained (the seeded twins remain the oracled controls,
-#         recall(trained) >= recall(seeded) asserted locally);
-#   then  the 16 reference-parity queries (star ETL, dims, sanity,
-#         monitoring) — green since round 1 but not driver-checked
-#         since, while four rounds of shared-helper refactors landed;
-#         fresh hash rows retire that drift risk;
-#   then  the remaining 30 oracle-backed round-1 greens (TPC-H
-#         shapes, grouping/pivot family, CDC/quality gates) — the
-#         same staleness argument;
-#   last  the two oldest round-2 greens (dedup_exact,
-#         docs_fingerprint) to start the r2 refresh.
-# The three round-1 rows-only sketches (hll_sketch_distinct_users,
-# approx_distinct_users, approx_value_percentiles) stay out: a fresh
-# `no_oracle` row adds nothing over their r1 rows, and their bounded-
-# error tests run every round. Everything not in the window keeps
-# identical coverage through tests/test_parity.py at sf0.001 +
-# sf0.01, and tools/window_check.py (wired into the test suite) fails
-# CI if ANY registered query — oracle-backed or rows-only — has never
-# been driver-checked AND is outside this window.
+#         yet): retrieval_quality_report (oracle-backed nDCG/MRR
+#         dashboard) and ann_index_incremental (oracle-backed
+#         maintained-IVF insert path);
+#   3-8   risk-ranked re-verifies: the six IVF-family queries whose
+#         physical plan changed this round (the per-row argmax
+#         assignment replacing the n·C window shuffle, VERDICT r6
+#         item 1) — outputs are oracle-identical by construction and
+#         locally parity-green, but the changed plans earn fresh
+#         driver rows;
+#   then  the 42-query oldest cohort, oldest first: the 12 keys whose
+#         last driver row is r1 (rollup/cube/pivot/unpivot family,
+#         value percentiles, q18/q19, and the three rows-only
+#         sketches — included this time because the recency gate
+#         treats rows-only entries uniformly) and the 30 r2-checked
+#         keys (docs_* quality family, TPC-H q7-q22 remainder,
+#         multimodal meta/frames, ivf_ann_topk, samplers,
+#         fingerprints).
+# Everything not in the window keeps identical coverage through
+# tests/test_parity.py at sf0.001 + sf0.01, and tools/window_check.py
+# (wired into the test suite) fails CI if ANY registered query has
+# never been driver-checked or has gone >= 6 rounds without a fresh
+# row while outside the current window.
 _PRIORITY = [
-    # -- new in round 6: oracle-backed --
-    "gopher_quality_rules",
-    "domain_mixture_weights",
-    "bm25_rerank_topk",
-    "bm25_rerank_dfcap_topk",
-    "prototypicality_prune",
-    "prototypicality_prune_bucketed",
-    "multimodal_phash_pairs",
-    "dataset_card_report",
-    # -- new in round 6: rows-only (iterative / driver-bounded fits) --
-    "kcenter_diversity_sample",
-    "unigram_lm_vocab",
-    "unigram_encode_documents",
-    "ivf_flat_trained_ann_topk",
-    "ivfpq_trained_ann_topk",
-    # -- reference-parity set, stale since round 1 --
-    "fact_events",
-    "fact_events_incremental",
-    "dim_time",
-    "dim_user",
-    "dim_event_type",
-    "dim_band",
-    "dim_source",
-    "fact_events_star",
-    "sanity_row_counts",
-    "sanity_missing_dims",
-    "weekend_activity",
-    "mon_executions",
-    "mon_last_status",
-    "mon_daily_summary",
-    "mon_7d_summary",
-    "mon_errors",
-    # -- oracle-backed round-1 greens, stale since round 1 --
-    "q1_pricing_summary",
-    "q1_sql",
-    "q3_top_revenue_orders",
-    "q4_order_priority",
-    "q5_revenue_by_nation",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q12_priority_lines",
-    "q14_promo_revenue",
-    "min_price_supplier",
-    "customers_without_orders",
-    "top_customers_per_nation",
-    "bloom_prejoin_revenue",
-    "user_value_deltas",
-    "merge_upsert_events",
-    "validate_events",
-    "events_hourly",
-    "funnel_view_to_purchase",
-    "events_json_k",
-    "events_sliding_2h",
-    "salted_event_type_counts",
-    # (q19_disjunctive_revenue, events_rollup, events_cube,
-    # events_pivot, events_unpivot, distinct_users_by_type,
-    # value_range_window, value_percentiles and the two oldest r2 greens
-    # fell out of the 50-slot window to make room for the eight round-6
-    # operators; all have green driver rows — r1/r2 — and stay covered
-    # by the sf0.001+sf0.01 parity sweeps)
-    # Displaced (green r5, kept covered by the parity sweeps like
-    # every out-of-window entry): the whole round-5 window — the ANN
-    # family re-verify, the r5 new-operator set, and the risk-ranked
-    # regression picks all have fresh r5 hash rows.
+    # -- new in round 7 --
+    "retrieval_quality_report",
+    "ann_index_incremental",
+    # -- risk re-verifies: IVF-family plans changed in r7 --
+    "ivf_flat_ann_topk",
+    "ivfpq_ann_topk",
+    "knn_graph_edges",
+    "knn_graph_components",
+    "semdedup_embeddings",
+    "ivf_probe_sweep",
+    # -- oldest cohort: last driver row r1 --
+    "approx_distinct_users",
+    "approx_value_percentiles",
+    "distinct_users_by_type",
+    "events_cube",
+    "events_pivot",
+    "events_rollup",
+    "events_unpivot",
+    "hll_sketch_distinct_users",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "value_percentiles",
+    "value_range_window",
+    # -- oldest cohort: last driver row r2 --
+    "chunk_documents",
+    "dedup_exact",
+    "docs_contamination",
+    "docs_fingerprint",
+    "docs_langid",
+    "docs_pii_scrub",
+    "docs_quality",
+    "docs_repetition",
+    "docs_token_stats",
+    "embedding_neardup_pairs",
+    "ivf_ann_topk",
+    "multimodal_frames",
+    "multimodal_meta",
+    "orders_daily_cumulative",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q20_promotable_suppliers",
+    "q22_global_sales_opportunity",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "sample_documents",
+    "stratified_sample_by_lang",
+    "tfidf_top_terms",
+    "token_entropy",
+    "token_freq",
+    "winnow_fingerprint",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

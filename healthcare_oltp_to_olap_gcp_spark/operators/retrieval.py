@@ -268,3 +268,114 @@ def bm25_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "bm25_rank", "sim", "rank")
     )
+
+
+def _gain(rank_col: F.Column) -> F.Column:
+    """Per-position DCG gain 1/log2(rank+1), rounded 8 dp and cast to
+    exact decimal so sums are order-independent — the same
+    round-then-DECIMAL-SUM trick every float aggregation in this repo
+    uses to stay value-hash-oracle-able."""
+    return F.round(
+        F.lit(1.0) / F.log2(rank_col.cast("double") + F.lit(1.0)), 8
+    ).cast("decimal(18,8)")
+
+
+def retrieval_quality_report(
+    docs: DataFrame, embeddings: DataFrame, k: int = DEFAULT_K
+) -> DataFrame:
+    """Ranked-retrieval quality dashboard (VERDICT r6 item 4): nDCG@k,
+    MRR, and recall@k of the four lexical-cascade retrievers —
+    bm25, bm25_dfcap, bm25_rerank, bm25_rerank_dfcap — against the
+    exact brute-force cosine top-k as relevance truth (the doc_id and
+    vec_id keyspaces coincide in this corpus, so the ANN query slice
+    IS the BM25 query slice). This is the first report a RAG user asks
+    of a retrieval stack: how much ranking quality does the lexical
+    recall stage lose, and how much does the vector rerank buy back —
+    a hand-constructed case where the rerank provably lifts nDCG over
+    raw BM25 is pinned in tests/test_curation_ops.py.
+
+    Metrics (binary relevance = membership in the cosine top-k):
+      nDCG@k = mean over queries of DCG/IDCG, DCG = Σ 1/log2(rank+1)
+               over relevant retrieved positions, IDCG = the same sum
+               over positions 1..|truth_q|;
+      MRR    = mean over queries of 1/(first relevant rank), 0 when
+               the method retrieves no relevant doc;
+      recall = total relevant retrieved / total truth rows.
+
+    Scale shape: truth is ONE persisted brute pass (O(|Q|·n) compute,
+    corpus never shuffles — ann_brute_topk's plan); each method's
+    output is |Q|·k rows, so every join/aggregate after retrieval runs
+    on tiny ranked lists and the report collapses to 4 rows. Every
+    gain term is rounded-then-DECIMAL-summed (order-independent), all
+    ranks are total orders ⇒ full value-hash oracle."""
+    from ..session import scoped_persist
+    from .similarity import ann_brute_topk
+
+    truth = scoped_persist(
+        ann_brute_topk(embeddings, k).select(
+            "query_id", F.col("neighbor_id").alias("doc_id")
+        )
+    )
+    # per-query ideal DCG over its |truth| positions (k when the corpus
+    # has at least k+1 docs; exact either way)
+    per_q_truth = truth.groupBy("query_id").agg(F.count("*").alias("n_rel"))
+    idcg = per_q_truth.select(
+        "query_id",
+        "n_rel",
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("n_rel").cast("int")),
+            F.lit("0").cast("decimal(28,8)"),
+            lambda acc, i: (acc + _gain(i)).cast("decimal(28,8)"),
+        ).alias("idcg"),
+    )
+    methods = (
+        ("bm25", lambda: bm25_topk(docs, k=k)),
+        ("bm25_dfcap", lambda: bm25_topk(docs, k=k, df_cap=True)),
+        ("bm25_rerank", lambda: bm25_rerank_topk(docs, embeddings, k=k)),
+        (
+            "bm25_rerank_dfcap",
+            lambda: bm25_rerank_topk(docs, embeddings, k=k, df_cap=True),
+        ),
+    )
+    rows = None
+    for name, fn in methods:
+        hits = fn().select("query_id", "doc_id", "rank").join(
+            truth, ["query_id", "doc_id"]
+        )
+        per_q_hit = hits.groupBy("query_id").agg(
+            F.sum(_gain(F.col("rank"))).alias("dcg"),
+            F.min("rank").alias("first_rel"),
+            F.count("*").alias("n_hit"),
+        )
+        per_q = idcg.join(per_q_hit, "query_id", "left").select(
+            "n_rel",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("dcg").cast("double"), F.lit(0.0))
+                / F.col("idcg").cast("double"),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("ndcg_q"),
+            F.coalesce(
+                F.round(F.lit(1.0) / F.col("first_rel").cast("double"), 8),
+                F.lit(0.0),
+            )
+            .cast("decimal(18,8)")
+            .alias("rr_q"),
+        )
+        row = per_q.agg(
+            F.lit(name).alias("method"),
+            F.count("*").cast("long").alias("n_queries"),
+            F.round(
+                F.sum("ndcg_q").cast("double") / F.count("*").cast("double"), 6
+            ).alias("ndcg"),
+            F.round(
+                F.sum("rr_q").cast("double") / F.count("*").cast("double"), 6
+            ).alias("mrr"),
+            F.round(
+                F.sum("n_hit").cast("double") / F.sum("n_rel").cast("double"), 6
+            ).alias("recall"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

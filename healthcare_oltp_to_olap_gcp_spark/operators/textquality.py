@@ -1709,10 +1709,12 @@ def gopher_quality_rules(docs: DataFrame) -> DataFrame:
     logs so each rule's kill-rate can be monitored per source.
 
     Scale shape: one projection, zero shuffles — every counter is a
-    higher-order function over the row's own token array (the
-    dominance counter is O(words·distinct) per row, bounded by the
-    word-count rule's own ceiling), so the operator is a pure map over
-    the corpus at any scale. All comparisons are integer
+    higher-order function over the row's own token array. The
+    dominance counter sorts the row's tokens and folds the longest
+    equal-run — O(words·log words) per row (r7, replacing the
+    O(words·distinct) count-each-distinct form the r6 verdict flagged
+    as a per-row quadratic on book-length documents); identical
+    integer output, same oracle. All comparisons are integer
     cross-multiplications — no float anywhere — so the value-hash
     oracle is trivially exact."""
     t = tokens("text")
@@ -1727,13 +1729,30 @@ def gopher_quality_rules(docs: DataFrame) -> DataFrame:
         F.size(F.filter("_t", lambda x: x.isin(*GOPHER_STOP_SET)))
         .cast("long")
         .alias("stop_hits"),
-        F.array_max(
-            F.transform(
-                F.array_distinct("_t"),
-                lambda x: F.size(F.filter(F.col("_t"), lambda y: y == x)),
-            )
+        F.when(F.size("_t") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.aggregate(
+                F.array_sort("_t"),
+                F.struct(
+                    F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).alias("run"),
+                    F.lit(0).alias("best"),
+                ),
+                lambda a, x: F.struct(
+                    x.alias("prev"),
+                    F.when(x.eqNullSafe(a["prev"]), a["run"] + 1)
+                    .otherwise(F.lit(1))
+                    .alias("run"),
+                    F.greatest(
+                        a["best"],
+                        F.when(x.eqNullSafe(a["prev"]), a["run"] + 1).otherwise(
+                            F.lit(1)
+                        ),
+                    ).alias("best"),
+                ),
+                lambda a: a["best"],
+            ).cast("long")
         )
-        .cast("long")
         .alias("top_word_count"),
     )
     n = F.col("n_words")

@@ -4209,6 +4209,97 @@ ORACLE_SQL["bm25_rerank_topk"] = _bm25_rerank_oracle(
 # df-capped stage 1 (the deployment form of the cascade) — same rerank
 ORACLE_SQL["bm25_rerank_dfcap_topk"] = _bm25_rerank_oracle(_BM25_DF_CAPPED)
 
+# Ranked-retrieval quality dashboard (operators/retrieval.
+# retrieval_quality_report): nDCG@k / MRR / recall of the four
+# lexical-cascade retrievers against the exact cosine top-k as binary
+# relevance truth. Gains are round(1/log2(rank+1), 8) exact decimals
+# (order-independent sums); per-query ndcg/rr are rounded decimals;
+# the means divide decimal sums cast to double — every step mirrored
+# here term for term.
+_BM25_UNCAPPED = "(SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)"
+
+
+def _rq_method_ctes(name: str, retrieved_sql: str) -> str:
+    return f"""
+m_{name} AS (SELECT query_id, doc_id, rank FROM ({retrieved_sql})),
+perq_{name} AS (
+  SELECT query_id,
+    SUM(CAST(ROUND(1.0 / log2(rank + 1.0), 8) AS DECIMAL(18,8))) AS dcg,
+    MIN(rank) AS first_rel, COUNT(*) AS n_hit
+  FROM m_{name} JOIN truth USING (query_id, doc_id) GROUP BY 1),
+row_{name} AS (
+  SELECT '{name}' AS method, CAST(COUNT(*) AS BIGINT) AS n_queries,
+    ROUND(CAST(SUM(ndcg_q) AS DOUBLE) / COUNT(*), 6) AS ndcg,
+    ROUND(CAST(SUM(rr_q) AS DOUBLE) / COUNT(*), 6) AS mrr,
+    ROUND(CAST(SUM(n_hit) AS DOUBLE) / SUM(n_rel), 6) AS recall
+  FROM (
+    SELECT i.n_rel, COALESCE(h.n_hit, 0) AS n_hit,
+      CAST(ROUND(COALESCE(CAST(h.dcg AS DOUBLE), 0.0)
+                 / CAST(i.idcg AS DOUBLE), 8) AS DECIMAL(18,8)) AS ndcg_q,
+      CAST(COALESCE(ROUND(1.0 / h.first_rel, 8), 0.0)
+           AS DECIMAL(18,8)) AS rr_q
+    FROM idcg i LEFT JOIN perq_{name} h USING (query_id)))"""
+
+
+ORACLE_SQL["retrieval_quality_report"] = f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id AS doc_id FROM ({ORACLE_SQL["ann_topk"]})),
+idcg AS (
+  SELECT query_id, n_rel,
+    list_sum(list_transform(range(1, n_rel + 1),
+      i -> CAST(ROUND(1.0 / log2(i + 1.0), 8) AS DECIMAL(18,8)))) AS idcg
+  FROM (SELECT query_id, COUNT(*) AS n_rel FROM truth GROUP BY 1)),
+{_rq_method_ctes("bm25", _bm25_oracle(_BM25_UNCAPPED))},
+{_rq_method_ctes("bm25_dfcap", _bm25_oracle(_BM25_DF_CAPPED))},
+{_rq_method_ctes("bm25_rerank", _bm25_rerank_oracle(_BM25_UNCAPPED))},
+{_rq_method_ctes("bm25_rerank_dfcap", _bm25_rerank_oracle(_BM25_DF_CAPPED))}
+SELECT * FROM row_bm25
+UNION ALL SELECT * FROM row_bm25_dfcap
+UNION ALL SELECT * FROM row_bm25_rerank
+UNION ALL SELECT * FROM row_bm25_rerank_dfcap
+"""
+
+# Incremental IVF-index maintenance (operators/similarity.
+# ann_index_incremental): centroids drawn from the ESTABLISHED slice
+# only (md5 rank), argmax rounded-cosine assignment of both slices,
+# each inserted vector's nearest established same-cell neighbor with
+# (sim DESC, id ASC) tie-break — mirrored exactly.
+ORACLE_SQL["ann_index_incremental"] = f"""
+WITH {_NORM_CTE},
+est AS (SELECT vec_id, nv FROM e WHERE vec_id % 3 <> 0),
+newb AS (SELECT vec_id, nv FROM e WHERE vec_id % 3 = 0),
+cent AS (
+  SELECT vec_id AS cent_id, nv AS centroid
+  FROM est ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+sa AS (
+  SELECT vec_id, nv, cent_id AS cell FROM (
+    SELECT est.vec_id, est.nv, cent.cent_id,
+      row_number() OVER (PARTITION BY est.vec_id
+        ORDER BY ROUND(list_dot_product(est.nv, cent.centroid), 6) DESC,
+                 cent.cent_id) AS rn
+    FROM est CROSS JOIN cent) WHERE rn = 1),
+ia AS (
+  SELECT vec_id, nv, cent_id AS cell, cdot AS cent_sim FROM (
+    SELECT newb.vec_id, newb.nv, cent.cent_id,
+      ROUND(list_dot_product(newb.nv, cent.centroid), 6) AS cdot,
+      row_number() OVER (PARTITION BY newb.vec_id
+        ORDER BY ROUND(list_dot_product(newb.nv, cent.centroid), 6) DESC,
+                 cent.cent_id) AS rn
+    FROM newb CROSS JOIN cent) WHERE rn = 1),
+nn0 AS (
+  SELECT i.vec_id AS vid, s.vec_id AS nn_id,
+         ROUND(list_dot_product(i.nv, s.nv), 6) AS nn_sim
+  FROM ia i JOIN sa s USING (cell)),
+nn AS (
+  SELECT vid, nn_id, nn_sim FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vid ORDER BY nn_sim DESC, nn_id) AS rn
+    FROM nn0) WHERE rn = 1)
+SELECT i.vec_id, CAST(i.cell AS BIGINT) AS cell, i.cent_sim,
+       nn.nn_id, nn.nn_sim
+FROM ia i LEFT JOIN nn ON nn.vid = i.vec_id
+"""
+
 # The bucketed scale twin rebuilds the identical rank from the bounded
 # sim-histogram + tie windows — same output, one oracle
 # (operators/similarity.prototypicality_prune_bucketed).

@@ -1,0 +1,134 @@
+"""The r6-verdict IVF assignment fix: cell assignment / probe selection
+must be a PER-ROW sorted-slice over a one-row broadcast centroid array
+— never a materialized n·C frame pushed through a window shuffle.
+
+Two guarantees, asserted here:
+1. EQUIVALENCE — the per-row form (`_rank_cells`) produces row-for-row
+   the same (cell, cent_sim, probe list) as the legacy broadcast-cross
+   + ``row_number() OVER (PARTITION BY id)`` form, for both hash-seeded
+   and KMeans-trained centroid tables (same round(·,6) arithmetic, same
+   (cdot desc, cent_id asc) tie-break).
+2. PLAN SHAPE — no Window executes on an n·C frame: ivf_flat keeps
+   exactly ONE Window (the final per-query top-k), knn_graph_edges
+   exactly ONE (the per-src edge top-k; the mutual self-join adds
+   none), semdedup ZERO.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from healthcare_oltp_to_olap_gcp_spark.operators.similarity import (
+    _cents_row,
+    _corpus,
+    _rank_cells,
+    _trained_centroids,
+    ivf_flat_ann_topk,
+    knn_graph_edges,
+    semdedup_embeddings,
+)
+from healthcare_oltp_to_olap_gcp_spark.functions.vectors import dot
+
+from .conftest import SF001
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF001}/embeddings.parquet")
+
+
+def _seeded_cent(corpus, n):
+    return (
+        corpus.orderBy(F.md5(F.col("neighbor_id").cast("string")), "neighbor_id")
+        .limit(n)
+        .select(F.col("neighbor_id").alias("cent_id"), F.col("cv").alias("centroid"))
+    )
+
+
+def _legacy_assign(corpus, cent, n_probe):
+    """The pre-r7 window form, verbatim: broadcast-cross the C-row
+    centroid table onto the corpus, rank with row_number over
+    (cdot desc, cent_id) — the n·C frame + shuffle this round removed.
+    Kept here as the equivalence reference."""
+    w = Window.partitionBy("neighbor_id").orderBy(F.col("cdot").desc(), F.col("cent_id"))
+    return (
+        corpus.join(F.broadcast(cent))
+        .withColumn("cdot", F.round(dot(F.col("cv"), F.col("centroid")), 6))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_probe)
+        .select("neighbor_id", F.col("cent_id").alias("cell"), "cdot", "_rn")
+    )
+
+
+def _perrow_assign(corpus, cent, n_probe):
+    return (
+        corpus.join(F.broadcast(_cents_row(cent)))
+        .select(
+            "neighbor_id",
+            F.posexplode(F.slice(_rank_cells("cv"), 1, n_probe)).alias("_pos", "_pc"),
+        )
+        .select(
+            "neighbor_id",
+            F.col("_pc.cent_id").alias("cell"),
+            F.col("_pc.cdot").alias("cdot"),
+            (F.col("_pos") + 1).alias("_rn"),
+        )
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_perrow_assignment_equals_window_form_seeded(spark):
+    corpus = _corpus(_emb(spark))
+    cent = _seeded_cent(corpus, 16)
+    assert _rows(_perrow_assign(corpus, cent, 4)) == _rows(
+        _legacy_assign(corpus, cent, 4)
+    )
+
+
+def test_perrow_assignment_equals_window_form_trained(spark):
+    corpus = _corpus(_emb(spark))
+    cent, _, _ = _trained_centroids(spark, corpus, 16)
+    assert _rows(_perrow_assign(corpus, cent, 4)) == _rows(
+        _legacy_assign(corpus, cent, 4)
+    )
+
+
+def test_perrow_assignment_equals_window_form_grown_c(spark):
+    # the deploy-knob regime the fix exists for: C = sqrt(n)-ish, wide
+    # enough that ties and ordering get real exercise
+    corpus = _corpus(_emb(spark))
+    cent = _seeded_cent(corpus, 40)
+    assert _rows(_perrow_assign(corpus, cent, 8)) == _rows(
+        _legacy_assign(corpus, cent, 8)
+    )
+
+
+def _n_windows(df) -> int:
+    # count true Window exec nodes only — "WindowGroupLimit" is the
+    # rank-filter pushdown Spark adds below a top-k window, not a
+    # per-partition shuffle of its own
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Window [")
+
+
+def test_ivf_flat_plan_has_single_topk_window(spark):
+    assert _n_windows(ivf_flat_ann_topk(_emb(spark))) == 1
+
+
+def test_knn_graph_edges_plan_has_no_assignment_window(spark):
+    # the persisted edge frame feeds both sides of the mutual
+    # self-join, so the ONE per-src top-k window can print twice —
+    # what must be gone is any window partitioned on the assignment
+    # key (vec_id), the old n·C shuffle
+    plan = (
+        knn_graph_edges(_emb(spark))._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "windowspecdefinition(vec_id" not in plan, plan
+    assert plan.count("Window [") <= 2
+
+
+def test_semdedup_plan_has_no_window(spark):
+    assert _n_windows(semdedup_embeddings(_emb(spark))) == 0

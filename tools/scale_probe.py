@@ -129,37 +129,45 @@ PROBES = {
     "bm25_rerank_dfcap_topk": {"documents": ["doc_id"], "embeddings": ["vec_id"]},
 }
 
-# C ∝ n probe variants (VERDICT r5 item 1). The corpus-as-queries
-# graph ops keep n_cells FIXED inside QUERIES so the DuckDB oracle is
-# the identical computation — at fixed C their per-cell work is
-# (n_probe·n/C)·(n/C) ∝ n², which the standard probe duly measures as
-# ~30x at 10x. Their documented deploy knob is C ∝ n (constant cell
-# size ⇒ O(n·cell·n_probe) total). These entries measure exactly that
-# deployment: the 1x run uses the default C, the Nx run grows C by the
-# same factor, so a ~N (linear) observed ratio is the evidence the
-# knob works — recorded in SCALING.md next to the fixed-C rows.
+# Grown-C probe variants (VERDICT r5 item 1, r6 item 1). The
+# corpus-as-queries graph ops keep n_cells FIXED inside QUERIES so the
+# DuckDB oracle is the identical computation — at fixed C their
+# per-cell work is (n_probe·n/C)·(n/C) ∝ n², which the standard probe
+# duly measures as ~30x at 10x. Their documented deploy rule is
+# **C ∝ √n** (r7 correction from C ∝ n): the per-row assignment scan
+# costs n·C and the within-cell joins n·(n/C)·n_probe, so √n sizing
+# balances both terms at Θ(n^1.5) — C ∝ n would make the assignment
+# term itself Θ(n²). These entries measure exactly that deployment:
+# the 1x run uses the default C, the Nx run grows C by √N, so an
+# observed ratio ≈ N^1.5/N = N^0.5 in scored work (plus fixed
+# overheads) is the evidence the rule works — recorded in SCALING.md
+# next to the fixed-C rows.
 # Each value: (tables-to-amplify, builder(spark, sf_dir, mult)).
 def _grown_c_builders():
     from healthcare_oltp_to_olap_gcp_spark.operators import similarity
 
     emb = {"embeddings": ["vec_id"]}
+
+    def grown(m: int) -> int:
+        return int(round(16 * m**0.5))
+
     return {
         "knn_graph_edges@grownC": (
             emb,
             lambda s, d, m: similarity.knn_graph_edges(
-                table(s, d, "embeddings"), n_centroids=16 * m
+                table(s, d, "embeddings"), n_centroids=grown(m)
             ),
         ),
         "knn_graph_components@grownC": (
             emb,
             lambda s, d, m: similarity.knn_graph_components(
-                table(s, d, "embeddings"), n_centroids=16 * m
+                table(s, d, "embeddings"), n_centroids=grown(m)
             ),
         ),
         "semdedup_embeddings@grownC": (
             emb,
             lambda s, d, m: similarity.semdedup_embeddings(
-                table(s, d, "embeddings"), n_cells=16 * m
+                table(s, d, "embeddings"), n_cells=grown(m)
             ),
         ),
     }
