@@ -67,16 +67,37 @@ def predicted_ratios() -> dict[str, float]:
     return out
 
 
-def headline(top_n: int) -> list[str]:
+def headline(top_n: int) -> tuple[list[str], list[str]]:
+    """Top-N most expensive benched queries that HAVE a PROBES
+    amplification spec, plus the @grownC deploy variants. Queries
+    without a spec are returned separately and excluded from timing:
+    running them against 1:1-copied tables would record a meaningless
+    ~1.0 'sf1 ratio' presented as a composed measurement (ADVICE r6)."""
     full = json.load(open(os.path.join(REPO, "tools", "bench_full.json")))
     ranked = sorted(full["queries"].items(), key=lambda kv: -kv[1])
-    names = [k for k, _ in ranked if k not in SKIP_FIXED_C][:top_n]
-    return names + sorted(scale_probe.GROWN_C)
+    names: list[str] = []
+    skipped: list[str] = []
+    for k, _ in ranked:
+        if k in SKIP_FIXED_C:
+            continue
+        if len(names) == top_n:
+            break
+        if k not in scale_probe.PROBES:
+            skipped.append(k)
+            continue
+        names.append(k)
+    return names + sorted(scale_probe.GROWN_C), skipped
 
 
 def main() -> int:
     top_n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    names = headline(top_n)
+    names, skipped = headline(top_n)
+    if skipped:
+        print(
+            "bench_sf1: skipped headline queries with no PROBES "
+            f"amplification spec (not timed): {skipped}",
+            flush=True,
+        )
     pred = predicted_ratios()
     spark = get_spark("bench-sf1")
     spark.sparkContext.setLogLevel("ERROR")
@@ -129,6 +150,7 @@ def main() -> int:
         "total_sf1_sec": round(sum(r["t_sf1"] for r in results.values()), 1),
         "queries": results,
         "flagged": flags,
+        "skipped_no_probe_spec": skipped,
     }
     out = os.path.join(REPO, "BENCH_sf1.json")
     json.dump(artifact, open(out, "w"), indent=1)

@@ -127,6 +127,11 @@ PROBES = {
     "unigram_encode_documents": {"documents": ["doc_id"]},
     "dataset_card_report": {"documents": ["doc_id"]},
     "bm25_rerank_dfcap_topk": {"documents": ["doc_id"], "embeddings": ["vec_id"]},
+    # round-7 additions
+    "retrieval_quality_report": {"documents": ["doc_id"], "embeddings": ["vec_id"]},
+    "ann_index_incremental": {"embeddings": ["vec_id"]},
+    # sf1-headline coverage: amplification spec so bench_sf1 can time it
+    "lineitem_column_stats": {"lineitem": ["l_orderkey"]},
 }
 
 # Grown-C probe variants (VERDICT r5 item 1, r6 item 1). The
