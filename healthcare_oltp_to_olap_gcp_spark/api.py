@@ -653,6 +653,9 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_index_incremental": lambda s, d: similarity.ann_index_incremental(
         table(s, d, "embeddings")
     ),
+    "bm25_index_incremental": lambda s, d: retrieval.bm25_index_incremental(
+        table(s, d, "documents")
+    ),
 }
 
 
@@ -693,13 +696,15 @@ _PRIORITY = [
     # -- new in round 7 --
     "retrieval_quality_report",
     "ann_index_incremental",
+    "bm25_index_incremental",
     # -- risk re-verifies: IVF-family plans changed in r7 --
     "ivf_flat_ann_topk",
     "ivfpq_ann_topk",
     "knn_graph_edges",
     "knn_graph_components",
     "semdedup_embeddings",
-    "ivf_probe_sweep",
+    # (ivf_probe_sweep composes the windowed ivf_flat_ann_topk and has
+    #  a fresh r5 row — dropped to make room for bm25_index_incremental)
     # -- oldest cohort: last driver row r1 --
     "approx_distinct_users",
     "approx_value_percentiles",

@@ -270,6 +270,72 @@ def bm25_rerank_topk(
     )
 
 
+BM25_INCR_MOD = 3  # doc_id % BM25_INCR_MOD == 0 → incoming batch
+
+
+def bm25_index_incremental(docs: DataFrame) -> DataFrame:
+    """Incremental BM25-index maintenance — the lexical sibling of
+    ``ann_index_incremental`` (and the Lucene segment-merge story): an
+    INCOMING batch (``doc_id % BM25_INCR_MOD == 0``) is merged into
+    the ESTABLISHED corpus's maintained per-term statistics instead of
+    re-tokenizing the whole corpus per crawl refresh. Output is the
+    UPDATED vocabulary table — one row per term: total document
+    frequency, total term frequency, the batch's df contribution, and
+    whether the term is new to the index (unseen in the established
+    slice).
+
+    Spark computes the INCREMENTAL form (established vocab stats
+    FULL-OUTER-merged with the batch delta); the DuckDB oracle
+    computes the same table from the FULL corpus directly — so every
+    driver hash match is itself the proof that increment ≡ rebuild
+    (counts are associative; the same argument a production engine
+    relies on to merge segments without rescans). A Spark-side
+    rebuild-equality test pins it locally too.
+
+    Scale shape: batch-side work ∝ batch tokens only (one tokenize +
+    two map-side-combined aggregations); the established side is the
+    maintained vocab-sized table (derived in-query here because the
+    registry owns no storage — a deployment reads it from its index
+    store); the merge is a vocab-keyed full-outer join of two
+    vocab-sized frames. Nothing rescans established text. All-integer
+    ⇒ trivially exact value-hash oracle."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    is_new = F.col("doc_id") % BM25_INCR_MOD == 0
+    tf = scoped_persist(
+        docs.repartition(par)
+        .select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    est = (
+        tf.filter(~is_new)
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df_est"),
+            F.sum("tf").cast("long").alias("tf_est"),
+        )
+    )
+    batch = (
+        tf.filter(is_new)
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df_new"),
+            F.sum("tf").cast("long").alias("tf_new"),
+        )
+    )
+    return est.join(batch, "term", "full_outer").select(
+        "term",
+        (F.coalesce("df_est", F.lit(0)) + F.coalesce("df_new", F.lit(0)))
+        .cast("long")
+        .alias("df"),
+        (F.coalesce("tf_est", F.lit(0)) + F.coalesce("tf_new", F.lit(0)))
+        .cast("long")
+        .alias("tf_total"),
+        F.coalesce("df_new", F.lit(0)).cast("long").alias("df_new"),
+        F.col("df_est").isNull().alias("is_new_term"),
+    )
+
+
 def _gain(rank_col: F.Column) -> F.Column:
     """Per-position DCG gain 1/log2(rank+1), rounded 8 dp and cast to
     exact decimal so sums are order-independent — the same

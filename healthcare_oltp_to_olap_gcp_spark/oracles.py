@@ -4259,6 +4259,29 @@ UNION ALL SELECT * FROM row_bm25_rerank
 UNION ALL SELECT * FROM row_bm25_rerank_dfcap
 """
 
+# Incremental BM25-index maintenance (operators/retrieval.
+# bm25_index_incremental): Spark merges the established vocab stats
+# with the batch delta; this oracle computes the SAME table from the
+# full corpus directly — the hash match IS the increment-equals-
+# rebuild proof (counts are associative).
+ORACLE_SQL["bm25_index_incremental"] = f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+fullv AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                 CAST(SUM(tf) AS BIGINT) AS tf_total
+          FROM tf GROUP BY 1),
+newd AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_new
+         FROM tf WHERE doc_id % 3 = 0 GROUP BY 1),
+est AS (SELECT DISTINCT term FROM tf WHERE doc_id % 3 <> 0)
+SELECT f.term, f.df, f.tf_total,
+  COALESCE(n.df_new, 0) AS df_new,
+  (e.term IS NULL) AS is_new_term
+FROM fullv f
+LEFT JOIN newd n USING (term)
+LEFT JOIN est e USING (term)
+"""
+
 # Incremental IVF-index maintenance (operators/similarity.
 # ann_index_incremental): centroids drawn from the ESTABLISHED slice
 # only (md5 rank), argmax rounded-cosine assignment of both slices,

@@ -1308,3 +1308,63 @@ def test_ann_index_incremental_equals_from_scratch_rebuild(spark):
     for r in out:
         assert r.nn_id in est_ids and -1.0 <= r.nn_sim <= 1.0
         # the nn is same-cell by construction
+
+
+def test_bm25_index_incremental_equals_rebuild_and_flags_new_terms(spark):
+    """The incremental merge must equal a from-scratch full-corpus
+    rebuild (counts are associative — also proven by the driver hash
+    vs the rebuild-semantics oracle), and a term appearing ONLY in the
+    batch must surface with is_new_term=True and df == df_new."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import retrieval as R
+
+    # hand corpus: doc 0 and 3 are the batch (id % 3 == 0)
+    docs = _docs(
+        spark,
+        [
+            "alpha beta brandnew",   # batch doc 0
+            "alpha alpha gamma",     # established doc 1
+            "beta gamma gamma",      # established doc 2
+            "alpha brandnew",        # batch doc 3
+        ],
+    )
+    out = {r.term: r for r in R.bm25_index_incremental(docs).collect()}
+    # rebuild from scratch: full-corpus per-term stats
+    from pyspark.sql import functions as F2
+    from healthcare_oltp_to_olap_gcp_spark.functions.text import tokens as toks
+
+    tf = (
+        docs.select("doc_id", F2.explode(toks("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F2.count("*").alias("tf"))
+    )
+    rebuild = {
+        r.term: r
+        for r in tf.groupBy("term")
+        .agg(
+            F2.count("*").cast("long").alias("df"),
+            F2.sum("tf").cast("long").alias("tf_total"),
+        )
+        .collect()
+    }
+    assert set(out) == set(rebuild)
+    for t, r in out.items():
+        assert (r.df, r.tf_total) == (rebuild[t].df, rebuild[t].tf_total)
+    bn = out["brandnew"]
+    assert bn.is_new_term and bn.df == bn.df_new == 2 and bn.tf_total == 2
+    assert not out["alpha"].is_new_term
+    assert out["alpha"].df == 3 and out["alpha"].tf_total == 4
+    assert out["alpha"].df_new == 2
+    assert out["gamma"].df_new == 0 and not out["gamma"].is_new_term
+
+
+def test_bm25_index_incremental_corpus_invariants(spark):
+    from healthcare_oltp_to_olap_gcp_spark.operators import retrieval as R
+
+    docs = table(spark, SF001, "documents")
+    rows = R.bm25_index_incremental(docs).collect()
+    assert rows
+    for r in rows:
+        assert r.df >= 1 and r.tf_total >= r.df  # tf >= 1 per (doc, term)
+        assert 0 <= r.df_new <= r.df
+        if r.is_new_term:
+            assert r.df == r.df_new > 0

@@ -132,3 +132,26 @@ def test_knn_graph_edges_plan_has_no_assignment_window(spark):
 
 def test_semdedup_plan_has_no_window(spark):
     assert _n_windows(semdedup_embeddings(_emb(spark))) == 0
+
+
+def test_perrow_assignment_equals_window_form_under_heavy_ties(spark):
+    """Adversarial tie stress: only 3 distinct vectors across 24 rows,
+    so most centroids are duplicates of each other and every assignment
+    decision falls through the cdot tie to the cent_id order — the
+    exact code path where a comparator bug would diverge from the
+    window form silently on natural data."""
+    base = [
+        [1.0] + [0.0] * 63,
+        [0.0, 1.0] + [0.0] * 62,
+        [0.6, 0.8] + [0.0] * 62,
+    ]
+    rows = [(i, [float(x) for x in base[i % 3]], i % 2) for i in range(24)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    corpus = _corpus(emb)
+    cent = _seeded_cent(corpus, 8)  # 8 draws over 3 distinct values
+    for n_probe in (1, 3, 8):
+        assert _rows(_perrow_assign(corpus, cent, n_probe)) == _rows(
+            _legacy_assign(corpus, cent, n_probe)
+        ), f"divergence at n_probe={n_probe}"

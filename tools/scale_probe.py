@@ -130,6 +130,7 @@ PROBES = {
     # round-7 additions
     "retrieval_quality_report": {"documents": ["doc_id"], "embeddings": ["vec_id"]},
     "ann_index_incremental": {"embeddings": ["vec_id"]},
+    "bm25_index_incremental": {"documents": ["doc_id"]},
     # sf1-headline coverage: amplification spec so bench_sf1 can time it
     "lineitem_column_stats": {"lineitem": ["l_orderkey"]},
 }
