@@ -240,7 +240,7 @@ _BNLJ_ALLOWED = {
     # quadratic baselines
     "embedding_neardup_pairs",
     "ann_topk",
-    "knn_label_vote",  # inherits ivf_flat's 16-row centroid cross
+    "knn_label_vote",  # inherits ivf_flat's one-row centroid-array cross
     # reviewed: composes knn_label_vote (ivf_flat centroid cross) and
     # nearest_centroid_assign (one-row struct-array cross)
     "embedding_classifier_report",
@@ -255,9 +255,9 @@ _BNLJ_ALLOWED = {
     "mon_daily_summary",
     "mon_7d_summary",
     "mon_errors",
-    "ivf_flat_ann_topk",  # 16-row centroid table cross
-    # reviewed: inherits ivf_flat's 16-row centroid cross per width +
-    # the recall report's one-row hit-count × one-row total crosses
+    "ivf_flat_ann_topk",  # one-row centroid-struct-array cross (r7 per-row argmax)
+    # reviewed: inherits ivf_flat's one-row centroid-array cross per
+    # width + the recall report's one-row hit/total crosses
     "ivf_probe_sweep",
     "customer_rfm_segments",  # one-row max-date + quartile-bounds crosses
     "nearest_centroid_assign",  # one-row centroid-struct-array cross
@@ -271,22 +271,22 @@ _BNLJ_ALLOWED = {
     "docs_source_kl",  # one-row grand-total cross
     "docs_perplexity",  # one-row grand-total cross
     "mixture_sample_documents",  # one-row min-count cross onto the rate table
-    "hard_negative_mining",  # inherits ivf_flat's 16-row centroid cross
+    "hard_negative_mining",  # inherits ivf_flat's one-row centroid-array cross
     "ann_recall_report",  # one-row hit-count x one-row total per method
     "docs_dedup_report",  # four one-row stage-rollup crosses
     "vocab_coverage",  # one-row conditional-sum frame x one-row total
     "part_copurchase_lift",  # one-row order-total cross onto the pair counts
     "orders_revenue_concentration",  # one-row percentile-boundary cross
     "part_pagerank",  # one-row node-count cross per iteration
-    "ivfpq_ann_topk",  # 16-row centroid cross (inherits ivf_flat's shape)
+    "ivfpq_ann_topk",  # one-row centroid-array cross (inherits ivf_flat's shape)
     # reviewed: |Q|-row broadcast code scan (8-byte Hamming codes vs the
     # corpus code table) — the same intentional shape as sq8_ann_topk
     "bq_ann_topk",
     # reviewed: one-row min-source-count scalar cross onto the per-source
     # rate table — same shape as mixture_sample_documents
     "temperature_sample_documents",
-    # reviewed: 16-row centroid-table cross for cell assignment — the
-    # same intentional shape as ivf_flat_ann_topk's centroid cross
+    # reviewed: one-row centroid-struct-array cross for the per-row
+    # argmax assignment — the same shape as ivf_flat_ann_topk (r7)
     "semdedup_embeddings",
     # reviewed: one-row (T_r, T_t) grand-totals cross onto the per-doc
     # weight frame — same shape as docs_perplexity's grand-total cross
@@ -299,8 +299,8 @@ _BNLJ_ALLOWED = {
     "bm25_topk",
     "bm25_dfcap_topk",  # adds one-row vocab-count + theta crosses
 
-    # reviewed: 16-row centroid-table cross for the shared cell/probe
-    # scoring — the same intentional shape as ivf_flat_ann_topk
+    # reviewed: one-row centroid-struct-array cross for the per-row
+    # cell/probe sorted-slice — the same shape as ivf_flat_ann_topk (r7)
     "knn_graph_edges",
     "knn_graph_components",  # inherits knn_graph_edges' centroid cross
     # reviewed: |langs|-row × one-row water-filling crosses (totals,
@@ -321,6 +321,12 @@ _BNLJ_ALLOWED = {
     # the candidate and query-vector joins are proper broadcast-hash
     "bm25_rerank_topk",
     "bm25_rerank_dfcap_topk",  # + the dfcap twin's theta/vocab crosses
+    # r7 reviewed: inherits its four constituents' one-row stats/theta
+    # crosses (bm25 family); every metric join runs on |Q|·k rows
+    "retrieval_quality_report",
+    # r7 reviewed: one-row centroid-struct-array cross for the per-row
+    # argmax assignment — nearest_centroid_assign's shape
+    "ann_index_incremental",
 }
 # These run eager work (KMeans fit / query collect / stream drain) at
 # plan-build time; their plan shape is asserted in their own tests.
