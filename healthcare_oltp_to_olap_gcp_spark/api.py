@@ -656,6 +656,9 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_index_incremental": lambda s, d: retrieval.bm25_index_incremental(
         table(s, d, "documents")
     ),
+    "ann_index_streamed": lambda s, d: _streaming_pipeline().ann_index_streamed(
+        s, d
+    ),
 }
 
 
@@ -697,11 +700,13 @@ _PRIORITY = [
     "retrieval_quality_report",
     "ann_index_incremental",
     "bm25_index_incremental",
+    "ann_index_streamed",
     # -- risk re-verifies: IVF-family plans changed in r7 --
     "ivf_flat_ann_topk",
     "ivfpq_ann_topk",
     "knn_graph_edges",
-    "knn_graph_components",
+    # (knn_graph_components inherits the edge builder's changed plan and
+    #  has a fresh r5 row — dropped to make room for ann_index_streamed)
     "semdedup_embeddings",
     # (ivf_probe_sweep composes the windowed ivf_flat_ann_topk and has
     #  a fresh r5 row — dropped to make room for bm25_index_incremental)

@@ -4282,6 +4282,31 @@ LEFT JOIN newd n USING (term)
 LEFT JOIN est e USING (term)
 """
 
+# Streaming IVF-index maintenance (streaming/pipeline.
+# ann_index_streamed): the stateless per-row argmax assignment drained
+# through availableNow micro-batches — deterministic and
+# batch-boundary-independent, so the BATCH assignment SQL oracles a
+# result computed via Structured Streaming (the fact_events_streamed
+# convention).
+ORACLE_SQL["ann_index_streamed"] = f"""
+WITH {_NORM_CTE},
+cent AS (
+  SELECT vec_id AS cent_id, nv AS centroid
+  FROM e WHERE vec_id % 3 <> 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+a AS (
+  SELECT vec_id, cent_id AS cell, cdot AS cent_sim FROM (
+    SELECT e.vec_id, cent.cent_id,
+      ROUND(list_dot_product(e.nv, cent.centroid), 6) AS cdot,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY ROUND(list_dot_product(e.nv, cent.centroid), 6) DESC,
+                 cent.cent_id) AS rn
+    FROM e CROSS JOIN cent) WHERE rn = 1)
+SELECT vec_id, CAST(cell AS BIGINT) AS cell, cent_sim,
+  (vec_id % 3 = 0) AS is_new
+FROM a
+"""
+
 # Incremental IVF-index maintenance (operators/similarity.
 # ann_index_incremental): centroids drawn from the ESTABLISHED slice
 # only (md5 rank), argmax rounded-cosine assignment of both slices,

@@ -15,7 +15,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    FloatType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -406,4 +409,104 @@ def dedup_passthrough_stream(stream: DataFrame, watermark: str = "2 hours") -> D
     just the replication window."""
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
+    )
+
+
+EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ]
+)
+
+
+def read_embeddings_stream(spark: SparkSession, emb_dir: str) -> DataFrame:
+    """File-source stream over an embeddings parquet directory — the
+    ingest side of a continuously-maintained vector index (each crawl
+    drop's embedding shard lands as files; the stream picks them up)."""
+    return (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(emb_dir)
+    )
+
+
+def index_assign_stream(
+    stream: DataFrame, cent: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Streaming IVF-index insertion: every arriving vector gets its
+    cell via the per-row argmax against the FIXED centroid table —
+    ``ann_index_incremental``'s insert contract under Structured
+    Streaming. The centroid table is embedded in the expression
+    closure (it IS the broadcast: C ∝ √n keeps it a few MB at any
+    corpus size), so the transformation is a STATELESS projection —
+    no watermark, no state store, unbounded uptime; asserted
+    state-free in tests via the query progress's stateOperators.
+
+    Identical rounding/tie-break to the batch assignment
+    (``similarity._rank_cells`` element 1) ⇒ the drained stream
+    converges to the batch index row-for-row."""
+    from ..functions.vectors import as_double, dot, normalized
+
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("cent_id"),
+                F.array(*[F.lit(float(x)) for x in vec])
+                .cast("array<double>")
+                .alias("centroid"),
+            )
+            for cid, vec in cent
+        ]
+    )
+    base = stream.select(
+        "vec_id", normalized(as_double("embedding")).alias("_nv")
+    )
+    scored = F.transform(
+        cents,
+        lambda c: F.struct(
+            F.round(dot(F.col("_nv"), c["centroid"]), 6).alias("cdot"),
+            (-c["cent_id"]).alias("_neg_id"),
+        ),
+    )
+    best = F.array_max(scored)
+    return base.select(
+        "vec_id",
+        (-best["_neg_id"]).cast("long").alias("cell"),
+        best["cdot"].alias("cent_sim"),
+    )
+
+
+def ann_index_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming index-maintenance surface as an oracle-checkable
+    registry query (the ``fact_events_streamed`` pattern): stage the
+    embeddings table as a multi-file stream, drain it through
+    ``index_assign_stream`` with the established-slice md5-seeded
+    centroids (``ann_index_incremental``'s fixed-centroid contract),
+    and return the final assignment table (vec_id, cell, cent_sim,
+    is_new). Converges to EXACTLY the batch per-row assignment — the
+    deterministic argmax is order- and batch-boundary-independent, so
+    the same DuckDB oracle value-hashes a result that was computed
+    through availableNow micro-batches."""
+    import tempfile
+
+    from ..catalog import table
+    from ..operators.similarity import ANN_INCR_MOD, _corpus, _ivf_index
+
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = _corpus(emb)
+    cent_df, _ = _ivf_index(
+        corpus.filter(F.col("neighbor_id") % ANN_INCR_MOD != 0), 16
+    )
+    cent = [(r.cent_id, list(r.centroid)) for r in cent_df.collect()]
+    src = tempfile.mkdtemp(prefix="hc_stream_emb_") + "/src"
+    emb.repartition(7).write.mode("overwrite").parquet(src)
+    assigned = index_assign_stream(read_embeddings_stream(spark, src), cent)
+    out = run_available_now_append(assigned, "ann_index_streamed")
+    return out.select(
+        "vec_id",
+        "cell",
+        "cent_sim",
+        (F.col("vec_id") % ANN_INCR_MOD == 0).alias("is_new"),
     )

@@ -332,6 +332,10 @@ _BNLJ_ALLOWED = {
 # plan-build time; their plan shape is asserted in their own tests.
 _EAGER_BUILD = {
     "ivf_ann_topk",
+    # r7: stages the embeddings table as a file stream and drains it at
+    # plan-build time (the fact_events_streamed pattern); its stateless
+    # plan shape is asserted in tests/test_streaming.py
+    "ann_index_streamed",
     "ann_gemm_topk",
     "fact_events_streamed",
     "pq_trained_ann_topk",

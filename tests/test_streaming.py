@@ -424,3 +424,60 @@ def test_dedup_passthrough_stream_bounded_state(spark, tmp_path):
     assert normalize(
         got.select("event_id", "user_id", "event_type").toPandas()
     ) == normalize(events.select("event_id", "user_id", "event_type").toPandas())
+
+
+def test_streaming_index_assign_converges_to_batch_and_is_stateless(spark, tmp_path):
+    """ann_index_incremental's insert contract under Structured
+    Streaming: draining the embeddings through index_assign_stream
+    (fixed established-slice centroids in the expression closure) must
+    reproduce the batch per-row argmax assignment row-for-row, and the
+    streaming plan must be STATELESS — pure projection, no state store,
+    so uptime is unbounded by construction."""
+    from pyspark.sql import functions as F
+
+    from healthcare_oltp_to_olap_gcp_spark.operators.similarity import (
+        ANN_INCR_MOD,
+        _cents_row,
+        _corpus,
+        _ivf_index,
+        _rank_cells,
+    )
+
+    emb = table(spark, SF001, "embeddings")
+    corpus = _corpus(emb)
+    cent_df, _ = _ivf_index(
+        corpus.filter(F.col("neighbor_id") % ANN_INCR_MOD != 0), 16
+    )
+    cent = [(r.cent_id, list(r.centroid)) for r in cent_df.collect()]
+
+    src = tmp_path / "emb_stream"
+    src.mkdir()
+    emb.repartition(5).write.mode("overwrite").parquet(str(src))
+    stream = pipeline.read_embeddings_stream(spark, str(src))
+    q = (
+        pipeline.index_assign_stream(stream, cent)
+        .writeStream.format("memory")
+        .queryName("t_idx_assign")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.lastProgress
+    assert progress is not None and progress["stateOperators"] == []
+    got = {
+        (r.vec_id, r.cell, r.cent_sim)
+        for r in spark.table("t_idx_assign").collect()
+    }
+    want = {
+        (r.vec_id, r.cell, r.cent_sim)
+        for r in (
+            corpus.join(F.broadcast(_cents_row(cent_df)))
+            .withColumn("_best", F.element_at(_rank_cells("cv"), 1))
+            .select(
+                F.col("neighbor_id").alias("vec_id"),
+                F.col("_best.cent_id").alias("cell"),
+                F.col("_best.cdot").alias("cent_sim"),
+            )
+        ).collect()
+    }
+    assert got == want and len(got) == emb.count()

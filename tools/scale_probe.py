@@ -131,6 +131,7 @@ PROBES = {
     "retrieval_quality_report": {"documents": ["doc_id"], "embeddings": ["vec_id"]},
     "ann_index_incremental": {"embeddings": ["vec_id"]},
     "bm25_index_incremental": {"documents": ["doc_id"]},
+    "ann_index_streamed": {"embeddings": ["vec_id"]},
     # sf1-headline coverage: amplification spec so bench_sf1 can time it
     "lineitem_column_stats": {"lineitem": ["l_orderkey"]},
 }
