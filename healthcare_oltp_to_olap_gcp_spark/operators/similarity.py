@@ -378,11 +378,41 @@ def ivf_flat_ann_topk(
         .limit(n_centroids)
         .select(F.col("neighbor_id").alias("cent_id"), F.col("cv").alias("centroid"))
     )
-    return _ivf_flat_body(corpus, _queries(embeddings, shared), cent, k, n_probe)
+    assigned = None
+    if shared is not None:
+        # The corpus assignment depends only on (corpus, n_centroids) —
+        # a multi-pass caller (ivf_probe_sweep's four widths, the recall
+        # reports) scores the corpus ONCE and every width/probe reuses
+        # the persisted cell table (r7).
+        key = f"_ivf_assigned_{n_centroids}"
+        assigned = shared.get(key)
+        if assigned is None:
+            from ..session import scoped_persist
+
+            assigned = scoped_persist(_ivf_assign(corpus, cent), chain=True)
+            shared[key] = assigned
+    return _ivf_flat_body(
+        corpus, _queries(embeddings, shared), cent, k, n_probe, assigned=assigned
+    )
+
+
+def _ivf_assign(corpus: DataFrame, cent: DataFrame) -> DataFrame:
+    """Per-row argmax cell assignment over the one-row broadcast
+    centroid struct array — (neighbor_id, cv, cell), no n·C frame."""
+    return (
+        corpus.join(F.broadcast(_cents_row(cent)))
+        .withColumn("_best", F.element_at(_rank_cells("cv"), 1))
+        .select("neighbor_id", "cv", F.col("_best.cent_id").alias("cell"))
+    )
 
 
 def _ivf_flat_body(
-    corpus: DataFrame, qs: DataFrame, cent: DataFrame, k: int, n_probe: int
+    corpus: DataFrame,
+    qs: DataFrame,
+    cent: DataFrame,
+    k: int,
+    n_probe: int,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Shared IVF-Flat machinery given a (cent_id, centroid) table:
     argmax-rounded-cosine cell assignment, n_probe best-cell probing,
@@ -397,11 +427,8 @@ def _ivf_flat_body(
     (r6 verdict item 1). Ordering/rounding/tie-breaks are identical to
     the old window form, so the value-hash oracles carry unchanged."""
     cents = _cents_row(cent)
-    assigned = (
-        corpus.join(F.broadcast(cents))
-        .withColumn("_best", F.element_at(_rank_cells("cv"), 1))
-        .select("neighbor_id", "cv", F.col("_best.cent_id").alias("cell"))
-    )
+    if assigned is None:
+        assigned = _ivf_assign(corpus, cent)
     probed = (
         qs.join(F.broadcast(cents))
         .select(
