@@ -500,6 +500,13 @@ def ann_index_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.filter(F.col("neighbor_id") % ANN_INCR_MOD != 0), 16
     )
     cent = [(r.cent_id, list(r.centroid)) for r in cent_df.collect()]
+    if not cent:
+        # empty established corpus ⇒ no index to insert into — the
+        # closure array would be untyped, so short-circuit with the
+        # operator's schema (the ivf_ann_topk empty-corpus convention)
+        return spark.createDataFrame(
+            [], "vec_id long, cell long, cent_sim double, is_new boolean"
+        )
     src = tempfile.mkdtemp(prefix="hc_stream_emb_") + "/src"
     emb.repartition(7).write.mode("overwrite").parquet(src)
     assigned = index_assign_stream(read_embeddings_stream(spark, src), cent)
