@@ -129,7 +129,17 @@ def _rank_cells(vec_col: str) -> F.Column:
     probe list. Same ``round(dot, 6)`` arithmetic ⇒ identical outputs
     under the existing value-hash oracles (asserted row-for-row vs the
     window form in tests/test_ivf_assign.py). O(C·dim + C log C) per
-    row, zero extra rows, zero shuffle."""
+    row, zero extra rows, zero shuffle.
+
+    NaN fidelity: Spark's window total order places NaN above every
+    double (DESC ⇒ NaN first), but raw ``>``/``<`` comparisons on NaN
+    are always false — a naive comparator would silently demote a
+    NaN-scored cell to the cent_id tie-break. The explicit isnan
+    branches reproduce the window semantics exactly (NaN beats finite;
+    NaN ties NaN on cent_id), so a zero vector — whose normalization
+    is all-NaN — assigns identically in both forms. (-0.0 needs no
+    branch: round() canonicalizes -0.0 and sub-6dp negatives to +0.0,
+    verified in tests.)"""
     scores = F.transform(
         F.col("_cents"),
         lambda c: F.struct(
@@ -137,14 +147,20 @@ def _rank_cells(vec_col: str) -> F.Column:
             c["cent_id"].alias("cent_id"),
         ),
     )
-    return F.array_sort(
-        scores,
-        lambda a, b: F.when(a["cdot"] > b["cdot"], F.lit(-1))
-        .when(a["cdot"] < b["cdot"], F.lit(1))
-        .when(a["cent_id"] < b["cent_id"], F.lit(-1))
-        .when(a["cent_id"] > b["cent_id"], F.lit(1))
-        .otherwise(F.lit(0)),
-    )
+
+    def cmp(a, b):
+        a_nan, b_nan = F.isnan(a["cdot"]), F.isnan(b["cdot"])
+        return (
+            F.when(a_nan & ~b_nan, F.lit(-1))
+            .when(~a_nan & b_nan, F.lit(1))
+            .when(a["cdot"] > b["cdot"], F.lit(-1))
+            .when(a["cdot"] < b["cdot"], F.lit(1))
+            .when(a["cent_id"] < b["cent_id"], F.lit(-1))
+            .when(a["cent_id"] > b["cent_id"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    return F.array_sort(scores, cmp)
 
 
 def ann_brute_topk(
@@ -268,14 +284,22 @@ def ivf_ann_topk(
             c["cell"].alias("cell"),
         ),
     )
-    ranked = F.array_sort(
-        scored,
-        lambda a, b: F.when(a["qdot"] > b["qdot"], F.lit(-1))
-        .when(a["qdot"] < b["qdot"], F.lit(1))
-        .when(a["cell"] < b["cell"], F.lit(-1))
-        .when(a["cell"] > b["cell"], F.lit(1))
-        .otherwise(F.lit(0)),
-    )
+    # NaN polarity: the legacy window ordered cdist = -dot ASC, and
+    # negation does not flip NaN — so a NaN-scored cell ranked LAST
+    # there (opposite of _rank_cells' raw-desc ordering).
+    def _qcmp(a, b):
+        a_nan, b_nan = F.isnan(a["qdot"]), F.isnan(b["qdot"])
+        return (
+            F.when(a_nan & ~b_nan, F.lit(1))
+            .when(~a_nan & b_nan, F.lit(-1))
+            .when(a["qdot"] > b["qdot"], F.lit(-1))
+            .when(a["qdot"] < b["qdot"], F.lit(1))
+            .when(a["cell"] < b["cell"], F.lit(-1))
+            .when(a["cell"] > b["cell"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    ranked = F.array_sort(scored, _qcmp)
     probed = (
         qs.join(F.broadcast(cents))
         .select("query_id", "qv", F.explode(F.slice(ranked, 1, n_probe)).alias("_pc"))
