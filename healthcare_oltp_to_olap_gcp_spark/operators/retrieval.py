@@ -64,19 +64,30 @@ DEFAULT_K = 10
 # θ = the ⌈V/2⌉-th smallest df value (exact integer rank rule).
 
 
-def _bm25_frames(docs: DataFrame, df_cap: bool):
+def _bm25_frames(docs: DataFrame, df_cap: bool, shared: dict | None = None):
     """Shared frame construction for the scorer and the work-proxy:
     (tf, df, dl, stats, qt). ``qt`` is the (query, term) probe side
     AFTER the df-cap semi-join when ``df_cap``, so candidate work
-    measured on these frames is exactly the work the scorer does."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    tok = docs.repartition(par).select(
-        "doc_id", F.explode(tokens("text")).alias("term")
-    )
-    # postings (doc, term, tf) feed tf/df/dl — one tokenize, three aggs
-    tf = scoped_persist(
-        tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    )
+    measured on these frames is exactly the work the scorer does.
+
+    ``shared`` lets a multi-method caller (retrieval_quality_report's
+    four retrievers) tokenize and persist the postings ONCE — the tf
+    persist then CHAINS into the caller's scope instead of evicting
+    its other cached frames (the truth table), r7."""
+    if shared is not None and shared.get("tf") is not None:
+        tf = shared["tf"]
+    else:
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        tok = docs.repartition(par).select(
+            "doc_id", F.explode(tokens("text")).alias("term")
+        )
+        # postings (doc, term, tf) feed tf/df/dl — one tokenize, three aggs
+        tf = scoped_persist(
+            tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")),
+            chain=shared is not None,
+        )
+        if shared is not None:
+            shared["tf"] = tf
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     if df_cap:
@@ -97,8 +108,10 @@ def _bm25_frames(docs: DataFrame, df_cap: bool):
             .filter(F.col("df") <= F.col("_theta"))
             .select("term", "df")
         )
+    # total token count derived from the persisted postings (Σ tf over
+    # (doc, term) ≡ |tok| — same exact integer, one source frame)
     stats = docs.agg(F.count("*").alias("n_docs")).crossJoin(
-        tok.agg(F.count("*").alias("total_tokens"))
+        tf.agg(F.sum("tf").cast("long").alias("total_tokens"))
     )
     # query side: the (query, term) pairs of the query slice — distinct
     # by construction (tf is keyed on (doc, term)); tiny → broadcast
@@ -132,7 +145,10 @@ def bm25_candidate_rows(docs: DataFrame, df_cap: bool = False) -> int:
 
 
 def bm25_topk(
-    docs: DataFrame, k: int = DEFAULT_K, df_cap: bool = False
+    docs: DataFrame,
+    k: int = DEFAULT_K,
+    df_cap: bool = False,
+    shared: dict | None = None,
 ) -> DataFrame:
     """Exact BM25 top-k retrieval: every ``doc_id % QUERY_MOD == 0``
     document acts as a query against the whole corpus (self-match
@@ -155,7 +171,7 @@ def bm25_topk(
     is flat and the drift is large, which is exactly why the twin is
     a SEPARATE query with its own full value-hash oracle rather than
     an approximation claim against the exact form."""
-    tf, df, dl, stats, qt = _bm25_frames(docs, df_cap)
+    tf, df, dl, stats, qt = _bm25_frames(docs, df_cap, shared)
     idf = F.log(
         1.0
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -208,6 +224,7 @@ def bm25_rerank_topk(
     m: int = RERANK_M,
     k: int = DEFAULT_K,
     df_cap: bool = False,
+    shared: dict | None = None,
 ) -> DataFrame:
     """Two-stage retrieval — the shape every production RAG stack runs:
     a cheap lexical recall stage (exact BM25, top-``m`` per query) cut
@@ -239,7 +256,7 @@ def bm25_rerank_topk(
     themselves."""
     from ..functions.vectors import as_double, normalized
 
-    cand = bm25_topk(docs, k=m, df_cap=df_cap).select(
+    cand = bm25_topk(docs, k=m, df_cap=df_cap, shared=shared).select(
         "query_id", "doc_id", F.col("rank").alias("bm25_rank")
     )
     emb = embeddings.select(
@@ -394,13 +411,21 @@ def retrieval_quality_report(
             lambda acc, i: (acc + _gain(i)).cast("decimal(28,8)"),
         ).alias("idcg"),
     )
+    # one shared postings persist across all four retrievers; its
+    # chained scope keeps the truth table cached too (r7)
+    shared: dict = {}
     methods = (
-        ("bm25", lambda: bm25_topk(docs, k=k)),
-        ("bm25_dfcap", lambda: bm25_topk(docs, k=k, df_cap=True)),
-        ("bm25_rerank", lambda: bm25_rerank_topk(docs, embeddings, k=k)),
+        ("bm25", lambda: bm25_topk(docs, k=k, shared=shared)),
+        ("bm25_dfcap", lambda: bm25_topk(docs, k=k, df_cap=True, shared=shared)),
+        (
+            "bm25_rerank",
+            lambda: bm25_rerank_topk(docs, embeddings, k=k, shared=shared),
+        ),
         (
             "bm25_rerank_dfcap",
-            lambda: bm25_rerank_topk(docs, embeddings, k=k, df_cap=True),
+            lambda: bm25_rerank_topk(
+                docs, embeddings, k=k, df_cap=True, shared=shared
+            ),
         ),
     )
     rows = None
