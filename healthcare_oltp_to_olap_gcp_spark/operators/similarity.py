@@ -1353,8 +1353,28 @@ def ivfpq_ann_topk(
             "j", "cid", F.slice("crv", F.col("j") * sub + 1, sub).alias("csub")
         )
 
+    assigned_base = None
+    if shared is not None:
+        # the coarse table is the SAME md5-ranked draw as
+        # ivf_flat_ann_topk's, so a multi-method caller (the recall
+        # reports) reuses the cached corpus assignment (r7)
+        key = f"_ivf_assigned_{n_cells}"
+        assigned_base = shared.get(key)
+        if assigned_base is None:
+            from ..session import scoped_persist
+
+            assigned_base = scoped_persist(_ivf_assign(corpus, cent), chain=True)
+            shared[key] = assigned_base
     return _ivfpq_body(
-        corpus, _queries(embeddings, shared), cent, cw_fn, k, m, n_probe, margin
+        corpus,
+        _queries(embeddings, shared),
+        cent,
+        cw_fn,
+        k,
+        m,
+        n_probe,
+        margin,
+        assigned_base=assigned_base,
     )
 
 
@@ -1367,32 +1387,31 @@ def _ivfpq_body(
     m: int,
     n_probe: int,
     margin: int,
+    assigned_base: DataFrame | None = None,
 ) -> DataFrame:
     """Shared IVF-PQ machinery given a (cent_id, centroid) coarse table
     and a ``cw_fn(assigned) -> (j, cid, csub)`` residual-codebook
     source: cell assignment + residuals, residual encoding, probed-cell
     ADC with the q·c(cell) term added back, exact rerank. Source-
     agnostic — serves the hash-seeded (oracle-checked) and the
-    sampled-KMeans-trained variants with the identical plan shape."""
+    sampled-KMeans-trained variants with the identical plan shape.
+    ``assigned_base`` optionally injects a precomputed (neighbor_id,
+    cv, cell) assignment (the cross-method cache, r7)."""
     sub = DIM // m
     # Per-row argmax cell pick over the one-row broadcast centroid
     # array (no n·C frame, r6 verdict item 1), then a C-row broadcast
     # HASH join on the winning cell fetches the centroid vector the
     # residual needs — still zero shuffles, zero row amplification.
-    assigned = (
-        corpus.join(F.broadcast(_cents_row(cent)))
-        .withColumn("_best", F.element_at(_rank_cells("cv"), 1))
-        .select("neighbor_id", "cv", F.col("_best.cent_id").alias("cell"))
-        .join(
-            F.broadcast(cent.select(F.col("cent_id").alias("cell"), "centroid")),
-            "cell",
-        )
-        .select(
-            "neighbor_id",
-            "cv",
-            "cell",
-            F.zip_with("cv", "centroid", lambda a, b: a - b).alias("rv"),
-        )
+    if assigned_base is None:
+        assigned_base = _ivf_assign(corpus, cent)
+    assigned = assigned_base.join(
+        F.broadcast(cent.select(F.col("cent_id").alias("cell"), "centroid")),
+        "cell",
+    ).select(
+        "neighbor_id",
+        "cv",
+        "cell",
+        F.zip_with("cv", "centroid", lambda a, b: a - b).alias("rv"),
     )
     cw = cw_fn(assigned)
     js = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j")
