@@ -659,6 +659,12 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_index_streamed": lambda s, d: _streaming_pipeline().ann_index_streamed(
         s, d
     ),
+    "hybrid_rrf_topk": lambda s, d: retrieval.hybrid_rrf_topk(
+        table(s, d, "documents"), table(s, d, "embeddings")
+    ),
+    "rm3_expansion_topk": lambda s, d: retrieval.rm3_expansion_topk(
+        table(s, d, "documents")
+    ),
 }
 
 
@@ -701,6 +707,8 @@ _PRIORITY = [
     "ann_index_incremental",
     "bm25_index_incremental",
     "ann_index_streamed",
+    "hybrid_rrf_topk",
+    "rm3_expansion_topk",
     # -- risk re-verifies: IVF-family plans changed in r7 --
     "ivf_flat_ann_topk",
     "ivfpq_ann_topk",
@@ -748,8 +756,10 @@ _PRIORITY = [
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
-    "sample_documents",
-    "stratified_sample_by_lang",
+    # (sample_documents, stratified_sample_by_lang displaced for the
+    #  two new fusion/expansion retrievers: their last driver row is
+    #  r2 — age 5, inside the staleness bound — and their md5-rank
+    #  samplers share no helper that changed since)
     "tfidf_top_terms",
     "token_entropy",
     "token_freq",

@@ -470,3 +470,203 @@ def retrieval_quality_report(
         )
         rows = row if rows is None else rows.unionByName(row)
     return rows
+
+
+RRF_C = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
+RRF_M = 25  # per-list candidate depth before fusion
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    m: int = RRF_M,
+    k: int = DEFAULT_K,
+    c: int = RRF_C,
+) -> DataFrame:
+    """Hybrid lexical+dense retrieval via Reciprocal Rank Fusion — the
+    fusion rule production hybrid-search engines default to
+    (Elasticsearch/OpenSearch/Vespa all ship RRF): each retriever
+    contributes 1/(c + rank) for the documents on its top-``m`` list,
+    and the fused score is the sum over lists. Unlike the rerank
+    cascade (``bm25_rerank_topk``, which REPLACES the lexical order),
+    fusion lets a document missing from one list still win on the
+    other — the behaviour a RAG stack wants when queries alternate
+    between keyword-ish and semantic.
+
+    Lists fused: exact BM25 top-m (``bm25_topk``) and exact cosine
+    top-m (``ann_brute_topk``; at deployment scale the IVF/LSH twins
+    slot in — fusion only reads ranks, so swapping the dense retriever
+    never changes this operator's shape). Queries are the shared
+    ``doc_id % QUERY_MOD == 0`` slice; both lists exclude self-matches.
+
+    Scale shape: both retrievers are already bounded (inverted-index
+    probe / brute-with-broadcast-queries); their outputs are |Q|·m-row
+    frames, so the fusion FULL OUTER join and the final top-k window
+    run on tiny ranked lists — nothing corpus-sized moves after
+    retrieval.
+
+    Determinism: ranks are exact integers from total orders;
+    1/(c+rank) is rounded 8 dp and DECIMAL-summed (≤ 2 terms), so the
+    fused score and its (score DESC, doc_id) ranking value-hash match
+    DuckDB. Missing-list ranks surface as 0 (not NULL) so the output
+    hashes identically across engines."""
+    zero = F.lit("0").cast("decimal(18,8)")
+
+    def gain(rank_col):
+        return F.coalesce(
+            F.round(
+                F.lit(1.0) / (F.lit(float(c)) + rank_col.cast("double")), 8
+            ).cast("decimal(18,8)"),
+            zero,
+        )
+
+    from .similarity import ann_brute_topk
+
+    lex = bm25_topk(docs, k=m).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    dense = ann_brute_topk(embeddings, k=m).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("dense_rank"),
+    )
+    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+        F.coalesce("dense_rank", F.lit(0)).cast("long").alias("dense_rank"),
+        (gain(F.col("lex_rank")) + gain(F.col("dense_rank"))).alias("_s"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_s").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            F.col("_s").cast("double").alias("rrf_score"),
+            "rank",
+        )
+    )
+
+
+RM3_FB_M = 10  # feedback depth (docs per query feeding the expansion)
+RM3_E = 5  # expansion terms per query
+RM3_LAMBDA = 0.6  # weight on the original query model
+
+
+def rm3_expansion_topk(
+    docs: DataFrame,
+    fb_m: int = RM3_FB_M,
+    e: int = RM3_E,
+    lam: float = RM3_LAMBDA,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval — RM3 (Lavrenko–Croft
+    relevance model interpolated with the original query, the
+    standard strong lexical baseline in Anserini/Terrier): a first
+    BM25 pass picks each query's top-``fb_m`` feedback documents; the
+    feedback relevance model weighs each term by Σ_d tf_td/|d| over those
+    documents (uniform document prior); the top-``e`` expansion terms
+    (original query terms excluded) are interpolated with the
+    qtf-normalized original query at weight ``lam``:original /
+    (1−lam):expansion; a second BM25 pass scores the expanded weighted
+    query. Expansion fixes pure BM25's vocabulary-mismatch failure
+    mode — the query's own words need not appear in a relevant doc.
+
+    Scale shape: pass 1 is ``bm25_topk``'s inverted-index probe; the
+    relevance model touches only the FEEDBACK docs' postings (|Q|·fb_m
+    docs joined against the postings table — a broadcast of a tiny
+    frame, work ∝ feedback doc lengths); pass 2 is another
+    inverted-index probe whose term set grew by ≤ e terms per query.
+    Nothing is ever doc×doc; both probes inherit the df-cap story of
+    the bm25 twins at deployment.
+
+    Determinism: every float step is round-then-DECIMAL-sum or a
+    rounded double mirrored expression-for-expression in the oracle
+    (tf/|d| at 8 dp; the normalized weights at 8 dp; per-(q,d,t)
+    contributions w·idf·tfsat at 6 dp), ranks break ties on term /
+    doc_id — full value-hash oracle."""
+    shared: dict = {}
+    fb = bm25_topk(docs, k=fb_m, shared=shared).select("query_id", "doc_id")
+    tf, df, dl, stats, _ = _bm25_frames(docs, df_cap=False, shared=shared)
+    # relevance model: rm(q,t) = Σ_{d ∈ FB(q)} round(tf_td/|d|, 8)
+    rm = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(fb), "doc_id")
+        .select(
+            "query_id",
+            "term",
+            F.round(F.col("tf") / F.col("dl").cast("double"), 8)
+            .cast("decimal(18,8)")
+            .alias("c"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.sum("c").alias("rm"))
+    )
+    # original query model: qtf-normalized terms of the query doc
+    orig = tf.filter(F.col("doc_id") % QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_id"), "term", F.col("tf").alias("qtf")
+    )
+    w_orig = orig.join(
+        dl.withColumnRenamed("doc_id", "query_id"), "query_id"
+    ).select(
+        "query_id",
+        "term",
+        (
+            F.lit(lam)
+            * F.round(F.col("qtf") / F.col("dl").cast("double"), 8)
+        ).alias("w"),
+    )
+    # top-e expansion terms, original terms excluded, weights
+    # normalized over the kept e terms
+    rmx = rm.join(orig.select("query_id", "term"), ["query_id", "term"], "left_anti")
+    w_rm = Window.partitionBy("query_id").orderBy(F.col("rm").desc(), F.col("term"))
+    exp = rmx.withColumn("rn", F.row_number().over(w_rm)).filter(F.col("rn") <= e)
+    tot = exp.groupBy("query_id").agg(F.sum("rm").alias("tot"))
+    w_exp = exp.join(tot, "query_id").select(
+        "query_id",
+        "term",
+        (
+            F.lit(1.0 - lam)
+            * F.round(F.col("rm").cast("double") / F.col("tot").cast("double"), 8)
+        ).alias("w"),
+    )
+    probe = w_orig.unionByName(w_exp)
+    # pass 2: weighted BM25 over the expanded query
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    avgdl = F.col("total_tokens") / F.col("n_docs")
+    tfsat = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * (F.col("dl") / avgdl))
+    )
+    contrib = (
+        tf.join(F.broadcast(probe), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(df, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("w") * idf * tfsat, 6)
+            .cast("decimal(18,6)")
+            .alias("c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(F.sum("c").alias("_s"))
+    w = Window.partitionBy("query_id").orderBy(F.col("_s").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("_s").cast("double").alias("score"),
+            "rank",
+        )
+    )

@@ -4483,3 +4483,132 @@ JOIN keep USING (source)
 
 
 ORACLE_SQL["prototypicality_prune_bucketed"] = ORACLE_SQL["prototypicality_prune"]
+
+
+# Hybrid lexical+dense retrieval via Reciprocal Rank Fusion
+# (operators/retrieval.hybrid_rrf_topk): both lists' ranks are exact
+# integers from already-oracled total orders; each 1/(c+rank) term is
+# rounded 8 dp and DECIMAL-summed (<= 2 terms), missing-list ranks
+# surface as 0 — full value-hash oracle.
+from .operators.retrieval import (  # noqa: E402
+    RRF_C as _RRF_C_,
+    RRF_M as _RRF_M_,
+)
+
+_BM25_DF_PLAIN = "(SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)"
+
+ORACLE_SQL["hybrid_rrf_topk"] = f"""
+WITH {_NORM_CTE},
+lex AS (SELECT query_id, doc_id, rank
+        FROM ({_bm25_oracle(_BM25_DF_PLAIN, k=_RRF_M_)})),
+q AS (SELECT vec_id, nv FROM e WHERE vec_id % 50 = 0),
+ds AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+         ROUND(list_dot_product(q.nv, e.nv), 6) AS sim
+  FROM q JOIN e ON e.vec_id <> q.vec_id
+),
+dense AS (
+  SELECT query_id, doc_id, CAST(rn AS BIGINT) AS rank FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rn
+    FROM ds)
+  WHERE rn <= {_RRF_M_}
+),
+fused AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         CAST(COALESCE(l.rank, 0) AS BIGINT) AS lex_rank,
+         CAST(COALESCE(d.rank, 0) AS BIGINT) AS dense_rank,
+         COALESCE(CAST(ROUND(1.0 / ({float(_RRF_C_)} + l.rank), 8)
+                       AS DECIMAL(18,8)), CAST(0 AS DECIMAL(18,8)))
+       + COALESCE(CAST(ROUND(1.0 / ({float(_RRF_C_)} + d.rank), 8)
+                       AS DECIMAL(18,8)), CAST(0 AS DECIMAL(18,8))) AS s
+  FROM lex l FULL OUTER JOIN dense d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+),
+rr AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY s DESC, doc_id) AS rn
+  FROM fused
+)
+SELECT query_id, doc_id, lex_rank, dense_rank,
+  CAST(s AS DOUBLE) AS rrf_score, CAST(rn AS BIGINT) AS rank
+FROM rr WHERE rn <= 10
+"""
+
+# RM3 pseudo-relevance-feedback retrieval
+# (operators/retrieval.rm3_expansion_topk): the feedback pass is the
+# already-oracled bm25 top-k; the relevance model, interpolation
+# weights, and second weighted BM25 pass mirror the Spark expressions
+# term for term (tf/|d| at 8 dp, normalized weights at 8 dp rounded
+# doubles, per-(q,d,t) contributions at 6 dp DECIMAL-summed).
+from .operators.retrieval import (  # noqa: E402
+    RM3_E as _RM3_E_,
+    RM3_FB_M as _RM3_FB_M_,
+    RM3_LAMBDA as _RM3_L_,
+)
+
+ORACLE_SQL["rm3_expansion_topk"] = f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+dfp AS {_BM25_DF_PLAIN},
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                 (SELECT COUNT(*) FROM tok) AS total_tokens),
+fb AS (SELECT query_id, doc_id
+       FROM ({_bm25_oracle(_BM25_DF_PLAIN, k=_RM3_FB_M_)})),
+rmc AS (
+  SELECT fb.query_id, tf.term,
+    CAST(ROUND(tf.tf / CAST(dl.dl AS DOUBLE), 8) AS DECIMAL(18,8)) AS c
+  FROM tf JOIN dl USING (doc_id) JOIN fb ON fb.doc_id = tf.doc_id
+),
+rm AS (SELECT query_id, term, SUM(c) AS rm FROM rmc GROUP BY 1, 2),
+orig AS (SELECT doc_id AS query_id, term, tf AS qtf FROM tf
+         WHERE doc_id % {_BM_QM_} = 0),
+rmx AS (SELECT rm.query_id, rm.term, rm.rm FROM rm
+        ANTI JOIN orig ON orig.query_id = rm.query_id
+                      AND orig.term = rm.term),
+expn AS (
+  SELECT query_id, term, rm FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY rm DESC, term) AS rn
+    FROM rmx)
+  WHERE rn <= {_RM3_E_}
+),
+tot AS (SELECT query_id, SUM(rm) AS tot FROM expn GROUP BY 1),
+wexp AS (
+  SELECT query_id, term,
+    {1.0 - _RM3_L_} * ROUND(CAST(rm AS DOUBLE) / CAST(tot AS DOUBLE), 8) AS w
+  FROM expn JOIN tot USING (query_id)
+),
+worig AS (
+  SELECT o.query_id, o.term,
+    {_RM3_L_} * ROUND(o.qtf / CAST(dl.dl AS DOUBLE), 8) AS w
+  FROM orig o JOIN dl ON dl.doc_id = o.query_id
+),
+probe AS (SELECT * FROM worig UNION ALL SELECT * FROM wexp),
+c2 AS (
+  SELECT probe.query_id, tf.doc_id,
+    CAST(ROUND(probe.w
+      * ln(1.0 + (stats.n_docs - dfp.df + 0.5) / (dfp.df + 0.5))
+      * ((tf.tf * {_BM_K1_ + 1.0}) /
+         (tf.tf + {_BM_K1_} * ({1.0 - _BM_B_} + {_BM_B_} *
+           (dl.dl / (CAST(stats.total_tokens AS DOUBLE) / stats.n_docs))))),
+      6) AS DECIMAL(18,6)) AS c
+  FROM tf
+  JOIN probe USING (term)
+  JOIN dfp USING (term)
+  JOIN dl USING (doc_id), stats
+  WHERE tf.doc_id <> probe.query_id
+),
+s2 AS (SELECT query_id, doc_id, SUM(c) AS s FROM c2 GROUP BY 1, 2),
+r2 AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY s DESC, doc_id) AS rn
+  FROM s2
+)
+SELECT query_id, doc_id, CAST(s AS DOUBLE) AS score,
+  CAST(rn AS BIGINT) AS rank
+FROM r2 WHERE rn <= {_BM_K_}
+"""

@@ -1368,3 +1368,119 @@ def test_bm25_index_incremental_corpus_invariants(spark):
         assert 0 <= r.df_new <= r.df
         if r.is_new_term:
             assert r.df == r.df_new > 0
+
+
+def test_hybrid_rrf_fuses_a_dense_only_document(spark):
+    """The fusion property that distinguishes RRF from the rerank
+    cascade: a document with NO lexical overlap with the query (so it
+    is absent from the BM25 list entirely) still reaches the fused
+    top-k through its dense rank alone."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta", "en", "src", 10),
+            (1, "alpha beta alpha beta", "en", "src", 21),  # lexical hit
+            (2, "zzz www", "en", "src", 7),  # dense-only hit
+            (3, "alpha qqq", "en", "src", 9),  # mild on both lists
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    s2 = (1 - 0.99**2) ** 0.5
+    pad = [0.0] * 62
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0] + pad, 0),
+            (1, [0.0, 1.0] + pad, 0),  # orthogonal to the query
+            (2, [0.99, s2] + pad, 0),  # near-parallel
+            (3, [0.5, 0.75**0.5] + pad, 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r.doc_id: r for r in retrieval.hybrid_rrf_topk(docs, emb).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2].lex_rank == 0 and rows[2].dense_rank == 1  # dense-only
+    assert rows[1].lex_rank == 1  # lexical winner still fused in
+    # fused score is exactly the sum of the rounded reciprocal ranks
+    for r in rows.values():
+        want = 0.0
+        if r.lex_rank:
+            want += round(1.0 / (retrieval.RRF_C + r.lex_rank), 8)
+        if r.dense_rank:
+            want += round(1.0 / (retrieval.RRF_C + r.dense_rank), 8)
+        assert abs(r.rrf_score - want) < 1e-9
+    # doc 1 rides two lists; doc 2 rides one — two good ranks beat one
+    assert rows[1].rank < rows[2].rank
+
+
+def test_hybrid_rrf_rows_come_from_the_two_lists(spark):
+    from healthcare_oltp_to_olap_gcp_spark.operators import retrieval
+    from healthcare_oltp_to_olap_gcp_spark.operators import similarity
+
+    docs = table(spark, SF001, "documents")
+    emb = table(spark, SF001, "embeddings")
+    lex = {
+        (r.query_id, r.doc_id): r.rank
+        for r in retrieval.bm25_topk(docs, k=retrieval.RRF_M).collect()
+    }
+    dense = {
+        (r.query_id, r.neighbor_id): r.rank
+        for r in similarity.ann_brute_topk(emb, k=retrieval.RRF_M).collect()
+    }
+    out = retrieval.hybrid_rrf_topk(docs, emb).collect()
+    assert out
+    per_q: dict[int, list] = {}
+    for r in out:
+        key = (r.query_id, r.doc_id)
+        assert key in lex or key in dense  # fusion never invents rows
+        assert r.lex_rank == lex.get(key, 0)
+        assert r.dense_rank == dense.get(key, 0)
+        per_q.setdefault(r.query_id, []).append(r)
+    for rows in per_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r.rrf_score for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_rm3_expansion_retrieves_vocabulary_mismatched_doc(spark):
+    """RM3's reason to exist: a relevant document sharing NO term with
+    the query is invisible to plain BM25 but is retrieved after the
+    feedback docs vote its term into the expanded query."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import retrieval
+
+    rows = [
+        (0, "apple banana"),  # the query (doc_id % 50 == 0)
+        (1, "apple banana cherry"),  # feedback docs: bridge term
+        (2, "apple banana cherry"),
+        (3, "apple banana cherry"),
+        (4, "cherry cherry cherry cherry"),  # hidden relevant doc
+        (5, "dog cat mouse"),  # background noise for idf
+        (6, "fish bird snake"),
+        (7, "red green blue"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    plain = {r.doc_id for r in retrieval.bm25_topk(docs).collect()}
+    assert 4 not in plain  # BM25 cannot see doc 4 at all
+    rm3 = {r.doc_id: r for r in retrieval.rm3_expansion_topk(docs).collect()}
+    assert 4 in rm3 and rm3[4].score > 0  # expansion recovered it
+    assert {1, 2, 3} <= set(rm3)  # feedback docs still retrieved
+
+
+def test_rm3_ranking_is_total_and_scores_descend_on_corpus(spark):
+    from healthcare_oltp_to_olap_gcp_spark.operators import retrieval
+
+    out = retrieval.rm3_expansion_topk(table(spark, SF001, "documents")).collect()
+    assert out
+    per_q: dict[int, list] = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+    for rows in per_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= retrieval.DEFAULT_K
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)

@@ -327,6 +327,14 @@ _BNLJ_ALLOWED = {
     # r7 reviewed: one-row centroid-struct-array cross for the per-row
     # argmax assignment — nearest_centroid_assign's shape
     "ann_index_incremental",
+    # r7 reviewed: inherits bm25_topk's one-row corpus-stats cross;
+    # the fusion itself is a proper full-outer hash join of two
+    # |Q|·m ranked lists
+    "hybrid_rrf_topk",
+    # r7 reviewed: inherits bm25's one-row corpus-stats cross in BOTH
+    # passes; the feedback/expansion joins are broadcast-hash on tiny
+    # |Q|·fb_m / |Q|·e frames
+    "rm3_expansion_topk",
 }
 # These run eager work (KMeans fit / query collect / stream drain) at
 # plan-build time; their plan shape is asserted in their own tests.

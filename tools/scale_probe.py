@@ -129,6 +129,8 @@ PROBES = {
     "bm25_rerank_dfcap_topk": {"documents": ["doc_id"], "embeddings": ["vec_id"]},
     # round-7 additions
     "retrieval_quality_report": {"documents": ["doc_id"], "embeddings": ["vec_id"]},
+    "hybrid_rrf_topk": {"documents": ["doc_id"], "embeddings": ["vec_id"]},
+    "rm3_expansion_topk": {"documents": ["doc_id"]},
     "ann_index_incremental": {"embeddings": ["vec_id"]},
     "bm25_index_incremental": {"documents": ["doc_id"]},
     "ann_index_streamed": {"embeddings": ["vec_id"]},
