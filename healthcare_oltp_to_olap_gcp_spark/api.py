@@ -665,6 +665,12 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rm3_expansion_topk": lambda s, d: retrieval.rm3_expansion_topk(
         table(s, d, "documents")
     ),
+    "events_drift_report": lambda s, d: analytics.events_drift_report(
+        table(s, d, "events")
+    ),
+    "embedding_isotropy_report": lambda s, d: similarity.embedding_isotropy_report(
+        table(s, d, "embeddings")
+    ),
 }
 
 
@@ -709,6 +715,8 @@ _PRIORITY = [
     "ann_index_streamed",
     "hybrid_rrf_topk",
     "rm3_expansion_topk",
+    "events_drift_report",
+    "embedding_isotropy_report",
     # -- risk re-verifies: IVF-family plans changed in r7 --
     "ivf_flat_ann_topk",
     "ivfpq_ann_topk",
@@ -756,13 +764,12 @@ _PRIORITY = [
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
-    # (sample_documents, stratified_sample_by_lang displaced for the
-    #  two new fusion/expansion retrievers: their last driver row is
-    #  r2 — age 5, inside the staleness bound — and their md5-rank
-    #  samplers share no helper that changed since)
+    # (sample_documents, stratified_sample_by_lang, token_entropy,
+    #  token_freq displaced for the four operators new this round:
+    #  all four displaced keys' last driver row is r2 — age 5, inside
+    #  the staleness bound — and none shares a helper that changed
+    #  this round; they lead the r8 rotation)
     "tfidf_top_terms",
-    "token_entropy",
-    "token_freq",
     "winnow_fingerprint",
 ]
 

@@ -2366,3 +2366,79 @@ def prototypicality_prune_bucketed(embeddings: DataFrame) -> DataFrame:
             > PROTO_PRUNE_NUM * F.col("n_label"),
         )
     )
+
+
+def embedding_isotropy_report(embeddings: DataFrame) -> DataFrame:
+    """Corpus embedding-geometry diagnostics (r7) — the one-row report
+    an embedding-quality audit starts with (Ethayarajh 2019 /
+    Mu & Viswanath 2018 "all-but-the-top" anisotropy literature):
+    anisotropic, cone-shaped embedding spaces make cosine similarity
+    uninformative, which silently degrades every downstream consumer
+    this engine ships (semdedup, ANN retrieval, kNN classification,
+    prototypicality pruning).
+
+    Columns: n_vectors, n_dims, avg_norm (mean L2 of the RAW vectors),
+    centroid_norm (L2 of the mean NORMALIZED vector — 0 for a
+    perfectly isotropic cloud, →1 for a degenerate cone),
+    avg_pairwise_cosine (mean cosine over all n·(n−1) ordered pairs —
+    the standard anisotropy estimate), and the per-dimension variance
+    min/max/mean of the normalized components (a collapsed dimension
+    shows var ≈ 0).
+
+    Scale shape — the whole point: avg pairwise cosine is NOT an
+    O(n²) pair scan; with unit vectors it collapses through the
+    sum-vector identity  Σ_{i≠j} <u_i,u_j> = ‖Σu‖² − n,  so the
+    operator is two linear passes: one corpus scan for counts/norms,
+    one posexplode aggregated per dimension (map-side combine reduces
+    the shuffle to ≤ partitions·d rows — d keys, tiny). Everything
+    after is a d-row frame collapsing to one row.
+
+    Determinism: per-row contributions (norms 8 dp, components 8 dp,
+    squared components 10 dp) are rounded then DECIMAL-summed; the
+    d-row reductions (centroid norm, pairwise mean, variance mean) are
+    likewise rounded-then-DECIMAL-summed, so every column value-hash
+    matches DuckDB."""
+    raw = as_double("embedding")
+    nv = normalized(raw)
+    norms = embeddings.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.round(F.sqrt(dot(raw, raw)), 8).cast("decimal(18,8)")
+        ).alias("norm_sum"),
+    )
+    per_dim = (
+        embeddings.select(F.posexplode(nv).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.round(F.col("val"), 8).cast("decimal(18,8)")).alias("s"),
+            F.sum(
+                F.round(F.col("val") * F.col("val"), 10).cast("decimal(18,10)")
+            ).alias("ss"),
+        )
+    )
+    sd = F.col("s").cast("double")
+    m = sd / F.col("n")
+    var = F.round(F.col("ss").cast("double") / F.col("n") - m * m, 8)
+    d = per_dim.crossJoin(F.broadcast(norms)).select(
+        "n",
+        "norm_sum",
+        F.round(m * m, 12).cast("decimal(20,12)").alias("m2"),
+        F.round(sd * sd, 6).cast("decimal(28,6)").alias("s2"),
+        var.alias("var"),
+        var.cast("decimal(18,8)").alias("var_dec"),
+    )
+    n = F.max("n")
+    return d.agg(
+        n.alias("n_vectors"),
+        F.count("*").cast("long").alias("n_dims"),
+        F.round(F.max(F.col("norm_sum").cast("double")) / n, 6).alias("avg_norm"),
+        F.round(F.sqrt(F.sum("m2").cast("double")), 6).alias("centroid_norm"),
+        F.round((F.sum("s2").cast("double") - n) / (n * (n - F.lit(1))), 6).alias(
+            "avg_pairwise_cosine"
+        ),
+        F.min("var").alias("dim_var_min"),
+        F.max("var").alias("dim_var_max"),
+        F.round(F.sum("var_dec").cast("double") / F.count("*"), 8).alias(
+            "dim_var_mean"
+        ),
+    )

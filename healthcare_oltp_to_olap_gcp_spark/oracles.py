@@ -4612,3 +4612,127 @@ SELECT query_id, doc_id, CAST(s AS DOUBLE) AS score,
   CAST(rn AS BIGINT) AS rank
 FROM r2 WHERE rn <= {_BM_K_}
 """
+
+
+# Distribution-drift monitor (plans/analytics.events_drift_report):
+# integer-microsecond midpoint split, reference-frozen 10-bin PSI with
+# +0.5 Laplace smoothing (terms rounded 10 dp, DECIMAL-summed), exact
+# two-sample KS over the (type, value) distinct-value ECDFs (distances
+# rounded 8 dp before MAX), 6-dp DECIMAL means.
+from .plans.analytics import DRIFT_BINS as _DB_  # noqa: E402
+
+ORACLE_SQL["events_drift_report"] = f"""
+WITH ev AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+mid AS (SELECT MIN(us) + (MAX(us) - MIN(us)) // 2 AS mid FROM ev),
+tagged AS (SELECT event_type, value, us <= mid.mid AS is_ref FROM ev, mid),
+edges AS (SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+          FROM tagged WHERE is_ref GROUP BY 1),
+per_type AS (
+  SELECT event_type,
+    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+    SUM(CASE WHEN is_ref
+        THEN CAST(ROUND(value, 6) AS DECIMAL(18,6)) END) AS sum_ref,
+    SUM(CASE WHEN NOT is_ref
+        THEN CAST(ROUND(value, 6) AS DECIMAL(18,6)) END) AS sum_cur
+  FROM tagged GROUP BY 1
+),
+binned AS (
+  SELECT t.event_type, t.is_ref,
+    CASE WHEN e.vmax = e.vmin THEN 0
+         ELSE CAST(LEAST({float(_DB_ - 1)}, GREATEST(0.0,
+           FLOOR((t.value - e.vmin) / ((e.vmax - e.vmin) / {float(_DB_)}))))
+           AS INT)
+    END AS bin
+  FROM tagged t JOIN edges e USING (event_type)
+),
+grid AS (SELECT event_type, unnest(range(0, {_DB_})) AS bin FROM edges),
+bc AS (
+  SELECT event_type, bin,
+    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_c,
+    SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS cur_c
+  FROM binned GROUP BY 1, 2
+),
+fullb AS (
+  SELECT g.event_type, COALESCE(ref_c, 0) AS ref_c,
+         COALESCE(cur_c, 0) AS cur_c
+  FROM grid g LEFT JOIN bc USING (event_type, bin)
+),
+psi AS (
+  SELECT f.event_type,
+    SUM(CAST(ROUND(
+      ((f.ref_c + 0.5) / (p.n_ref + {0.5 * _DB_})
+       - (f.cur_c + 0.5) / (p.n_cur + {0.5 * _DB_}))
+      * ln(((f.ref_c + 0.5) / (p.n_ref + {0.5 * _DB_}))
+           / ((f.cur_c + 0.5) / (p.n_cur + {0.5 * _DB_}))),
+      10) AS DECIMAL(18,10))) AS s
+  FROM fullb f JOIN per_type p USING (event_type) GROUP BY 1
+),
+vcounts AS (
+  SELECT event_type, value,
+    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_c,
+    SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS cur_c
+  FROM tagged GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, value,
+    SUM(ref_c) OVER (PARTITION BY event_type ORDER BY value) AS cr,
+    SUM(cur_c) OVER (PARTITION BY event_type ORDER BY value) AS cc
+  FROM vcounts
+),
+ks AS (
+  SELECT c.event_type,
+    MAX(ROUND(ABS(c.cr / p.n_ref - c.cc / p.n_cur), 8)) AS ks_d
+  FROM cum c JOIN per_type p USING (event_type) GROUP BY 1
+)
+SELECT p.event_type, p.n_ref, p.n_cur,
+  ROUND(CAST(p.sum_ref AS DOUBLE) / p.n_ref, 6) AS mean_ref,
+  ROUND(CAST(p.sum_cur AS DOUBLE) / p.n_cur, 6) AS mean_cur,
+  ROUND(CAST(psi.s AS DOUBLE), 6) AS psi,
+  ks.ks_d AS ks_d
+FROM per_type p JOIN psi USING (event_type) JOIN ks USING (event_type)
+WHERE p.n_ref > 0 AND p.n_cur > 0
+"""
+
+# Embedding-geometry diagnostics
+# (operators/similarity.embedding_isotropy_report): the pairwise-mean
+# collapses through the sum-vector identity, so the oracle is the same
+# two linear passes — per-row roundings (norm 8 dp, components 8 dp,
+# squares 10 dp) DECIMAL-summed, d-row reductions rounded-then-summed.
+ORACLE_SQL["embedding_isotropy_report"] = f"""
+WITH {_NORM_CTE},
+norms AS (
+  SELECT COUNT(*) AS n,
+    SUM(CAST(ROUND(sqrt(list_dot_product(v, v)), 8) AS DECIMAL(18,8)))
+      AS norm_sum
+  FROM e0
+),
+x AS (SELECT unnest(nv) AS val, generate_subscripts(nv, 1) AS pos FROM e),
+per_dim AS (
+  SELECT pos,
+    SUM(CAST(ROUND(val, 8) AS DECIMAL(18,8))) AS s,
+    SUM(CAST(ROUND(val * val, 10) AS DECIMAL(18,10))) AS ss
+  FROM x GROUP BY 1
+),
+d AS (
+  SELECT n, norm_sum,
+    CAST(ROUND((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 12)
+         AS DECIMAL(20,12)) AS m2,
+    CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 6)
+         AS DECIMAL(28,6)) AS s2,
+    ROUND(CAST(ss AS DOUBLE) / n
+          - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 8) AS var
+  FROM per_dim, norms
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_vectors,
+  CAST(COUNT(*) AS BIGINT) AS n_dims,
+  ROUND(MAX(CAST(norm_sum AS DOUBLE)) / MAX(n), 6) AS avg_norm,
+  ROUND(sqrt(CAST(SUM(m2) AS DOUBLE)), 6) AS centroid_norm,
+  ROUND((CAST(SUM(s2) AS DOUBLE) - MAX(n)) / (MAX(n) * (MAX(n) - 1)), 6)
+    AS avg_pairwise_cosine,
+  MIN(var) AS dim_var_min,
+  MAX(var) AS dim_var_max,
+  ROUND(CAST(SUM(CAST(var AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 8)
+    AS dim_var_mean
+FROM d
+"""

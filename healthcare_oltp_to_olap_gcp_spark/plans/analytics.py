@@ -2409,3 +2409,151 @@ def events_seasonality(events: DataFrame) -> DataFrame:
             F.round(F.col("n_events") / F.col("_tot").cast("double"), 6),
         ).alias("share"),
     )
+
+
+DRIFT_BINS = 10
+
+
+def events_drift_report(events: DataFrame) -> DataFrame:
+    """Distribution-drift monitor — PSI + two-sample KS per event_type
+    between the first and second half of the observed time range (r7;
+    the reference repo's monitoring surface tracks pipeline HEALTH —
+    mon_* views over run metadata; this is the model/data-quality
+    counterpart every production pipeline bolts on next: "did the
+    VALUE distribution shift?").
+
+    Metrics per event_type (reference window = events at or before the
+    integer-microsecond midpoint of [min ts, max ts]; current window =
+    the rest):
+      * PSI — Population Stability Index over ``DRIFT_BINS``
+        equal-width bins FROZEN on the reference window's [min, max]
+        (the standard monitoring convention: the baseline owns the
+        binning), Laplace-smoothed (+0.5 per bin) so empty bins don't
+        blow up the log; industry rule of thumb: < 0.1 stable,
+        0.1-0.25 drifting, > 0.25 shifted.
+      * KS — the exact two-sample Kolmogorov–Smirnov statistic
+        max |ECDF_ref − ECDF_cur|.
+      * mean_ref / mean_cur for eyeballing direction.
+    Event types need rows in BOTH windows to have a drift measure
+    (types absent from either half are excluded, like an untrained
+    monitor).
+
+    Scale shape: the midpoint is one global min/max (map-side
+    combined) broadcast as a one-row cross; binning + counts are
+    map-side-combined aggregations keyed by (type, bin) — ≤ |types|·B
+    rows ever shuffle for PSI. The exact-KS cumulative window runs
+    over the (type, value) DISTINCT-value frame, whose size is bounded
+    by the value domain (2-dp readings here), not the event count —
+    at 100 TB with an unbounded-cardinality value column you'd swap
+    the exact ECDF for the already-binned histogram KS (same code
+    shape on the PSI bin table; documented, not needed at this domain).
+
+    Determinism: the midpoint is exact integer arithmetic on epoch
+    micros (both engines truncate parquet nanos to micros); bin edges
+    chain the same IEEE double ops in the same order in DuckDB; PSI
+    terms are rounded 10 dp and DECIMAL-summed; KS distances are
+    rounded 8 dp before the MAX; means are 6-dp-rounded DECIMAL sums.
+    Full value-hash oracle."""
+    ev = events.select(
+        "event_type", "value", F.unix_micros(F.col("ts")).alias("us")
+    )
+    mid = ev.agg(F.min("us").alias("mn"), F.max("us").alias("mx")).select(
+        F.expr("mn + (mx - mn) DIV 2").alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type", "value", (F.col("us") <= F.col("mid")).alias("is_ref")
+    )
+    edges = (
+        tagged.filter(F.col("is_ref"))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    )
+    dec6 = "decimal(18,6)"
+    per_type = tagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("long").alias("n_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).cast("long").alias("n_cur"),
+        F.sum(F.when(F.col("is_ref"), F.round(F.col("value"), 6).cast(dec6))).alias(
+            "sum_ref"
+        ),
+        F.sum(F.when(~F.col("is_ref"), F.round(F.col("value"), 6).cast(dec6))).alias(
+            "sum_cur"
+        ),
+    )
+    nb = float(DRIFT_BINS)
+    raw_bin = F.floor(
+        (F.col("value") - F.col("vmin"))
+        / ((F.col("vmax") - F.col("vmin")) / F.lit(nb))
+    )
+    binned = tagged.join(edges, "event_type").select(
+        "event_type",
+        "is_ref",
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(
+            F.least(F.lit(nb - 1.0), F.greatest(F.lit(0.0), raw_bin)).cast("int")
+        )
+        .alias("bin"),
+    )
+    grid = edges.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(DRIFT_BINS - 1))).alias("bin"),
+    )
+    bc = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_c"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("cur_c"),
+    )
+    fullb = grid.join(bc, ["event_type", "bin"], "left").select(
+        "event_type",
+        F.coalesce("ref_c", F.lit(0)).alias("ref_c"),
+        F.coalesce("cur_c", F.lit(0)).alias("cur_c"),
+    )
+    smooth = F.lit(0.5 * DRIFT_BINS)
+    p = (F.col("ref_c") + F.lit(0.5)) / (F.col("n_ref") + smooth)
+    q = (F.col("cur_c") + F.lit(0.5)) / (F.col("n_cur") + smooth)
+    psi = (
+        fullb.join(per_type.select("event_type", "n_ref", "n_cur"), "event_type")
+        .select(
+            "event_type",
+            F.round((p - q) * F.log(p / q), 10).cast("decimal(18,10)").alias("t"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("t").alias("s"))
+    )
+    vcounts = tagged.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_c"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("cur_c"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("value")
+    cum = vcounts.select(
+        "event_type",
+        F.sum("ref_c").over(wv).alias("cr"),
+        F.sum("cur_c").over(wv).alias("cc"),
+    )
+    ks = (
+        cum.join(per_type.select("event_type", "n_ref", "n_cur"), "event_type")
+        .select(
+            "event_type",
+            F.round(
+                F.abs(F.col("cr") / F.col("n_ref") - F.col("cc") / F.col("n_cur")), 8
+            ).alias("d"),
+        )
+        .groupBy("event_type")
+        .agg(F.max("d").alias("ks_d"))
+    )
+    return (
+        per_type.join(psi, "event_type")
+        .join(ks, "event_type")
+        .filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            F.round(F.col("sum_ref").cast("double") / F.col("n_ref"), 6).alias(
+                "mean_ref"
+            ),
+            F.round(F.col("sum_cur").cast("double") / F.col("n_cur"), 6).alias(
+                "mean_cur"
+            ),
+            F.round(F.col("s").cast("double"), 6).alias("psi"),
+            "ks_d",
+        )
+    )

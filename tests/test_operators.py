@@ -871,3 +871,93 @@ def test_events_seasonality_shares_sum_to_one(spark):
     for r in rows:
         assert 1 <= r.day_of_week <= 7 and 0 <= r.hour <= 23
         assert 0 < r.n_users <= r.n_events
+
+
+def test_drift_report_separates_stable_from_shifted_type(spark):
+    """Hand case for events_drift_report: a type whose value
+    distribution is identical across both time halves scores PSI = 0
+    and KS = 0; a type that jumps from a low to a high regime scores
+    both near their maxima."""
+    from datetime import datetime
+
+    from healthcare_oltp_to_olap_gcp_spark.plans import analytics
+
+    rows = []
+    eid = 0
+    for half, day in ((0, 1), (1, 20)):
+        for i in range(50):
+            ts = datetime(2024, 1, day, i % 24, i % 60)
+            # stable: the same 5 values in both halves
+            rows.append((eid, ts, 1, "stable", float(i % 5), "{}"))
+            eid += 1
+            # shifted: 0..4 in the first half, 100..104 in the second
+            rows.append(
+                (eid, ts, 1, "shifted", float(i % 5 + (100 if half else 0)), "{}")
+            )
+            eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r.event_type: r for r in analytics.events_drift_report(events).collect()}
+    assert set(out) == {"stable", "shifted"}
+    s, d = out["stable"], out["shifted"]
+    assert s.n_ref == 50 and s.n_cur == 50
+    assert s.psi == 0.0 and s.ks_d == 0.0
+    assert s.mean_ref == s.mean_cur
+    assert d.ks_d == 1.0  # disjoint supports: ECDFs fully separate
+    assert d.psi > 1.0  # far beyond the 0.25 "shifted" rule of thumb
+    assert d.mean_cur - d.mean_ref == 100.0
+
+
+def test_drift_report_bounds_on_corpus(spark):
+    from healthcare_oltp_to_olap_gcp_spark.plans import analytics
+
+    out = analytics.events_drift_report(table(spark, SF001, "events")).collect()
+    assert out  # every type spans the 30-day window in the test data
+    for r in out:
+        assert r.n_ref > 0 and r.n_cur > 0
+        assert r.psi >= 0.0  # PSI is a (symmetrised-KL-style) divergence
+        assert 0.0 <= r.ks_d <= 1.0
+
+
+def test_isotropy_report_identical_and_orthogonal_hand_cases(spark):
+    emb_same = spark.createDataFrame(
+        [(i, [3.0, 4.0, 0.0, 0.0], 0) for i in range(5)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = similarity.embedding_isotropy_report(emb_same).collect()[0]
+    # a fully collapsed (rank-1) cloud: every pair parallel
+    assert r.n_vectors == 5 and r.n_dims == 4
+    assert abs(r.avg_norm - 5.0) < 1e-6
+    assert abs(r.centroid_norm - 1.0) < 1e-6
+    assert abs(r.avg_pairwise_cosine - 1.0) < 1e-6
+    assert r.dim_var_min == 0.0 and r.dim_var_max == 0.0
+
+    basis = spark.createDataFrame(
+        [(i, [2.0 if j == i else 0.0 for j in range(4)], 0) for i in range(4)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = similarity.embedding_isotropy_report(basis).collect()[0]
+    # an orthogonal basis: zero mean pairwise cosine, centroid at 1/2
+    assert abs(r.avg_norm - 2.0) < 1e-6
+    assert abs(r.centroid_norm - 0.5) < 1e-6
+    assert abs(r.avg_pairwise_cosine) < 1e-6
+    # per-dim variance of one-hot components: 1/4 - 1/16
+    assert abs(r.dim_var_min - 0.1875) < 1e-6
+    assert abs(r.dim_var_max - 0.1875) < 1e-6
+
+
+def test_isotropy_report_bounds_on_corpus(spark):
+    r = similarity.embedding_isotropy_report(
+        table(spark, SF001, "embeddings")
+    ).collect()[0]
+    assert r.n_dims == 64 and r.n_vectors > 0
+    assert 0.0 <= r.centroid_norm <= 1.0 + 1e-9
+    assert -1.0 <= r.avg_pairwise_cosine <= 1.0
+    assert 0.0 <= r.dim_var_min <= r.dim_var_max
+    # mean pairwise cosine >= centroid_norm^2 - 1/n up to rounding
+    # (they estimate the same quantity: ||mean u||^2 * n/(n-1) - 1/(n-1))
+    est = (r.centroid_norm**2 * r.n_vectors - 1) / (r.n_vectors - 1)
+    assert abs(r.avg_pairwise_cosine - est) < 1e-3

@@ -335,6 +335,12 @@ _BNLJ_ALLOWED = {
     # passes; the feedback/expansion joins are broadcast-hash on tiny
     # |Q|·fb_m / |Q|·e frames
     "rm3_expansion_topk",
+    # r7 reviewed: one-row time-midpoint scalar cross onto the event
+    # stream (the mon_* max-ts window-bound shape)
+    "events_drift_report",
+    # r7 reviewed: one-row (n, norm_sum) corpus-stats cross onto the
+    # d-row per-dimension frame — tfidf's count-cross shape
+    "embedding_isotropy_report",
 }
 # These run eager work (KMeans fit / query collect / stream drain) at
 # plan-build time; their plan shape is asserted in their own tests.

@@ -131,6 +131,8 @@ PROBES = {
     "retrieval_quality_report": {"documents": ["doc_id"], "embeddings": ["vec_id"]},
     "hybrid_rrf_topk": {"documents": ["doc_id"], "embeddings": ["vec_id"]},
     "rm3_expansion_topk": {"documents": ["doc_id"]},
+    "events_drift_report": {"events": ["event_id", "user_id"]},
+    "embedding_isotropy_report": {"embeddings": ["vec_id"]},
     "ann_index_incremental": {"embeddings": ["vec_id"]},
     "bm25_index_incremental": {"documents": ["doc_id"]},
     "ann_index_streamed": {"embeddings": ["vec_id"]},
