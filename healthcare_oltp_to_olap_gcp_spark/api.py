@@ -671,6 +671,9 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_isotropy_report": lambda s, d: similarity.embedding_isotropy_report(
         table(s, d, "embeddings")
     ),
+    "events_drift_streamed": lambda s, d: _streaming_pipeline().events_drift_streamed(
+        s, d
+    ),
 }
 
 
@@ -717,6 +720,7 @@ _PRIORITY = [
     "rm3_expansion_topk",
     "events_drift_report",
     "embedding_isotropy_report",
+    "events_drift_streamed",
     # -- risk re-verifies: IVF-family plans changed in r7 --
     "ivf_flat_ann_topk",
     "ivfpq_ann_topk",
@@ -740,7 +744,9 @@ _PRIORITY = [
     "value_percentiles",
     "value_range_window",
     # -- oldest cohort: last driver row r2 --
-    "chunk_documents",
+    # (chunk_documents displaced for events_drift_streamed — r2 row,
+    #  age 5, no changed helper; leads the r8 rotation with the other
+    #  four displaced keys noted below)
     "dedup_exact",
     "docs_contamination",
     "docs_fingerprint",

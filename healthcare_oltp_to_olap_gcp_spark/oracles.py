@@ -4736,3 +4736,67 @@ SELECT CAST(MAX(n) AS BIGINT) AS n_vectors,
     AS dim_var_mean
 FROM d
 """
+
+
+# Streamed drift monitor (streaming/pipeline.events_drift_streamed):
+# the availableNow drain converges to the batch computation (the
+# sentinel closes every real daily window), so the oracle scores the
+# current half's daily histograms directly against the reference-half
+# distribution with the batch drift operator's exact arithmetic.
+_DRIFT_BIN_SQL = (
+    "CASE WHEN e.vmax = e.vmin THEN 0 ELSE CAST(LEAST({m}, GREATEST(0.0,"
+    " FLOOR(({v} - e.vmin) / ((e.vmax - e.vmin) / {b})))) AS INT) END"
+)
+
+ORACLE_SQL["events_drift_streamed"] = f"""
+WITH ev AS (SELECT event_type, value, ts, epoch_us(ts) AS us FROM events),
+mid AS (SELECT MIN(us) + (MAX(us) - MIN(us)) // 2 AS mid FROM ev),
+ref AS (SELECT event_type, value FROM ev, mid WHERE us <= mid.mid),
+edges AS (SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+          FROM ref GROUP BY 1),
+refb AS (
+  SELECT r.event_type,
+    {_DRIFT_BIN_SQL.format(m=float(_DB_ - 1), v="r.value", b=float(_DB_))} AS bin
+  FROM ref r JOIN edges e USING (event_type)
+),
+refc AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS ref_c
+         FROM refb GROUP BY 1, 2),
+refn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_ref
+         FROM refb GROUP BY 1),
+ref_grid AS (
+  SELECT rn.event_type, g.bin, COALESCE(rc.ref_c, 0) AS ref_c
+  FROM refn rn
+  CROSS JOIN (SELECT unnest(range(0, {_DB_})) AS bin) g
+  LEFT JOIN refc rc ON rc.event_type = rn.event_type AND rc.bin = g.bin
+),
+curb AS (
+  SELECT date_trunc('day', c.ts) AS window_start, c.event_type,
+    {_DRIFT_BIN_SQL.format(m=float(_DB_ - 1), v="c.value", b=float(_DB_))} AS bin
+  FROM (SELECT event_type, value, ts FROM ev, mid WHERE us > mid.mid) c
+  JOIN edges e USING (event_type)
+),
+curc AS (SELECT window_start, event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM curb GROUP BY 1, 2, 3),
+cur_grid AS (
+  SELECT w.window_start, w.event_type, g.bin, COALESCE(cc.cnt, 0) AS cur_c
+  FROM (SELECT DISTINCT window_start, event_type FROM curc) w
+  CROSS JOIN (SELECT unnest(range(0, {_DB_})) AS bin) g
+  LEFT JOIN curc cc ON cc.window_start = w.window_start
+                   AND cc.event_type = w.event_type AND cc.bin = g.bin
+),
+curn AS (SELECT window_start, event_type, CAST(SUM(cnt) AS BIGINT) AS n_cur
+         FROM curc GROUP BY 1, 2)
+SELECT cg.window_start, cg.event_type, curn.n_cur,
+  ROUND(CAST(SUM(CAST(ROUND(
+    ((rg.ref_c + 0.5) / (rn.n_ref + {0.5 * _DB_})
+     - (cg.cur_c + 0.5) / (curn.n_cur + {0.5 * _DB_}))
+    * ln(((rg.ref_c + 0.5) / (rn.n_ref + {0.5 * _DB_}))
+         / ((cg.cur_c + 0.5) / (curn.n_cur + {0.5 * _DB_}))),
+    10) AS DECIMAL(18,10))) AS DOUBLE), 6) AS psi
+FROM cur_grid cg
+JOIN ref_grid rg ON rg.event_type = cg.event_type AND rg.bin = cg.bin
+JOIN refn rn ON rn.event_type = cg.event_type
+JOIN curn ON curn.window_start = cg.window_start
+         AND curn.event_type = cg.event_type
+GROUP BY 1, 2, 3
+"""

@@ -517,3 +517,179 @@ def ann_index_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cent_sim",
         (F.col("vec_id") % ANN_INCR_MOD == 0).alias("is_new"),
     )
+
+
+def drift_bin_counts_stream(
+    stream: DataFrame, edges: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming half of the drift monitor: watermarked tumbling DAILY
+    histogram of ``value`` per event_type, binned against the FIXED
+    reference-period edges (a stream-static broadcast join — the
+    trained monitor's frozen binning, exactly
+    ``analytics.events_drift_report``'s rule). State = open daily
+    windows only; the watermark finalizes each day so append mode
+    emits exactly one immutable row per (day, type, bin) — the
+    unbounded-uptime shape a 100 TB/day monitor needs.
+
+    The inner join on event_type doubles as the sentinel filter: a
+    type with no reference-period rows (e.g. the watermark-advancing
+    sentinel event the driver query stages) never reaches the
+    aggregation, but its event TIME still advances the watermark —
+    which is what closes the final real windows under an availableNow
+    drain."""
+    from ..plans.analytics import DRIFT_BINS
+
+    nb = float(DRIFT_BINS)
+    raw_bin = F.floor(
+        (F.col("value") - F.col("vmin"))
+        / ((F.col("vmax") - F.col("vmin")) / F.lit(nb))
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .join(F.broadcast(edges), "event_type")
+        .select(
+            "ts",
+            "event_type",
+            F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+            .otherwise(
+                F.least(F.lit(nb - 1.0), F.greatest(F.lit(0.0), raw_bin)).cast(
+                    "int"
+                )
+            )
+            .alias("bin"),
+        )
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type", "bin")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(
+            F.col("win.start").alias("window_start"), "event_type", "bin", "cnt"
+        )
+    )
+
+
+def events_drift_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift monitor under STRUCTURED STREAMING, as an
+    oracle-checkable registry query (the ``fact_events_streamed``
+    convention): the reference half of the events table (at or before
+    the integer-µs midpoint) trains the monitor in batch — frozen bin
+    edges + the smoothed reference bin distribution; the CURRENT half
+    is staged as a multi-file stream and drained through
+    ``drift_bin_counts_stream`` (watermarked daily histograms, append
+    mode); the drained counts are scored in batch into a per-(day,
+    type) PSI series against the reference distribution. This is the
+    monitoring loop a production pipeline runs continuously: train
+    once on a trusted window, stream-score forever.
+
+    A sentinel event 30 days past max(ts) (a type absent from the
+    reference period, so the stream-static inner join drops it before
+    the aggregation) advances the watermark past every real day, so
+    the availableNow drain finalizes and emits ALL real windows —
+    making the streamed result identical to the batch computation and
+    value-hash-oracle-able.
+
+    PSI terms reuse the batch operator's exact arithmetic (Laplace
+    +0.5 smoothing, 10-dp rounding, DECIMAL sum, 6-dp final), so the
+    DuckDB oracle mirrors the whole chain."""
+    import tempfile
+
+    from ..catalog import table
+    from ..plans.analytics import DRIFT_BINS
+
+    events = table(spark, sf_dir, "events")
+    ev = events.withColumn("us", F.unix_micros(F.col("ts")))
+    b = ev.agg(F.min("us").alias("mn"), F.max("us").alias("mx")).collect()[0]
+    if b.mn is None:
+        return spark.createDataFrame(
+            [],
+            "window_start timestamp, event_type string, n_cur long, psi double",
+        )
+    mid = b.mn + (b.mx - b.mn) // 2
+    ref = ev.filter(F.col("us") <= mid)
+    edges = ref.groupBy("event_type").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    # stage the current half as files + the watermark sentinel
+    src = tempfile.mkdtemp(prefix="hc_stream_drift_") + "/src"
+    cur = ev.filter(F.col("us") > mid).select(*EVENTS_SCHEMA.fieldNames())
+    cur.repartition(7).write.mode("overwrite").parquet(src)
+    sentinel = spark.createDataFrame(
+        [(-1, None, -1, "zz_watermark_sentinel", 0.0, "{}")], EVENTS_SCHEMA
+    ).withColumn(
+        "ts", F.timestamp_micros(F.lit(b.mx + 30 * 24 * 3600 * 1_000_000))
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+    counts = run_available_now_append(
+        drift_bin_counts_stream(read_events_stream(spark, src), edges),
+        "events_drift_streamed_counts",
+    )
+    # batch scoring of the drained histogram series vs the reference.
+    # Grid completion starts from the REFERENCE side (independent
+    # lineage) crossed with the per-window totals, whose aggregate
+    # output is re-aliased — the memory-sink table reuses one
+    # attribute set across reads, so joining two projections of it
+    # directly raises "conflicting references".
+    nb = float(DRIFT_BINS)
+    raw_bin = F.floor(
+        (F.col("value") - F.col("vmin"))
+        / ((F.col("vmax") - F.col("vmin")) / F.lit(nb))
+    )
+    refb = ref.join(edges, "event_type").select(
+        "event_type",
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(
+            F.least(F.lit(nb - 1.0), F.greatest(F.lit(0.0), raw_bin)).cast("int")
+        )
+        .alias("bin"),
+    )
+    refc = refb.groupBy("event_type", "bin").agg(
+        F.count("*").cast("long").alias("ref_c")
+    )
+    refn = refb.groupBy("event_type").agg(F.count("*").cast("long").alias("n_ref"))
+    bins = F.explode(F.sequence(F.lit(0), F.lit(DRIFT_BINS - 1))).alias("bin")
+    ref_grid = (
+        refn.select("event_type", "n_ref", bins)
+        .join(refc, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            "n_ref",
+            F.coalesce("ref_c", F.lit(0)).alias("ref_c"),
+        )
+    )
+    curn = (
+        counts.groupBy("window_start", "event_type")
+        .agg(F.sum("cnt").cast("long").alias("n_cur"))
+        .select(
+            F.col("window_start").alias("ws"),
+            F.col("event_type").alias("et"),
+            "n_cur",
+        )
+    )
+    base = ref_grid.join(curn, F.col("event_type") == F.col("et"))
+    full = base.join(
+        counts,
+        (base["ws"] == counts["window_start"])
+        & (base["et"] == counts["event_type"])
+        & (base["bin"] == counts["bin"]),
+        "left",
+    ).select(
+        base["ws"],
+        base["et"],
+        base["bin"],
+        "n_ref",
+        "ref_c",
+        "n_cur",
+        F.coalesce(counts["cnt"], F.lit(0)).alias("cur_c"),
+    )
+    smooth = F.lit(0.5 * DRIFT_BINS)
+    p = (F.col("ref_c") + F.lit(0.5)) / (F.col("n_ref") + smooth)
+    q = (F.col("cur_c") + F.lit(0.5)) / (F.col("n_cur") + smooth)
+    return (
+        full.select(
+            F.col("ws").alias("window_start"),
+            F.col("et").alias("event_type"),
+            "n_cur",
+            F.round((p - q) * F.log(p / q), 10).cast("decimal(18,10)").alias("t"),
+        )
+        .groupBy("window_start", "event_type", "n_cur")
+        .agg(F.round(F.sum("t").cast("double"), 6).alias("psi"))
+    )

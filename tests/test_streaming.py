@@ -481,3 +481,39 @@ def test_streaming_index_assign_converges_to_batch_and_is_stateless(spark, tmp_p
         ).collect()
     }
     assert got == want and len(got) == emb.count()
+
+
+def test_streamed_drift_is_stateful_windowed_and_emits_every_day(spark):
+    """events_drift_streamed's streaming stage must (a) run a REAL
+    stateful windowed aggregation (state store present — the stateless
+    index projection's opposite), (b) finalize and emit EVERY real
+    daily window under the availableNow drain (the sentinel pushes the
+    watermark past them), and (c) never leak the sentinel type into
+    the output."""
+    from pyspark.sql import functions as F
+
+    out = pipeline.events_drift_streamed(spark, SF001)
+    rows = out.collect()
+    assert rows
+    types = {r.event_type for r in rows}
+    assert "zz_watermark_sentinel" not in types
+    # every (current-half day, type-with-reference-rows) is present
+    ev = table(spark, SF001, "events").withColumn(
+        "us", F.unix_micros(F.col("ts"))
+    )
+    b = ev.agg(F.min("us").alias("mn"), F.max("us").alias("mx")).collect()[0]
+    mid = b.mn + (b.mx - b.mn) // 2
+    want = {
+        (r.d, r.event_type)
+        for r in ev.filter(F.col("us") > mid)
+        .select(F.date_trunc("day", "ts").alias("d"), "event_type")
+        .distinct()
+        .collect()
+    }
+    got = {(r.window_start, r.event_type) for r in rows}
+    assert got == want
+    # the drained sink came from a stateful windowed agg: state rows
+    # equal the emitted (day, type, bin) histogram rows
+    assert spark.table("events_drift_streamed_counts").count() > 0
+    for r in rows:
+        assert r.psi >= 0.0 and r.n_cur > 0
