@@ -11,9 +11,16 @@ truncated mid-object and BENCH_r03.json recorded ``parsed: null``
 ``tools/bench_full.json`` for tools/bench_check.py and humans; the
 printed line carries the total plus the 10 slowest queries only.
 
-Each query is forced with a count() so the full plan executes (no
-collect of payload rows — the driver measures engine time, not
-driver-side materialization).
+Each query is forced through the NOOP SINK (`.write.format("noop")`)
+so the FULL plan executes without driver-side materialization. r7
+replaced the earlier count() force after proving count() lets
+Catalyst prune the VALUE computation of fixed-row-count outputs: a
+count() over an ungrouped aggregate knows the answer is one row per
+branch and drops the aggregate expressions entirely (demonstrated by
+a deliberately-failing cast inside an agg that count() never
+triggered), which under-measured retrieval_quality_report 4.6x
+(5.9s "count time" vs 27s honest execution). The noop sink writes
+every output row, so nothing upstream is prunable.
 
 Per-query time is the MIN of two consecutive runs (caches cleared
 between them): single cold runs measured 2x run-to-run swings on the
@@ -72,7 +79,9 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             start = time.perf_counter()
-            QUERIES[name](spark, sf_dir).count()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             best = min(best, time.perf_counter() - start)
             _settle()
         timings[name] = round(best, 3)

@@ -4241,23 +4241,10 @@ row_{name} AS (
     FROM idcg i LEFT JOIN perq_{name} h USING (query_id)))"""
 
 
-ORACLE_SQL["retrieval_quality_report"] = f"""
-WITH truth AS (
-  SELECT query_id, neighbor_id AS doc_id FROM ({ORACLE_SQL["ann_topk"]})),
-idcg AS (
-  SELECT query_id, n_rel,
-    list_sum(list_transform(range(1, n_rel + 1),
-      i -> CAST(ROUND(1.0 / log2(i + 1.0), 8) AS DECIMAL(18,8)))) AS idcg
-  FROM (SELECT query_id, COUNT(*) AS n_rel FROM truth GROUP BY 1)),
-{_rq_method_ctes("bm25", _bm25_oracle(_BM25_UNCAPPED))},
-{_rq_method_ctes("bm25_dfcap", _bm25_oracle(_BM25_DF_CAPPED))},
-{_rq_method_ctes("bm25_rerank", _bm25_rerank_oracle(_BM25_UNCAPPED))},
-{_rq_method_ctes("bm25_rerank_dfcap", _bm25_rerank_oracle(_BM25_DF_CAPPED))}
-SELECT * FROM row_bm25
-UNION ALL SELECT * FROM row_bm25_dfcap
-UNION ALL SELECT * FROM row_bm25_rerank
-UNION ALL SELECT * FROM row_bm25_rerank_dfcap
-"""
+# NOTE (r7): the retrieval_quality_report oracle is ASSEMBLED AT THE
+# END of this module — the report widened to six retrievers and its
+# last two method subqueries (hybrid_rrf_topk, rm3_expansion_topk)
+# are defined further down.
 
 # Incremental BM25-index maintenance (operators/retrieval.
 # bm25_index_incremental): Spark merges the established vocab stats
@@ -4799,4 +4786,32 @@ JOIN refn rn ON rn.event_type = cg.event_type
 JOIN curn ON curn.window_start = cg.window_start
          AND curn.event_type = cg.event_type
 GROUP BY 1, 2, 3
+"""
+
+
+# Ranked-retrieval quality dashboard, widened to the SIX retrievers
+# (r7): the four bm25-cascade forms plus hybrid RRF fusion and RM3
+# expansion — each method subquery is the retriever's own full oracle,
+# scored with the shared gain/IDCG machinery defined alongside the
+# original four-method version above.
+ORACLE_SQL["retrieval_quality_report"] = f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id AS doc_id FROM ({ORACLE_SQL["ann_topk"]})),
+idcg AS (
+  SELECT query_id, n_rel,
+    list_sum(list_transform(range(1, n_rel + 1),
+      i -> CAST(ROUND(1.0 / log2(i + 1.0), 8) AS DECIMAL(18,8)))) AS idcg
+  FROM (SELECT query_id, COUNT(*) AS n_rel FROM truth GROUP BY 1)),
+{_rq_method_ctes("bm25", _bm25_oracle(_BM25_UNCAPPED))},
+{_rq_method_ctes("bm25_dfcap", _bm25_oracle(_BM25_DF_CAPPED))},
+{_rq_method_ctes("bm25_rerank", _bm25_rerank_oracle(_BM25_UNCAPPED))},
+{_rq_method_ctes("bm25_rerank_dfcap", _bm25_rerank_oracle(_BM25_DF_CAPPED))},
+{_rq_method_ctes("hybrid_rrf", ORACLE_SQL["hybrid_rrf_topk"])},
+{_rq_method_ctes("rm3", ORACLE_SQL["rm3_expansion_topk"])}
+SELECT * FROM row_bm25
+UNION ALL SELECT * FROM row_bm25_dfcap
+UNION ALL SELECT * FROM row_bm25_rerank
+UNION ALL SELECT * FROM row_bm25_rerank_dfcap
+UNION ALL SELECT * FROM row_hybrid_rrf
+UNION ALL SELECT * FROM row_rm3
 """

@@ -1248,7 +1248,14 @@ def test_retrieval_quality_report_bounds_and_lift_on_corpus(spark):
             table(spark, SF001, "documents"), table(spark, SF001, "embeddings")
         ).collect()
     }
-    assert set(rows) == {"bm25", "bm25_dfcap", "bm25_rerank", "bm25_rerank_dfcap"}
+    assert set(rows) == {
+        "bm25",
+        "bm25_dfcap",
+        "bm25_rerank",
+        "bm25_rerank_dfcap",
+        "hybrid_rrf",
+        "rm3",
+    }
     for r in rows.values():
         assert 0.0 <= r.ndcg <= 1.0 and 0.0 <= r.mrr <= 1.0
         assert 0.0 <= r.recall <= 1.0 and r.n_queries > 0
@@ -1256,6 +1263,11 @@ def test_retrieval_quality_report_bounds_and_lift_on_corpus(spark):
     # lifts ranking quality, capped or not
     assert rows["bm25_rerank"].ndcg > rows["bm25"].ndcg
     assert rows["bm25_rerank_dfcap"].ndcg > rows["bm25_dfcap"].ndcg
+    # fusion's reason to exist: folding the dense list in beats pure
+    # lexical retrieval (its dense stage shares the truth's embedding
+    # space, so this is the report's designed upper reference point)
+    assert rows["hybrid_rrf"].ndcg > rows["bm25"].ndcg
+    assert rows["hybrid_rrf"].recall > rows["bm25"].recall
 
 
 def test_ann_index_incremental_equals_from_scratch_rebuild(spark):

@@ -47,6 +47,13 @@ SENSITIVE = [
     # r6: EM fit state is exact-integer piece counts aggregated from a
     # mapInPandas E-step — partitioning must not change the model
     "unigram_lm_vocab",
+    # r7: PSI terms / ECDF distances are rounded-then-DECIMAL-summed;
+    # the midpoint split is exact integer arithmetic — none may move
+    # under repartitioning
+    "events_drift_report",
+    # r7: per-dim component sums and the d-row reductions are all
+    # round-then-DECIMAL — the sum-vector identity must not wobble
+    "embedding_isotropy_report",
 ]
 
 _TABLE_FOR = {
@@ -67,6 +74,8 @@ _TABLE_FOR = {
     "domain_mixture_weights": "documents",
     "kcenter_diversity_sample": "embeddings",
     "unigram_lm_vocab": "documents",
+    "events_drift_report": "events",
+    "embedding_isotropy_report": "embeddings",
 }
 
 

@@ -122,11 +122,13 @@ def main() -> int:
             else:
                 run_1x = lambda: QUERIES[name](spark, SF_DIR)  # noqa: E731
                 run_nx = lambda: QUERIES[name](spark, tmp)  # noqa: E731
+            # noop sink (r7): count() lets Catalyst prune the value
+            # computation of fixed-row-count outputs — see bench.py
             t0 = time.perf_counter()
-            run_1x().count()
+            run_1x().write.format("noop").mode("overwrite").save()
             t1 = round(time.perf_counter() - t0, 3)
             t0 = time.perf_counter()
-            run_nx().count()
+            run_nx().write.format("noop").mode("overwrite").save()
             t10 = round(time.perf_counter() - t0, 3)
             spark.catalog.clearCache()
             ratio = round(t10 / t1, 2)
