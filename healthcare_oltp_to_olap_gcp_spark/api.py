@@ -674,6 +674,12 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_drift_streamed": lambda s, d: _streaming_pipeline().events_drift_streamed(
         s, d
     ),
+    "events_sessions_streamed": lambda s, d: _streaming_pipeline().sessions_streamed(
+        s, d
+    ),
+    "user_totals_streamed": lambda s, d: _streaming_pipeline().user_totals_streamed(
+        s, d
+    ),
 }
 
 
@@ -721,6 +727,8 @@ _PRIORITY = [
     "events_drift_report",
     "embedding_isotropy_report",
     "events_drift_streamed",
+    "events_sessions_streamed",
+    "user_totals_streamed",
     # -- risk re-verifies: IVF-family plans changed in r7 --
     "ivf_flat_ann_topk",
     "ivfpq_ann_topk",
@@ -754,12 +762,13 @@ _PRIORITY = [
     "docs_pii_scrub",
     "docs_quality",
     "docs_repetition",
-    "docs_token_stats",
+    # (docs_token_stats, orders_daily_cumulative displaced for the two
+    #  streaming registry queries new this round — r2 rows, age 5,
+    #  unchanged helpers; they join the displaced set leading r8)
     "embedding_neardup_pairs",
     "ivf_ann_topk",
     "multimodal_frames",
     "multimodal_meta",
-    "orders_daily_cumulative",
     "q11_important_parts",
     "q13_customer_distribution",
     "q15_top_supplier",

@@ -4815,3 +4815,20 @@ UNION ALL SELECT * FROM row_bm25_rerank_dfcap
 UNION ALL SELECT * FROM row_hybrid_rrf
 UNION ALL SELECT * FROM row_rm3
 """
+
+
+# Streaming session windows (streaming/pipeline.sessions_streamed):
+# the sentinel-closed availableNow drain emits exactly the batch
+# gap-sessionization, so the batch oracle carries over verbatim.
+ORACLE_SQL["events_sessions_streamed"] = ORACLE_SQL["session_window_agg"]
+
+# Custom stateful operator (streaming/pipeline.user_totals_streamed):
+# the applyInPandasWithState running totals accumulate exact integer
+# cents, so the final update per user equals the batch aggregate —
+# one division by 100 at emission, mirrored here.
+ORACLE_SQL["user_totals_streamed"] = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS total_events,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+    AS total_value
+FROM events GROUP BY 1
+"""

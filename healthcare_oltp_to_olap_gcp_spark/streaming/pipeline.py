@@ -159,25 +159,33 @@ def run_available_now_append(df: DataFrame, query_name: str) -> DataFrame:
 
 
 RUNNING_OUTPUT_SCHEMA = "user_id long, total_events long, total_value double"
-RUNNING_STATE_SCHEMA = "total_events long, total_value double"
+RUNNING_STATE_SCHEMA = "total_events long, total_cents long"
 
 
 def _running_totals(key, pdf_iter, state):
     """Custom stateful operator body: per-user running totals carried in
-    GroupState across micro-batches (Arrow-batched)."""
+    GroupState across micro-batches (Arrow-batched).
+
+    The value total is accumulated as EXACT INTEGER CENTS (the
+    readings are 2-dp), so the running state is order- and
+    batch-boundary-independent and the final emission per user equals
+    the batch aggregate exactly — which is what lets
+    ``user_totals_streamed`` carry a full value-hash oracle (r7;
+    float accumulation in arrival order was only
+    tolerance-comparable)."""
     import pandas as pd
 
     (user_id,) = key
-    n, total = state.get if state.exists else (0, 0.0)
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in pdf_iter:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((n, cents))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "total_events": [n],
-            "total_value": [round(total, 4)],
+            "total_value": [cents / 100.0],
         }
     )
 
@@ -692,4 +700,77 @@ def events_drift_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("window_start", "event_type", "n_cur")
         .agg(F.round(F.sum("t").cast("double"), 6).alias("psi"))
+    )
+
+
+def sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION WINDOWS as an oracle-checkable registry query
+    (the ``fact_events_streamed`` convention): the events table is
+    staged as a multi-file stream and drained through
+    ``session_agg_stream`` (built-in ``session_window`` gap-merge,
+    watermark-finalized); a sentinel event 30 days past max(ts) under
+    a user id that never occurs (-1) advances the watermark past every
+    real session, so the availableNow drain emits ALL of them in
+    append mode — and the sentinel's own still-open session is never
+    emitted by construction (no later event closes it).
+
+    Session-window merge is deterministic (gap rule on event time), so
+    the drained result equals the BATCH gap-sessionization and shares
+    ``session_window_agg``'s DuckDB oracle verbatim — the registry's
+    third stateful streaming shape (windowed agg: events_drift_streamed;
+    MERGE sink: fact_events_streamed; session windows: this)."""
+    import tempfile
+
+    from ..catalog import table
+
+    events = table(spark, sf_dir, "events")
+    b = events.agg(F.max("ts").alias("mx")).collect()[0]
+    if b.mx is None:
+        return spark.createDataFrame(
+            [],
+            "user_id long, session_start timestamp, session_end timestamp,"
+            " n_events long, session_value double",
+        )
+    src = tempfile.mkdtemp(prefix="hc_stream_sess_") + "/src"
+    events.repartition(7).write.mode("overwrite").parquet(src)
+    sentinel = spark.createDataFrame(
+        [(-1, None, -1, "zz_watermark_sentinel", 0.0, "{}")], EVENTS_SCHEMA
+    ).withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.unix_micros(F.lit(b.mx)) + F.lit(30 * 24 * 3600 * 1_000_000)
+        ),
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+    out = run_available_now_append(
+        session_agg_stream(read_events_stream(spark, src)),
+        "sessions_streamed_sink",
+    )
+    return out.filter(F.col("user_id") >= 0)
+
+
+def user_totals_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM STATEFUL operator (applyInPandasWithState) as an
+    oracle-checkable registry query: drain the events stream through
+    ``running_user_totals`` in update mode and keep each user's FINAL
+    state row. Both state fields are monotone (exact event count,
+    exact integer cents), so the final row per user is the MAX over
+    its update-mode emissions — and, because the cents accumulation is
+    order- and batch-boundary-independent, it equals the batch
+    aggregate exactly: full value-hash oracle over a path that
+    previously had only tolerance-based test coverage."""
+    import tempfile
+
+    from ..catalog import table
+
+    events = table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="hc_stream_totals_") + "/src"
+    events.repartition(7).write.mode("overwrite").parquet(src)
+    out = run_available_now_update(
+        running_user_totals(read_events_stream(spark, src)),
+        "user_totals_streamed_sink",
+    )
+    return out.groupBy("user_id").agg(
+        F.max("total_events").cast("long").alias("total_events"),
+        F.max("total_value").alias("total_value"),
     )

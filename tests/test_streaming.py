@@ -517,3 +517,68 @@ def test_streamed_drift_is_stateful_windowed_and_emits_every_day(spark):
     assert spark.table("events_drift_streamed_counts").count() > 0
     for r in rows:
         assert r.psi >= 0.0 and r.n_cur > 0
+
+
+def test_sessions_streamed_equals_batch_sessionization(spark):
+    """sessions_streamed's sentinel-advanced watermark must finalize
+    and emit EVERY real session (gap-merge is deterministic, so the
+    drain equals the batch session_window aggregation), and the
+    sentinel user's own still-open session must never surface."""
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.session_value)
+        for r in pipeline.sessions_streamed(spark, SF001).collect()
+    }
+    assert got and all(u >= 0 for (u, *_rest) in got)
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.session_value)
+        for r in (
+            table(spark, SF001, "events")
+            .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,8)"))
+                .cast("double")
+                .alias("session_value"),
+            )
+            .select(
+                "user_id",
+                F.col("win.start").alias("session_start"),
+                F.col("win.end").alias("session_end"),
+                "n_events",
+                "session_value",
+            )
+        ).collect()
+    }
+    assert got == want
+
+
+def test_user_totals_streamed_exact_final_state(spark):
+    """The applyInPandasWithState path must land on the EXACT batch
+    aggregate: integer-cents state is order- and batch-boundary-
+    independent, so every user's final update equals groupBy().agg()
+    to the last cent."""
+    from pyspark.sql import functions as F
+
+    got = {
+        r.user_id: (r.total_events, r.total_value)
+        for r in pipeline.user_totals_streamed(spark, SF001).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.v)
+        for r in (
+            table(spark, SF001, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                (
+                    F.sum(F.round(F.col("value") * 100).cast("long")).cast(
+                        "double"
+                    )
+                    / 100
+                ).alias("v"),
+            )
+        ).collect()
+    }
+    assert got == want

@@ -134,6 +134,8 @@ PROBES = {
     "events_drift_report": {"events": ["event_id", "user_id"]},
     "embedding_isotropy_report": {"embeddings": ["vec_id"]},
     "events_drift_streamed": {"events": ["event_id", "user_id"]},
+    "events_sessions_streamed": {"events": ["event_id", "user_id"]},
+    "user_totals_streamed": {"events": ["event_id", "user_id"]},
     "ann_index_incremental": {"embeddings": ["vec_id"]},
     "bm25_index_incremental": {"documents": ["doc_id"]},
     "ann_index_streamed": {"embeddings": ["vec_id"]},
