@@ -690,102 +690,85 @@ def _streaming_pipeline():
 
 
 # The driver's correctness gate checks the FIRST 50 entries of QUERIES in
-# insertion order (confirmed rounds 1-6). Window composition for round 7
-# (VERDICT r6 item 2 — oldest-first recency rotation, now ENFORCED by
-# tools/window_check.py's staleness gate):
-#   1-2   the two operators new this round (no driver row can exist
-#         yet): retrieval_quality_report (oracle-backed nDCG/MRR
-#         dashboard) and ann_index_incremental (oracle-backed
-#         maintained-IVF insert path);
-#   3-8   risk-ranked re-verifies: the six IVF-family queries whose
-#         physical plan changed this round (the per-row argmax
-#         assignment replacing the n·C window shuffle, VERDICT r6
-#         item 1) — outputs are oracle-identical by construction and
-#         locally parity-green, but the changed plans earn fresh
-#         driver rows;
-#   then  the 42-query oldest cohort, oldest first: the 12 keys whose
-#         last driver row is r1 (rollup/cube/pivot/unpivot family,
-#         value percentiles, q18/q19, and the three rows-only
-#         sketches — included this time because the recency gate
-#         treats rows-only entries uniformly) and the 30 r2-checked
-#         keys (docs_* quality family, TPC-H q7-q22 remainder,
-#         multimodal meta/frames, ivf_ann_topk, samplers,
-#         fingerprints).
+# insertion order (confirmed rounds 1-7). Window composition for round 8
+# (VERDICT r7 item 1 — the staleness gate binds hard this round):
+#   head  operators new in r8 (no driver row can exist yet);
+#   next  risk-ranked re-verifies: bm25_topk / bm25_dfcap_topk — their
+#         scoring pipeline was refactored into the shared helper the
+#         new WAND pruning path uses (outputs plan-asserted identical,
+#         but changed code earns fresh driver rows, r7 convention);
+#   then  the MANDATORY staleness cohort, oldest first: the 7 keys
+#         whose last driver row is r2 (age 6 the moment the driver
+#         wrote CORRECTNESS_r07 — the red-gate cohort VERDICT r7
+#         item 1 names) and ALL 29 r3-checked keys (age 5 now; every
+#         one would cross the age-6 line when CORRECTNESS_r08 lands,
+#         so deferring any of them just recreates this round's red
+#         gate in r9);
+#   tail  r4-checked fill, oldest-first alphabetical, displaced
+#         one-for-one as new operators land (the remaining ~30 r4
+#         keys are age 4 after this round and lead the r9 rotation).
 # Everything not in the window keeps identical coverage through
 # tests/test_parity.py at sf0.001 + sf0.01, and tools/window_check.py
 # (wired into the test suite) fails CI if ANY registered query has
 # never been driver-checked or has gone >= 6 rounds without a fresh
 # row while outside the current window.
 _PRIORITY = [
-    # -- new in round 7 --
-    "retrieval_quality_report",
-    "ann_index_incremental",
-    "bm25_index_incremental",
-    "ann_index_streamed",
-    "hybrid_rrf_topk",
-    "rm3_expansion_topk",
-    "events_drift_report",
-    "embedding_isotropy_report",
-    "events_drift_streamed",
-    "events_sessions_streamed",
-    "user_totals_streamed",
-    # -- risk re-verifies: IVF-family plans changed in r7 --
-    "ivf_flat_ann_topk",
-    "ivfpq_ann_topk",
-    "knn_graph_edges",
-    # (knn_graph_components inherits the edge builder's changed plan and
-    #  has a fresh r5 row — dropped to make room for ann_index_streamed)
-    "semdedup_embeddings",
-    # (ivf_probe_sweep composes the windowed ivf_flat_ann_topk and has
-    #  a fresh r5 row — dropped to make room for bm25_index_incremental)
-    # -- oldest cohort: last driver row r1 --
-    "approx_distinct_users",
-    "approx_value_percentiles",
-    "distinct_users_by_type",
-    "events_cube",
-    "events_pivot",
-    "events_rollup",
-    "events_unpivot",
-    "hll_sketch_distinct_users",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "value_percentiles",
-    "value_range_window",
-    # -- oldest cohort: last driver row r2 --
-    # (chunk_documents displaced for events_drift_streamed — r2 row,
-    #  age 5, no changed helper; leads the r8 rotation with the other
-    #  four displaced keys noted below)
-    "dedup_exact",
-    "docs_contamination",
-    "docs_fingerprint",
-    "docs_langid",
-    "docs_pii_scrub",
-    "docs_quality",
-    "docs_repetition",
-    # (docs_token_stats, orders_daily_cumulative displaced for the two
-    #  streaming registry queries new this round — r2 rows, age 5,
-    #  unchanged helpers; they join the displaced set leading r8)
-    "embedding_neardup_pairs",
-    "ivf_ann_topk",
-    "multimodal_frames",
-    "multimodal_meta",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q20_promotable_suppliers",
-    "q22_global_sales_opportunity",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    # (sample_documents, stratified_sample_by_lang, token_entropy,
-    #  token_freq displaced for the four operators new this round:
-    #  all four displaced keys' last driver row is r2 — age 5, inside
-    #  the staleness bound — and none shares a helper that changed
-    #  this round; they lead the r8 rotation)
-    "tfidf_top_terms",
-    "winnow_fingerprint",
+    # -- new in round 8 --
+    # (slots filled as operators land; each displaces one r4 fill key)
+    # -- risk re-verifies: BM25 scoring refactored for WAND in r8 --
+    "bm25_topk",
+    "bm25_dfcap_topk",
+    # -- mandatory: last driver row r2 (age 6 — the red-gate cohort) --
+    "chunk_documents",
+    "docs_token_stats",
+    "orders_daily_cumulative",
+    "sample_documents",
+    "stratified_sample_by_lang",
+    "token_entropy",
+    "token_freq",
+    # -- mandatory: last driver row r3 (age 6 once r8's row lands) --
+    "docs_quality_filter",
+    "docs_quality_model",
+    "docs_rare_token_ratio",
+    "docs_source_kl",
+    "docs_source_stats",
+    "events_grouping_sets",
+    "events_hourly_anomalies",
+    "events_hourly_gapfill",
+    "hist_daily_merge_percentiles",
+    "hist_value_percentiles",
+    "join_size_estimate",
+    "kmv_daily_merge_distinct_users",
+    "kmv_distinct_users",
+    "kmv_type_overlap_matrix",
+    "kmv_view_not_purchase",
+    "kmv_view_purchase_overlap",
+    "label_centroids",
+    "lineitem_column_stats",
+    "nearest_centroid_assign",
+    "orders_revenue_7d_ma",
+    "pack_documents",
+    "prefix_suffix_overlap_pairs",
+    "sampled_daily_merge_percentiles",
+    "sampled_value_percentiles",
+    "split_assignments",
+    "token_bigram_rates",
+    "token_zipf_fit",
+    "value_percentiles_2pass",
+    "weighted_sample_documents",
+    # -- fill: last driver row r4, oldest-first alphabetical --
+    "asof_generic_last_view",
+    "asof_last_view_before_purchase",
+    "asof_pandas_last_view",
+    "clean_documents_keep_best",
+    "cms_token_counts",
+    "customer_rfm_segments",
+    "docs_bigram_perplexity",
+    "docs_dedup_report",
+    "docs_length_histogram",
+    "docs_remove_dup_spans",
+    "dup_span_stats",
+    "embedding_neardup_lsh_pairs",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
