@@ -680,6 +680,19 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_totals_streamed": lambda s, d: _streaming_pipeline().user_totals_streamed(
         s, d
     ),
+    # -- round 8: bounded deployment twins + WAND + interval-join stream --
+    "rm3_dfcap_expansion_topk": lambda s, d: retrieval.rm3_expansion_topk(
+        table(s, d, "documents"), df_cap=True
+    ),
+    "hybrid_rrf_ivf_topk": lambda s, d: retrieval.hybrid_rrf_ivf_topk(
+        table(s, d, "documents"), table(s, d, "embeddings")
+    ),
+    "bm25_wand_topk": lambda s, d: retrieval.bm25_wand_topk(
+        table(s, d, "documents")
+    ),
+    "view_purchase_streamed": lambda s, d: _streaming_pipeline().view_purchase_streamed(
+        s, d
+    ),
 }
 
 
@@ -714,7 +727,10 @@ def _streaming_pipeline():
 # row while outside the current window.
 _PRIORITY = [
     # -- new in round 8 --
-    # (slots filled as operators land; each displaces one r4 fill key)
+    "rm3_dfcap_expansion_topk",
+    "hybrid_rrf_ivf_topk",
+    "bm25_wand_topk",
+    "view_purchase_streamed",
     # -- risk re-verifies: BM25 scoring refactored for WAND in r8 --
     "bm25_topk",
     "bm25_dfcap_topk",
@@ -765,10 +781,6 @@ _PRIORITY = [
     "customer_rfm_segments",
     "docs_bigram_perplexity",
     "docs_dedup_report",
-    "docs_length_histogram",
-    "docs_remove_dup_spans",
-    "dup_span_stats",
-    "embedding_neardup_lsh_pairs",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

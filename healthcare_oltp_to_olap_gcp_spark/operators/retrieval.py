@@ -26,7 +26,9 @@ the posting-list lengths of the query terms — the same bound a Lucene
 term-at-a-time scorer has. At web scale production engines add a
 document-frequency cap / WAND upper-bound pruning before the probe
 (the same trick ngram_containment_pairs documents for its posting
-lists); kept exact here so the oracle is the identical computation.
+lists); BOTH ship here as registered twins — ``bm25_dfcap_topk`` (the
+cap, separately oracled) and ``bm25_wand_topk`` (r8: MaxScore
+pruning, provably exact so it shares this module's oracle).
 
 Determinism: per-(query, doc, term) contributions chain IEEE-double
 ops written in the same association order in both engines, are rounded
@@ -144,6 +146,42 @@ def bm25_candidate_rows(docs: DataFrame, df_cap: bool = False) -> int:
     )
 
 
+def _okapi_exprs():
+    """The Okapi BM25 scoring expressions over the joined
+    (tf, df, dl, stats) row — shared verbatim by ``bm25_topk``'s probe
+    pipeline and ``bm25_wand_topk``'s candidate-restricted scorer, so
+    the pruned path can share the exact oracle (identical per-row
+    arithmetic in the identical IEEE association order)."""
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    avgdl = F.col("total_tokens") / F.col("n_docs")
+    weight = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * (F.col("dl") / avgdl))
+    )
+    return idf, weight
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """(query_id, doc_id, _s) → the final (score DESC, doc_id) top-k
+    projection every BM25-family query returns."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_s").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("_s").cast("double").alias("score"),
+            "rank",
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     k: int = DEFAULT_K,
@@ -172,15 +210,7 @@ def bm25_topk(
     a SEPARATE query with its own full value-hash oracle rather than
     an approximation claim against the exact form."""
     tf, df, dl, stats, qt = _bm25_frames(docs, df_cap, shared)
-    idf = F.log(
-        1.0
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    avgdl = F.col("total_tokens") / F.col("n_docs")
-    weight = (F.col("tf") * (BM25_K1 + 1.0)) / (
-        F.col("tf")
-        + BM25_K1 * (1.0 - BM25_B + BM25_B * (F.col("dl") / avgdl))
-    )
+    idf, weight = _okapi_exprs()
     # probe FIRST: the broadcast qt cut shrinks the postings to the
     # query terms' lists BEFORE the df/dl joins, so the vocab-keyed and
     # doc-keyed shuffles carry only candidate rows, not the whole
@@ -200,19 +230,168 @@ def bm25_topk(
     scored = contrib.groupBy("query_id", "doc_id").agg(
         F.sum("c").alias("_s")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("_s").desc(), F.col("doc_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+    return _rank_topk(scored, k)
+
+
+def _score_pairs(tf, df, dl, stats, qt, cand: DataFrame) -> DataFrame:
+    """Exact BM25 scores for an explicit candidate (query_id, doc_id)
+    pair set: restrict the postings to the candidate docs FIRST (join
+    on doc_id — work ∝ Σ candidate doc lengths, the DAAT-with-skips
+    bound), keep the terms the query actually contains, then apply the
+    shared Okapi expressions. Produces exactly ``bm25_topk``'s
+    contribution rows for the pairs in ``cand``."""
+    idf, weight = _okapi_exprs()
+    contrib = (
+        tf.join(cand, "doc_id")
+        .join(qt, ["query_id", "term"])
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(df, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
         .select(
             "query_id",
             "doc_id",
-            F.col("_s").cast("double").alias("score"),
-            "rank",
+            F.round(idf * weight, 6).cast("decimal(18,6)").alias("c"),
         )
     )
+    return contrib.groupBy("query_id", "doc_id").agg(F.sum("c").alias("_s"))
+
+
+def _term_bounds(tf, df, dl, stats, qt) -> DataFrame:
+    """Per-term score upper bound for WAND/MaxScore pruning: the MAX
+    over a term's postings of the exact rounded per-row contribution
+    (idf·tfsat at 6 dp) — the quantity an impact-ordered index stores
+    next to each posting list at build time. Computed here over the
+    DISTINCT query terms only (one scan of their posting lists,
+    amortized across the whole query workload, never per query); at
+    deployment it is index metadata with zero query-time cost."""
+    idf, weight = _okapi_exprs()
+    qterms = qt.select("term").distinct()
+    return (
+        tf.join(F.broadcast(qterms), "term", "left_semi")
+        .join(df, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.round(idf * weight, 6).cast("decimal(18,6)").alias("c"),
+        )
+        .groupBy("term")
+        .agg(F.max("c").alias("ub"))
+    )
+
+
+def _wand_candidates(docs: DataFrame, k: int, shared: dict | None = None):
+    """Shared machinery for ``bm25_wand_topk`` and its work proxy:
+    returns (tf, df, dl, stats, qt, cand) where ``cand`` is the pruned
+    candidate (query_id, doc_id) set MaxScore admits.
+
+    Three steps, all provably recall-lossless for the exact top-k:
+      1. SEED — each query fully scores the posting list of its single
+         highest-upper-bound term (typically its rarest, shortest
+         list); the k-th best seed score is a valid threshold θ_q
+         (any achieved score lower-bounds the true k-th best).
+      2. ESSENTIAL TERMS — sort the query's terms by upper bound
+         ascending and prefix-sum the bounds as exact DECIMAL; a
+         prefix whose cumulative sum is < θ_q is non-essential: a doc
+         containing ONLY those terms scores ≤ the prefix sum < θ_q ≤
+         the true k-th best score, so it can never enter the top-k
+         (strict inequality also survives the doc_id tie-break).
+      3. CANDIDATES — docs appearing in at least one essential list,
+         unioned with the seed docs.
+    Queries with fewer than k seed candidates get no θ row and keep
+    every term essential (falls back to the exact full probe)."""
+    tf, df, dl, stats, qt = _bm25_frames(docs, False, shared)
+    from ..session import scoped_persist
+
+    # chain=True: tf was persisted by _bm25_frames in this same scope
+    qt = scoped_persist(qt, chain=True)
+    ub = _term_bounds(tf, df, dl, stats, qt)
+    qub = scoped_persist(qt.join(F.broadcast(ub), "term"), chain=True)
+    w_seed = Window.partitionBy("query_id").orderBy(
+        F.col("ub").desc(), "term"
+    )
+    seed_terms = (
+        qub.withColumn("_rn", F.row_number().over(w_seed))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", "term")
+    )
+    seed = scoped_persist(
+        tf.join(F.broadcast(seed_terms), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id"),
+        chain=True,
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("_s").desc(), F.col("doc_id")
+    )
+    theta = (
+        _score_pairs(tf, df, dl, stats, qt, seed)
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") == k)
+        .select("query_id", F.col("_s").alias("_th"))
+    )
+    w_cum = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("ub").asc(), "term")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    essential = (
+        qub.withColumn("_cum", F.sum("ub").over(w_cum))
+        .join(F.broadcast(theta), "query_id", "left")
+        .filter(F.col("_th").isNull() | (F.col("_cum") >= F.col("_th")))
+        .select("query_id", "term")
+    )
+    ext = (
+        tf.join(F.broadcast(essential), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id")
+    )
+    cand = ext.unionByName(seed).distinct()
+    return tf, df, dl, stats, qt, seed, cand
+
+
+def bm25_wand_topk(
+    docs: DataFrame, k: int = DEFAULT_K, shared: dict | None = None
+) -> DataFrame:
+    """BM25 top-k with WAND/MaxScore upper-bound pruning — the 100 TB
+    add-on the module docstring documents: instead of scoring every
+    (query term × posting) row, per-term score upper bounds (index
+    metadata at deployment) prune the scoring work to a threshold-
+    beating candidate set, EXACTLY preserving the top-k (Turtle &
+    Flood's max-score rule; strict-inequality pruning also preserves
+    the doc_id tie-break — see ``_wand_candidates``). Shares
+    ``bm25_topk``'s value-hash oracle verbatim: provably identical
+    output, the docs_contamination_bloom convention.
+
+    Scale shape: the upper-bound table is one scan of the distinct
+    query terms' posting lists (index-build cost, amortized across the
+    workload); seed scoring touches each query's single strongest
+    list; final scoring is ∝ Σ candidate doc lengths. On Zipfian
+    vocabularies the essential-list cut removes the boilerplate
+    high-df lists that dominate Σ df — the measured candidate-row cut
+    is asserted on a skewed corpus in tests/test_curation_ops.py."""
+    tf, df, dl, stats, qt, _seed, cand = _wand_candidates(docs, k, shared)
+    return _rank_topk(_score_pairs(tf, df, dl, stats, qt, cand), k)
+
+
+def bm25_wand_candidate_rows(docs: DataFrame, k: int = DEFAULT_K) -> int:
+    """Work proxy for the WAND path, comparable row-for-row with
+    ``bm25_candidate_rows``: the number of (query, doc, term)
+    contribution rows the pruned scorer materializes (seed pass +
+    final pass). Uses the scorer's own candidate machinery so the
+    proxy can't drift from the real plan."""
+
+    def pair_rows(pairs: DataFrame) -> int:
+        return (
+            tf.join(pairs, "doc_id")
+            .join(qt, ["query_id", "term"])
+            .filter(F.col("doc_id") != F.col("query_id"))
+            .count()
+        )
+
+    tf, df, dl, stats, qt, seed, cand = _wand_candidates(docs, k)
+    return pair_rows(seed) + pair_rows(cand)
 
 
 RERANK_M = 25  # first-stage candidate depth per query
@@ -531,6 +710,7 @@ def hybrid_rrf_topk(
     c: int = RRF_C,
     shared: dict | None = None,
     lex: DataFrame | None = None,
+    dense: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid lexical+dense retrieval via Reciprocal Rank Fusion — the
     fusion rule production hybrid-search engines default to
@@ -572,11 +752,17 @@ def hybrid_rrf_topk(
     from .similarity import ann_brute_topk
 
     # ``lex`` injects a prebuilt top-m BM25 frame (same sharing story
-    # as bm25_rerank_topk's ``cand``, r7)
+    # as bm25_rerank_topk's ``cand``, r7); ``dense`` injects any
+    # (query_id, neighbor_id, rank) top-m list — fusion only reads
+    # ranks, so the dense retriever is pluggable (the knn_label_vote
+    # topk_fn pattern): brute by default, the IVF-Flat index in the
+    # registered deployment twin ``hybrid_rrf_ivf_topk`` (r8).
     if lex is None:
         lex = bm25_topk(docs, k=m, shared=shared)
     lex = lex.select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
-    dense = ann_brute_topk(embeddings, k=m, shared=shared).select(
+    if dense is None:
+        dense = ann_brute_topk(embeddings, k=m, shared=shared)
+    dense = dense.select(
         "query_id",
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").alias("dense_rank"),
@@ -603,6 +789,38 @@ def hybrid_rrf_topk(
     )
 
 
+def hybrid_rrf_ivf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    m: int = RRF_M,
+    k: int = DEFAULT_K,
+    c: int = RRF_C,
+    shared: dict | None = None,
+) -> DataFrame:
+    """The DEPLOYMENT twin of ``hybrid_rrf_topk`` (VERDICT r7 item 3):
+    the dense list comes from the hash-seeded IVF-Flat index (one
+    corpus scan + n_probe/n_centroids of the corpus per query — the
+    100 TB dense retriever) and the lexical list from the df-capped
+    BM25 probe (posting work bounded by capped lists). Fusion reads
+    only ranks, so this is ``hybrid_rrf_topk`` with both retrievers
+    swapped for their bounded forms — and because both constituents'
+    rankings are themselves value-hash-oracled, the fused ranking
+    carries a full value-hash oracle too."""
+    from .similarity import ivf_flat_ann_topk
+
+    shared = {} if shared is None else shared
+    return hybrid_rrf_topk(
+        docs,
+        embeddings,
+        m=m,
+        k=k,
+        c=c,
+        shared=shared,
+        lex=bm25_topk(docs, k=m, df_cap=True, shared=shared),
+        dense=ivf_flat_ann_topk(embeddings, k=m, shared=shared),
+    )
+
+
 RM3_FB_M = 10  # feedback depth (docs per query feeding the expansion)
 RM3_E = 5  # expansion terms per query
 RM3_LAMBDA = 0.6  # weight on the original query model
@@ -616,6 +834,7 @@ def rm3_expansion_topk(
     k: int = DEFAULT_K,
     shared: dict | None = None,
     fb: DataFrame | None = None,
+    df_cap: bool = False,
 ) -> DataFrame:
     """Pseudo-relevance-feedback retrieval — RM3 (Lavrenko–Croft
     relevance model interpolated with the original query, the
@@ -641,16 +860,35 @@ def rm3_expansion_topk(
     rounded double mirrored expression-for-expression in the oracle
     (tf/|d| at 8 dp; the normalized weights at 8 dp; per-(q,d,t)
     contributions w·idf·tfsat at 6 dp), ranks break ties on term /
-    doc_id — full value-hash oracle."""
+    doc_id — full value-hash oracle.
+
+    ``df_cap=True`` (registered as ``rm3_dfcap_expansion_topk``) is
+    the DEPLOYMENT twin (VERDICT r7 item 2): the median-df cap of the
+    bm25 twins composed through the WHOLE pipeline — pass 1 is the
+    capped probe, the relevance model and the original query model are
+    semi-joined to the capped vocabulary (so the feedback-weighting
+    work is bounded by capped posting lists and no capped term can be
+    chosen for expansion), and pass 2's probe carries only capped
+    terms, bounding its posting expansion the same way. Separately
+    value-hash-oracled, like bm25_dfcap/rerank_dfcap."""
     shared = {} if shared is None else shared
     # ``fb`` injects prebuilt feedback pairs (query_id, doc_id) — the
     # report slices them out of its shared stage-1 frame (r7)
     if fb is None:
-        fb = bm25_topk(docs, k=fb_m, shared=shared).select("query_id", "doc_id")
-    tf, df, dl, stats, _ = _bm25_frames(docs, df_cap=False, shared=shared)
+        fb = bm25_topk(docs, k=fb_m, df_cap=df_cap, shared=shared).select(
+            "query_id", "doc_id"
+        )
+    tf, df, dl, stats, _ = _bm25_frames(docs, df_cap=df_cap, shared=shared)
+    # under the cap, only capped-vocabulary terms participate anywhere
+    # (relevance model, original query model, pass-2 probe)
+    rm_tf = (
+        tf.join(F.broadcast(df.select("term")), "term", "left_semi")
+        if df_cap
+        else tf
+    )
     # relevance model: rm(q,t) = Σ_{d ∈ FB(q)} round(tf_td/|d|, 8)
     rm = (
-        tf.join(dl, "doc_id")
+        rm_tf.join(dl, "doc_id")
         .join(F.broadcast(fb), "doc_id")
         .select(
             "query_id",
@@ -663,7 +901,7 @@ def rm3_expansion_topk(
         .agg(F.sum("c").alias("rm"))
     )
     # original query model: qtf-normalized terms of the query doc
-    orig = tf.filter(F.col("doc_id") % QUERY_MOD == 0).select(
+    orig = rm_tf.filter(F.col("doc_id") % QUERY_MOD == 0).select(
         F.col("doc_id").alias("query_id"), "term", F.col("tf").alias("qtf")
     )
     w_orig = orig.join(

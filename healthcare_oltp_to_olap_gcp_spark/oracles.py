@@ -834,7 +834,7 @@ ORACLE_SQL["simhash_dup_pairs"] = _simhash_oracle()
 # template per width.
 
 
-def _ivf_flat_sql(n_probe: int) -> str:
+def _ivf_flat_sql(n_probe: int, k: int = 10) -> str:
     return f"""
 WITH {_NORM_CTE},
 cent AS (
@@ -872,7 +872,7 @@ r AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
   FROM s
 )
-SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 10
+SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= {k}
 """
 
 
@@ -4535,23 +4535,30 @@ from .operators.retrieval import (  # noqa: E402
     RM3_LAMBDA as _RM3_L_,
 )
 
-ORACLE_SQL["rm3_expansion_topk"] = f"""
+def _rm3_oracle(df_cte: str, capped: bool) -> str:
+    """RM3 oracle builder shared by the plain and df-capped twins.
+    ``capped`` mirrors the Spark side's ``df_cap=True`` semi-joins: the
+    feedback pass runs over the capped probe, and the relevance model /
+    original query model keep only capped-vocabulary terms (`JOIN dfp`
+    — dfp is unique per term, so the inner join is a semi-join)."""
+    vocab_cut = "JOIN dfp USING (term)" if capped else ""
+    return f"""
 WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
 tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
        FROM tok GROUP BY 1, 2),
 dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-dfp AS {_BM25_DF_PLAIN},
+dfp AS {df_cte},
 stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
                  (SELECT COUNT(*) FROM tok) AS total_tokens),
 fb AS (SELECT query_id, doc_id
-       FROM ({_bm25_oracle(_BM25_DF_PLAIN, k=_RM3_FB_M_)})),
+       FROM ({_bm25_oracle(df_cte, k=_RM3_FB_M_)})),
 rmc AS (
   SELECT fb.query_id, tf.term,
     CAST(ROUND(tf.tf / CAST(dl.dl AS DOUBLE), 8) AS DECIMAL(18,8)) AS c
-  FROM tf JOIN dl USING (doc_id) JOIN fb ON fb.doc_id = tf.doc_id
+  FROM tf {vocab_cut} JOIN dl USING (doc_id) JOIN fb ON fb.doc_id = tf.doc_id
 ),
 rm AS (SELECT query_id, term, SUM(c) AS rm FROM rmc GROUP BY 1, 2),
-orig AS (SELECT doc_id AS query_id, term, tf AS qtf FROM tf
+orig AS (SELECT doc_id AS query_id, term, tf AS qtf FROM tf {vocab_cut}
          WHERE doc_id % {_BM_QM_} = 0),
 rmx AS (SELECT rm.query_id, rm.term, rm.rm FROM rm
         ANTI JOIN orig ON orig.query_id = rm.query_id
@@ -4598,6 +4605,70 @@ r2 AS (
 SELECT query_id, doc_id, CAST(s AS DOUBLE) AS score,
   CAST(rn AS BIGINT) AS rank
 FROM r2 WHERE rn <= {_BM_K_}
+"""
+
+
+ORACLE_SQL["rm3_expansion_topk"] = _rm3_oracle(_BM25_DF_PLAIN, capped=False)
+ORACLE_SQL["rm3_dfcap_expansion_topk"] = _rm3_oracle(_BM25_DF_CAPPED, capped=True)
+
+# WAND/MaxScore-pruned BM25 (operators/retrieval.bm25_wand_topk):
+# upper-bound pruning is provably recall-lossless for the exact top-k
+# (strict-inequality thresholding also survives the doc_id tie-break),
+# so the pruned query SHARES the exact probe's oracle verbatim — the
+# docs_contamination_bloom convention: every driver hash match is
+# itself the proof the pruning dropped no result row.
+ORACLE_SQL["bm25_wand_topk"] = ORACLE_SQL["bm25_topk"]
+
+# Hybrid RRF deployment twin (operators/retrieval.hybrid_rrf_ivf_topk):
+# identical fusion arithmetic to hybrid_rrf_topk with both constituent
+# rankings swapped for their bounded deployment forms — df-capped BM25
+# lexical, hash-seeded IVF-Flat dense. Both constituents are already
+# independently value-hash-oracled, and fusion reads only their ranks.
+ORACLE_SQL["hybrid_rrf_ivf_topk"] = f"""
+WITH lex AS (SELECT query_id, doc_id, rank
+        FROM ({_bm25_oracle(_BM25_DF_CAPPED, k=_RRF_M_)})),
+dense AS (SELECT query_id, neighbor_id AS doc_id, rank
+        FROM ({_ivf_flat_sql(4, k=_RRF_M_)})),
+fused AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         CAST(COALESCE(l.rank, 0) AS BIGINT) AS lex_rank,
+         CAST(COALESCE(d.rank, 0) AS BIGINT) AS dense_rank,
+         COALESCE(CAST(ROUND(1.0 / ({float(_RRF_C_)} + l.rank), 8)
+                       AS DECIMAL(18,8)), CAST(0 AS DECIMAL(18,8)))
+       + COALESCE(CAST(ROUND(1.0 / ({float(_RRF_C_)} + d.rank), 8)
+                       AS DECIMAL(18,8)), CAST(0 AS DECIMAL(18,8))) AS s
+  FROM lex l FULL OUTER JOIN dense d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+),
+rr AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY s DESC, doc_id) AS rn
+  FROM fused
+)
+SELECT query_id, doc_id, lex_rank, dense_rank,
+  CAST(s AS DOUBLE) AS rrf_score, CAST(rn AS BIGINT) AS rank
+FROM rr WHERE rn <= 10
+"""
+
+# Stream-stream interval join (streaming/pipeline.view_purchase_streamed):
+# the drained availableNow result equals the batch interval join
+# row-for-row (watermark sentinels advance both sides past every real
+# event; inner interval joins emit eagerly in append mode), so the
+# oracle is the batch join itself — all-exact columns, purchase_value
+# is a pass-through.
+ORACLE_SQL["view_purchase_streamed"] = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       v.ts AS view_ts,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = v.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
 """
 
 

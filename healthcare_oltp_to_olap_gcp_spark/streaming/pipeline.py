@@ -774,3 +774,55 @@ def user_totals_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("total_events").cast("long").alias("total_events"),
         F.max("total_value").alias("total_value"),
     )
+
+
+def view_purchase_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAM-STREAM INTERVAL JOIN as an oracle-checkable registry
+    query (VERDICT r7 item 5 — the last stateful streaming shape
+    without a driver-gated entry): the events table is staged as a
+    multi-file stream and drained through ``view_purchase_join_stream``
+    (watermarked both sides, join state evictable past the interval),
+    emitting every (view, purchase) pair of the same user with the
+    purchase at most one hour after the view.
+
+    Two sentinel events 30 days past max(ts) — one per side, under
+    user ids −1/−2 that never occur (and never each other's user, so
+    the sentinels cannot pair) — advance BOTH sides' watermarks past
+    every real event; inner interval joins emit matches eagerly in
+    append mode, so the availableNow drain equals the batch interval
+    join row-for-row and the query carries a full value-hash oracle
+    (timestamps and ids are exact; purchase_value is a pass-through
+    column, never arithmetic)."""
+    import tempfile
+
+    from ..catalog import table
+
+    events = table(spark, sf_dir, "events")
+    b = events.agg(F.max("ts").alias("mx")).collect()[0]
+    if b.mx is None:
+        return spark.createDataFrame(
+            [],
+            "user_id long, view_id long, purchase_id long,"
+            " view_ts timestamp, purchase_ts timestamp,"
+            " purchase_value double",
+        )
+    src = tempfile.mkdtemp(prefix="hc_stream_vp_") + "/src"
+    events.select(*EVENTS_SCHEMA.fieldNames()).repartition(7).write.mode(
+        "overwrite"
+    ).parquet(src)
+    far = F.timestamp_micros(
+        F.unix_micros(F.lit(b.mx)) + F.lit(30 * 24 * 3600 * 1_000_000)
+    )
+    sentinels = spark.createDataFrame(
+        [
+            (-1, None, -1, "view", 0.0, "{}"),
+            (-2, None, -2, "purchase", 0.0, "{}"),
+        ],
+        EVENTS_SCHEMA,
+    ).withColumn("ts", far)
+    sentinels.coalesce(1).write.mode("append").parquet(src)
+    out = run_available_now_append(
+        view_purchase_join_stream(read_events_stream(spark, src)),
+        "view_purchase_streamed_sink",
+    )
+    return out.filter(F.col("user_id") >= 0)

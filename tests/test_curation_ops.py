@@ -1496,3 +1496,97 @@ def test_rm3_ranking_is_total_and_scores_descend_on_corpus(spark):
         assert len(rows) <= retrieval.DEFAULT_K
         scores = [r.score for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_wand_equals_exact_probe(spark):
+    """WAND/MaxScore pruning must be recall-LOSSLESS: identical rows to
+    the exact probe on the real corpus (where ties and short seed
+    lists exercise the no-θ fallback) and on the Zipfian corpus at
+    k=1 (where the pruning actually fires — see the work test)."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import retrieval
+
+    docs = table(spark, SF001, "documents")
+    exact = {tuple(r) for r in retrieval.bm25_topk(docs).collect()}
+    wand = {tuple(r) for r in retrieval.bm25_wand_topk(docs).collect()}
+    assert wand == exact and exact
+    z = _zipf_docs(spark, 200)
+    exact1 = {tuple(r) for r in retrieval.bm25_topk(z, k=1).collect()}
+    wand1 = {tuple(r) for r in retrieval.bm25_wand_topk(z, k=1).collect()}
+    assert wand1 == exact1 and exact1
+
+
+def test_bm25_wand_prunes_zipfian_work_growth(spark):
+    """The measured candidate-row cut VERDICT r7 item 4 asks for: on
+    the Zipfian corpus every query's strongest (rarest) term seeds a
+    θ that makes the Σdf-dominating head list non-essential, so the
+    pruned scorer touches exactly 2 contribution rows per query (one
+    seed pass + one final pass over the single pair-partner doc) —
+    LINEAR in corpus size — while the exact probe's candidate rows
+    grow quadratically (queries ×4 · head postings ×4 = 16× under 4×
+    growth)."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import retrieval
+
+    small, big = 200, 800
+    w_s = retrieval.bm25_wand_candidate_rows(_zipf_docs(spark, small), k=1)
+    w_b = retrieval.bm25_wand_candidate_rows(_zipf_docs(spark, big), k=1)
+    assert (w_s, w_b) == (2 * small // 50, 2 * big // 50)  # 8, 32 — linear
+    un_s = retrieval.bm25_candidate_rows(_zipf_docs(spark, small))
+    un_b = retrieval.bm25_candidate_rows(_zipf_docs(spark, big))
+    assert un_b / un_s == 16.0 and w_b / w_s == 4.0
+    assert w_b < un_b / 100  # 32 rows vs 10240 — the cut is a growth cut
+
+
+def test_rm3_dfcap_excludes_capped_vocabulary_everywhere(spark):
+    """Hand-case for the df-capped RM3 twin: 'the' is in every doc
+    (above θ = median df), so the capped pipeline must never reach a
+    doc through it — neither in the feedback pass, nor via the
+    relevance model, nor in pass 2. Query doc 0 = 'the a': capped fb =
+    {3} (via 'a'); the relevance model over doc 3 offers {a, b}; 'b'
+    is the expansion term, so doc 1 ('the b') becomes reachable — but
+    doc 2 ('the c'), reachable only through 'the', must stay absent
+    (the PLAIN twin retrieves it)."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import retrieval
+
+    docs = _docs(spark, ["the a", "the b", "the c", "the a b"])
+    plain = {r.doc_id for r in retrieval.rm3_expansion_topk(docs).collect()}
+    capped = {
+        r.doc_id
+        for r in retrieval.rm3_expansion_topk(docs, df_cap=True).collect()
+    }
+    assert 2 in plain
+    assert capped == {1, 3}
+
+
+def test_hybrid_rrf_dense_parameterization_is_identity(spark):
+    """Injecting the default dense retriever explicitly must reproduce
+    hybrid_rrf_topk exactly (the dense source is read only through its
+    ranks), and the IVF deployment twin must fuse only docs one of its
+    two constituent lists ranked."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import retrieval, similarity
+
+    docs = table(spark, SF001, "documents")
+    emb = table(spark, SF001, "embeddings")
+    base = {tuple(r) for r in retrieval.hybrid_rrf_topk(docs, emb).collect()}
+    injected = {
+        tuple(r)
+        for r in retrieval.hybrid_rrf_topk(
+            docs, emb, dense=similarity.ann_brute_topk(emb, k=retrieval.RRF_M)
+        ).collect()
+    }
+    assert injected == base and base
+    ivf = retrieval.hybrid_rrf_ivf_topk(docs, emb).collect()
+    assert ivf
+    lex = {
+        (r.query_id, r.doc_id)
+        for r in retrieval.bm25_topk(
+            docs, k=retrieval.RRF_M, df_cap=True
+        ).collect()
+    }
+    dense = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_flat_ann_topk(emb, k=retrieval.RRF_M).collect()
+    }
+    assert {(r.query_id, r.doc_id) for r in ivf} <= (lex | dense)
+    for r in ivf:
+        assert (r.lex_rank > 0) == ((r.query_id, r.doc_id) in lex)
+        assert (r.dense_rank > 0) == ((r.query_id, r.doc_id) in dense)

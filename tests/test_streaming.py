@@ -582,3 +582,52 @@ def test_user_totals_streamed_exact_final_state(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_view_purchase_streamed_equals_batch_interval_join(spark):
+    """The registry-gated stream-stream interval join: the drained
+    availableNow result must equal the batch interval join row-for-row
+    (inner interval joins emit eagerly; the per-side sentinels advance
+    both watermarks past every real event), and the sentinel users'
+    rows must never surface."""
+    from pyspark.sql import functions as F
+
+    got = {
+        tuple(r)
+        for r in pipeline.view_purchase_streamed(spark, SF001).collect()
+    }
+    assert got and all(t[0] >= 0 for t in got)
+    events = table(spark, SF001, "events")
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    want = {
+        tuple(r)
+        for r in v.join(
+            p,
+            (F.col("u") == F.col("pu"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+        )
+        .select(
+            F.col("u").alias("user_id"),
+            "view_id",
+            "purchase_id",
+            "view_ts",
+            "purchase_ts",
+            "purchase_value",
+        )
+        .collect()
+    }
+    assert got == want

@@ -154,7 +154,20 @@ def main() -> int:
         "flagged": flags,
         "skipped_no_probe_spec": skipped,
     }
-    out = os.path.join(REPO, "BENCH_sf1.json")
+    # Per-round artifact name (VERDICT r7 item 7): never overwrite a
+    # prior round's composed run — cross-round sf1 history must stay
+    # auditable. Round = latest driver CORRECTNESS round + 1.
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", p))
+    ]
+    out = os.path.join(
+        REPO, f"BENCH_sf1_r{max(rounds, default=0) + 1}.json"
+    )
     json.dump(artifact, open(out, "w"), indent=1)
     print(json.dumps({"flagged": flags, "total_sf1_sec": artifact["total_sf1_sec"]}))
     spark.stop()

@@ -141,6 +141,11 @@ PROBES = {
     "ann_index_streamed": {"embeddings": ["vec_id"]},
     # sf1-headline coverage: amplification spec so bench_sf1 can time it
     "lineitem_column_stats": {"lineitem": ["l_orderkey"]},
+    # round-8 additions (bounded deployment twins + WAND + interval join)
+    "rm3_dfcap_expansion_topk": {"documents": ["doc_id"]},
+    "hybrid_rrf_ivf_topk": {"documents": ["doc_id"], "embeddings": ["vec_id"]},
+    "bm25_wand_topk": {"documents": ["doc_id"]},
+    "view_purchase_streamed": {"events": ["event_id", "user_id"]},
 }
 
 # Grown-C probe variants (VERDICT r5 item 1, r6 item 1). The
