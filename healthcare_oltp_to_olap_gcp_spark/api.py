@@ -693,6 +693,12 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "view_purchase_streamed": lambda s, d: _streaming_pipeline().view_purchase_streamed(
         s, d
     ),
+    "views_without_purchase_streamed": lambda s, d: _streaming_pipeline().views_without_purchase_streamed(
+        s, d
+    ),
+    "embedding_drift_report": lambda s, d: similarity.embedding_drift_report(
+        table(s, d, "embeddings")
+    ),
 }
 
 
@@ -731,6 +737,8 @@ _PRIORITY = [
     "hybrid_rrf_ivf_topk",
     "bm25_wand_topk",
     "view_purchase_streamed",
+    "views_without_purchase_streamed",
+    "embedding_drift_report",
     # -- risk re-verifies: BM25 scoring refactored for WAND in r8 --
     "bm25_topk",
     "bm25_dfcap_topk",
@@ -779,8 +787,6 @@ _PRIORITY = [
     "clean_documents_keep_best",
     "cms_token_counts",
     "customer_rfm_segments",
-    "docs_bigram_perplexity",
-    "docs_dedup_report",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

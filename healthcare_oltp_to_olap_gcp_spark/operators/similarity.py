@@ -2442,3 +2442,153 @@ def embedding_isotropy_report(embeddings: DataFrame) -> DataFrame:
             "dim_var_mean"
         ),
     )
+
+
+def embedding_drift_report(embeddings: DataFrame) -> DataFrame:
+    """Embedding-SPACE drift monitor (r8) — the vector-side sibling of
+    plans/analytics.events_drift_report: a re-embedded crawl refresh
+    or a model swap shifts the distribution the index/semdedup/kNN
+    consumers were tuned on, and value-space PSI can't see it. The
+    corpus is split at the integer vec_id midpoint (the deterministic
+    analog of the events monitor's µs midpoint — in a deployment the
+    split is old-index vs incoming batch); the report compares the two
+    halves' geometry in ONE row:
+
+      n_ref/n_cur, avg_norm_ref/avg_norm_cur (raw-norm scale drift —
+      a model swap shows up here first), centroid_cos (cosine between
+      the halves' mean normalized vectors: 1 = same direction),
+      centroid_shift (L2 of the mean-vector difference),
+      max_dim_mean_shift (worst per-dimension mean displacement),
+      dim_var_mean_ref/cur + var_ratio (variance collapse/expansion).
+
+    Scale shape: two linear passes — one corpus scan for counts/norms,
+    one posexplode aggregated per (half, dimension) with map-side
+    combine (shuffle ≤ 2·partitions·d rows); everything after is a
+    d-row frame collapsing to one row. No pair term exists anywhere.
+
+    Determinism: per-row contributions (norms 8 dp, components 8 dp,
+    squares 10 dp) rounded-then-DECIMAL-summed; the d-row reductions
+    (dot, squared norms, squared shifts at 12 dp; per-dim variances at
+    8 dp) likewise; the means are single double divisions mirrored
+    expression-for-expression in DuckDB — full value-hash oracle."""
+    spark = embeddings.sparkSession
+    b = embeddings.agg(
+        F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx")
+    ).collect()[0]
+    empty_schema = (
+        "n_ref long, n_cur long, avg_norm_ref double, avg_norm_cur double,"
+        " centroid_cos double, centroid_shift double,"
+        " max_dim_mean_shift double, dim_var_mean_ref double,"
+        " dim_var_mean_cur double, var_ratio double"
+    )
+    if b.mn is None or b.mn == b.mx:
+        return spark.createDataFrame([], empty_schema)
+    mid = b.mn + (b.mx - b.mn) // 2
+    raw = as_double("embedding")
+    tagged = embeddings.select(
+        (F.col("vec_id") <= F.lit(mid)).alias("is_ref"),
+        raw.alias("v"),
+        normalized(raw).alias("nv"),
+    )
+    splits = tagged.groupBy("is_ref").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.round(F.sqrt(dot(F.col("v"), F.col("v"))), 8).cast(
+                "decimal(18,8)"
+            )
+        ).alias("norm_sum"),
+    )
+    per_dim = (
+        tagged.select("is_ref", F.posexplode("nv").alias("pos", "val"))
+        .groupBy("is_ref", "pos")
+        .agg(
+            F.sum(F.round(F.col("val"), 8).cast("decimal(18,8)")).alias("s"),
+            F.sum(
+                F.round(F.col("val") * F.col("val"), 10).cast("decimal(18,10)")
+            ).alias("ss"),
+        )
+        .join(splits.select("is_ref", "n"), "is_ref")
+    )
+    m = F.col("s").cast("double") / F.col("n")
+    var = F.round(F.col("ss").cast("double") / F.col("n") - m * m, 8)
+    stats = per_dim.select(
+        "is_ref", "pos", m.alias("m"), var.cast("decimal(18,8)").alias("var")
+    )
+    ref = stats.filter(F.col("is_ref")).select(
+        "pos", F.col("m").alias("mr"), F.col("var").alias("var_r")
+    )
+    cur = stats.filter(~F.col("is_ref")).select(
+        "pos", F.col("m").alias("mc"), F.col("var").alias("var_c")
+    )
+    joined = ref.join(cur, "pos")
+    geom = joined.agg(
+        F.sum(
+            F.round(F.col("mr") * F.col("mc"), 12).cast("decimal(24,12)")
+        ).alias("dotp"),
+        F.sum(
+            F.round(F.col("mr") * F.col("mr"), 12).cast("decimal(24,12)")
+        ).alias("nr2"),
+        F.sum(
+            F.round(F.col("mc") * F.col("mc"), 12).cast("decimal(24,12)")
+        ).alias("nc2"),
+        F.sum(
+            F.round(
+                (F.col("mc") - F.col("mr")) * (F.col("mc") - F.col("mr")), 12
+            ).cast("decimal(24,12)")
+        ).alias("sh2"),
+        F.max(F.round(F.abs(F.col("mc") - F.col("mr")), 8)).alias(
+            "max_dim_mean_shift"
+        ),
+        F.count("*").cast("long").alias("d"),
+        F.round(
+            F.sum("var_r").cast("double") / F.count("*"), 8
+        ).alias("dim_var_mean_ref"),
+        F.round(
+            F.sum("var_c").cast("double") / F.count("*"), 8
+        ).alias("dim_var_mean_cur"),
+    )
+    r = splits.filter(F.col("is_ref")).select(
+        F.col("n").alias("n_ref"), F.col("norm_sum").alias("ns_r")
+    )
+    c = splits.filter(~F.col("is_ref")).select(
+        F.col("n").alias("n_cur"), F.col("norm_sum").alias("ns_c")
+    )
+    return (
+        geom.crossJoin(F.broadcast(r))
+        .crossJoin(F.broadcast(c))
+        .select(
+            "n_ref",
+            "n_cur",
+            F.round(F.col("ns_r").cast("double") / F.col("n_ref"), 6).alias(
+                "avg_norm_ref"
+            ),
+            F.round(F.col("ns_c").cast("double") / F.col("n_cur"), 6).alias(
+                "avg_norm_cur"
+            ),
+            F.when(
+                (F.col("nr2") != 0) & (F.col("nc2") != 0),
+                F.round(
+                    F.col("dotp").cast("double")
+                    / (
+                        F.sqrt(F.col("nr2").cast("double"))
+                        * F.sqrt(F.col("nc2").cast("double"))
+                    ),
+                    6,
+                ),
+            ).alias("centroid_cos"),
+            F.round(F.sqrt(F.col("sh2").cast("double")), 6).alias(
+                "centroid_shift"
+            ),
+            "max_dim_mean_shift",
+            "dim_var_mean_ref",
+            "dim_var_mean_cur",
+            # NULL when the reference variance is exactly zero (a
+            # constant reference cloud has no scale to compare against)
+            F.when(
+                F.col("dim_var_mean_ref") != 0,
+                F.round(
+                    F.col("dim_var_mean_cur") / F.col("dim_var_mean_ref"), 6
+                ),
+            ).alias("var_ratio"),
+        )
+    )

@@ -4671,6 +4671,82 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
  AND p.ts <= v.ts + INTERVAL 1 HOUR
 """
 
+# Left-outer interval join, unmatched side
+# (streaming/pipeline.views_without_purchase_streamed): outer rows are
+# emitted at state eviction, and the sentinel-advanced watermark evicts
+# every real view during the drain, so the streamed unmatched set
+# equals the batch NOT EXISTS anti-join — all-exact columns.
+ORACLE_SQL["views_without_purchase_streamed"] = """
+SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts
+FROM events v
+WHERE v.event_type = 'view'
+  AND NOT EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.event_type = 'purchase'
+      AND p.user_id = v.user_id
+      AND p.ts >= v.ts
+      AND p.ts <= v.ts + INTERVAL 1 HOUR)
+"""
+
+# Embedding-space drift monitor
+# (operators/similarity.embedding_drift_report): integer vec_id
+# midpoint split; every reduction is rounded-then-DECIMAL-summed and
+# every mean a single double division, mirrored expression for
+# expression from the Spark side (the isotropy-report conventions).
+ORACLE_SQL["embedding_drift_report"] = """
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bounds AS (SELECT MIN(vec_id) + (MAX(vec_id) - MIN(vec_id)) // 2 AS mid FROM e0),
+t AS (SELECT vec_id <= bounds.mid AS is_ref, v,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+      FROM e0, bounds),
+splits AS (
+  SELECT is_ref, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(ROUND(sqrt(list_dot_product(v, v)), 8) AS DECIMAL(18,8)))
+      AS norm_sum
+  FROM t GROUP BY 1),
+x AS (SELECT is_ref, unnest(nv) AS val, generate_subscripts(nv, 1) AS pos
+      FROM t),
+per_dim AS (
+  SELECT is_ref, pos,
+    SUM(CAST(ROUND(val, 8) AS DECIMAL(18,8))) AS s,
+    SUM(CAST(ROUND(val * val, 10) AS DECIMAL(18,10))) AS ss
+  FROM x GROUP BY 1, 2),
+st AS (
+  SELECT is_ref, pos, CAST(s AS DOUBLE) / n AS m,
+    CAST(ROUND(CAST(ss AS DOUBLE) / n
+               - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 8)
+         AS DECIMAL(18,8)) AS var
+  FROM per_dim JOIN splits USING (is_ref)),
+j AS (
+  SELECT r.pos, r.m AS mr, c.m AS mc, r.var AS var_r, c.var AS var_c
+  FROM (SELECT * FROM st WHERE is_ref) r
+  JOIN (SELECT * FROM st WHERE NOT is_ref) c USING (pos)),
+geom AS (
+  SELECT SUM(CAST(ROUND(mr * mc, 12) AS DECIMAL(24,12))) AS dotp,
+         SUM(CAST(ROUND(mr * mr, 12) AS DECIMAL(24,12))) AS nr2,
+         SUM(CAST(ROUND(mc * mc, 12) AS DECIMAL(24,12))) AS nc2,
+         SUM(CAST(ROUND((mc - mr) * (mc - mr), 12) AS DECIMAL(24,12))) AS sh2,
+         MAX(ROUND(ABS(mc - mr), 8)) AS max_dim_mean_shift,
+         ROUND(CAST(SUM(var_r) AS DOUBLE) / COUNT(*), 8) AS dim_var_mean_ref,
+         ROUND(CAST(SUM(var_c) AS DOUBLE) / COUNT(*), 8) AS dim_var_mean_cur
+  FROM j)
+SELECT r.n AS n_ref, c.n AS n_cur,
+  ROUND(CAST(r.norm_sum AS DOUBLE) / r.n, 6) AS avg_norm_ref,
+  ROUND(CAST(c.norm_sum AS DOUBLE) / c.n, 6) AS avg_norm_cur,
+  CASE WHEN nr2 <> 0 AND nc2 <> 0 THEN
+    ROUND(CAST(dotp AS DOUBLE)
+          / (sqrt(CAST(nr2 AS DOUBLE)) * sqrt(CAST(nc2 AS DOUBLE))), 6)
+  END AS centroid_cos,
+  ROUND(sqrt(CAST(sh2 AS DOUBLE)), 6) AS centroid_shift,
+  max_dim_mean_shift, dim_var_mean_ref, dim_var_mean_cur,
+  CASE WHEN dim_var_mean_ref <> 0
+       THEN ROUND(dim_var_mean_cur / dim_var_mean_ref, 6)
+  END AS var_ratio
+FROM geom,
+  (SELECT * FROM splits WHERE is_ref) r,
+  (SELECT * FROM splits WHERE NOT is_ref) c
+"""
+
 
 # Distribution-drift monitor (plans/analytics.events_drift_report):
 # integer-microsecond midpoint split, reference-frozen 10-bin PSI with

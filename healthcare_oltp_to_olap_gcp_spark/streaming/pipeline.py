@@ -74,7 +74,10 @@ def hourly_agg_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFram
 
 
 def view_purchase_join_stream(
-    stream: DataFrame, watermark: str = "2 hours", horizon: str = "1 hour"
+    stream: DataFrame,
+    watermark: str = "2 hours",
+    horizon: str = "1 hour",
+    join_type: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: purchases matched to the same
     user's views at most ``horizon`` earlier. Both sides carry a
@@ -82,7 +85,13 @@ def view_purchase_join_stream(
     [view_ts, view_ts + horizon], so each side's join state is
     evictable once the watermark passes the interval — bounded state,
     the requirement for an unbounded 100 TB/day stream. Inner interval
-    joins emit in append mode as soon as both matching rows arrive."""
+    joins emit in append mode as soon as both matching rows arrive.
+
+    ``join_type="left_outer"`` (r8) keeps unmatched views: Spark emits
+    the null-padded row when the view's state is EVICTED (watermark
+    past view_ts + horizon + delay) — the only moment "no purchase
+    arrived in time" is decidable on an unbounded stream. The
+    purchase columns are nullable in that mode."""
     views = (
         stream.filter(F.col("event_type") == "view")
         .select(
@@ -107,7 +116,7 @@ def view_purchase_join_stream(
         & (F.col("purchase_ts") >= F.col("view_ts"))
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}"))
     )
-    return views.join(purchases, cond, "inner").select(
+    return views.join(purchases, cond, join_type).select(
         F.col("v_user").alias("user_id"),
         "view_id",
         "purchase_id",
@@ -826,3 +835,58 @@ def view_purchase_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_purchase_streamed_sink",
     )
     return out.filter(F.col("user_id") >= 0)
+
+
+def views_without_purchase_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LEFT-OUTER stream-stream interval join as an
+    oracle-checkable registry query — the one interval-join semantics
+    ``view_purchase_streamed`` doesn't exercise: views with NO
+    same-user purchase within the horizon. Outer rows are emitted at
+    state EVICTION (watermark past view_ts + horizon + delay), the
+    only point "no purchase arrived" becomes decidable on an unbounded
+    stream — a genuinely different stateful behaviour from the inner
+    join's eager match emission, and the streaming form of the
+    abandonment/attribution-gap query (the batch NOT-EXISTS twin is
+    the oracle).
+
+    Same staging convention as ``view_purchase_streamed``: per-side
+    sentinels under never-occurring users advance both watermarks a
+    month past max(ts), so every real view's state is evicted during
+    the drain and the unmatched set equals the batch anti-join
+    row-for-row. The view-side sentinel itself is never emitted (the
+    watermark never passes its own eviction bound) and is filtered
+    defensively anyway. All-exact columns ⇒ full value-hash oracle."""
+    import tempfile
+
+    from ..catalog import table
+
+    events = table(spark, sf_dir, "events")
+    b = events.agg(F.max("ts").alias("mx")).collect()[0]
+    if b.mx is None:
+        return spark.createDataFrame(
+            [], "user_id long, view_id long, view_ts timestamp"
+        )
+    src = tempfile.mkdtemp(prefix="hc_stream_vnp_") + "/src"
+    events.select(*EVENTS_SCHEMA.fieldNames()).repartition(7).write.mode(
+        "overwrite"
+    ).parquet(src)
+    far = F.timestamp_micros(
+        F.unix_micros(F.lit(b.mx)) + F.lit(30 * 24 * 3600 * 1_000_000)
+    )
+    sentinels = spark.createDataFrame(
+        [
+            (-1, None, -1, "view", 0.0, "{}"),
+            (-2, None, -2, "purchase", 0.0, "{}"),
+        ],
+        EVENTS_SCHEMA,
+    ).withColumn("ts", far)
+    sentinels.coalesce(1).write.mode("append").parquet(src)
+    out = run_available_now_append(
+        view_purchase_join_stream(
+            read_events_stream(spark, src), join_type="left_outer"
+        ),
+        "views_without_purchase_streamed_sink",
+    )
+    return out.filter(
+        F.col("purchase_id").isNull() & (F.col("user_id") >= 0)
+    ).select("user_id", "view_id", "view_ts")

@@ -54,6 +54,9 @@ SENSITIVE = [
     # r7: per-dim component sums and the d-row reductions are all
     # round-then-DECIMAL — the sum-vector identity must not wobble
     "embedding_isotropy_report",
+    # r8: the vec_id-midpoint split + per-(half, dim) decimal sums and
+    # the one-row geometry reductions must survive repartitioning
+    "embedding_drift_report",
 ]
 
 _TABLE_FOR = {
@@ -76,6 +79,7 @@ _TABLE_FOR = {
     "unigram_lm_vocab": "documents",
     "events_drift_report": "events",
     "embedding_isotropy_report": "embeddings",
+    "embedding_drift_report": "embeddings",
 }
 
 

@@ -961,3 +961,51 @@ def test_isotropy_report_bounds_on_corpus(spark):
     # (they estimate the same quantity: ||mean u||^2 * n/(n-1) - 1/(n-1))
     est = (r.centroid_norm**2 * r.n_vectors - 1) / (r.n_vectors - 1)
     assert abs(r.avg_pairwise_cosine - est) < 1e-3
+
+
+def test_embedding_drift_report_stable_and_rotated_hand_cases(spark):
+    """Identical halves must read as zero drift (centroid_cos 1, shift
+    0, var_ratio 1, equal norms); a 90-degree-rotated + rescaled
+    current half must show the rotation (cos 0), the known L2 shift,
+    and the norm-scale change — the model-swap signature the monitor
+    exists to surface."""
+    same = spark.createDataFrame(
+        [(i, [3.0, 4.0, 1.0, 2.0], 0) for i in range(10)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = similarity.embedding_drift_report(same).collect()[0]
+    assert r.n_ref == 5 and r.n_cur == 5
+    assert r.avg_norm_ref == r.avg_norm_cur
+    assert abs(r.centroid_cos - 1.0) < 1e-6
+    assert r.centroid_shift == 0.0 and r.max_dim_mean_shift == 0.0
+    # both halves are constant clouds: no reference scale to compare
+    assert r.dim_var_mean_ref == 0.0 and r.var_ratio is None
+
+    # ref: all +x (unit); cur: all +y, doubled magnitude
+    rot = spark.createDataFrame(
+        [(i, [1.0, 0.0], 0) for i in range(5)]
+        + [(i, [0.0, 2.0], 0) for i in range(5, 10)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = similarity.embedding_drift_report(rot).collect()[0]
+    assert abs(r.avg_norm_ref - 1.0) < 1e-6
+    assert abs(r.avg_norm_cur - 2.0) < 1e-6
+    assert abs(r.centroid_cos) < 1e-6  # orthogonal mean directions
+    # normalized means are (1,0) vs (0,1): shift = sqrt(2)
+    assert abs(r.centroid_shift - 2.0 ** 0.5) < 1e-6
+    assert abs(r.max_dim_mean_shift - 1.0) < 1e-6
+    # both halves are constant clouds: zero variance either side
+    assert r.dim_var_mean_ref == 0.0 and r.dim_var_mean_cur == 0.0
+    assert r.var_ratio is None
+
+
+def test_embedding_drift_report_bounds_on_corpus(spark):
+    r = similarity.embedding_drift_report(
+        table(spark, SF001, "embeddings")
+    ).collect()[0]
+    assert r.n_ref > 0 and r.n_cur > 0
+    assert -1.0 <= r.centroid_cos <= 1.0
+    assert r.centroid_shift >= 0.0 and r.max_dim_mean_shift >= 0.0
+    # unit vectors: per-dim shift can't exceed the L2 shift
+    assert r.max_dim_mean_shift <= r.centroid_shift + 1e-9
+    assert r.var_ratio is not None and r.var_ratio > 0.0

@@ -338,6 +338,19 @@ _BNLJ_ALLOWED = {
     # r7 reviewed: one-row time-midpoint scalar cross onto the event
     # stream (the mon_* max-ts window-bound shape)
     "events_drift_report",
+    # r8 reviewed: inherits bm25_topk's one-row corpus-stats cross; the
+    # threshold/seed/essential-term joins are broadcast-hash on tiny
+    # |Q|-row / (query, term) frames
+    "bm25_wand_topk",
+    # r8 reviewed: inherits rm3's one-row stats cross + the dfcap twin's
+    # theta/vocab-count crosses (bm25_dfcap_topk's shape)
+    "rm3_dfcap_expansion_topk",
+    # r8 reviewed: inherits bm25_dfcap's stats/theta crosses + the
+    # IVF-Flat one-row centroid-struct-array cross
+    "hybrid_rrf_ivf_topk",
+    # r8 reviewed: two one-row split-stats crosses onto the one-row
+    # geometry aggregate — the isotropy-report shape
+    "embedding_drift_report",
     # r7 reviewed: one-row (n, norm_sum) corpus-stats cross onto the
     # d-row per-dimension frame — tfidf's count-cross shape
     "embedding_isotropy_report",

@@ -631,3 +631,35 @@ def test_view_purchase_streamed_equals_batch_interval_join(spark):
         .collect()
     }
     assert got == want
+
+
+def test_views_without_purchase_streamed_equals_batch_anti_join(spark):
+    """LEFT-OUTER interval join semantics: unmatched views emit at
+    state eviction, and the sentinel-advanced watermark evicts every
+    real view — so the drained unmatched set equals the batch
+    NOT-EXISTS anti-join, and no sentinel row leaks."""
+    from pyspark.sql import functions as F
+
+    got = {
+        tuple(r)
+        for r in pipeline.views_without_purchase_streamed(spark, SF001).collect()
+    }
+    assert got and all(t[0] >= 0 for t in got)
+    events = table(spark, SF001, "events")
+    v = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    want = {
+        tuple(r)
+        for r in v.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pts") >= F.col("view_ts"))
+            & (F.col("pts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_anti",
+        ).collect()
+    }
+    assert got == want

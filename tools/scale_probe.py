@@ -146,6 +146,8 @@ PROBES = {
     "hybrid_rrf_ivf_topk": {"documents": ["doc_id"], "embeddings": ["vec_id"]},
     "bm25_wand_topk": {"documents": ["doc_id"]},
     "view_purchase_streamed": {"events": ["event_id", "user_id"]},
+    "views_without_purchase_streamed": {"events": ["event_id", "user_id"]},
+    "embedding_drift_report": {"embeddings": ["vec_id"]},
 }
 
 # Grown-C probe variants (VERDICT r5 item 1, r6 item 1). The
