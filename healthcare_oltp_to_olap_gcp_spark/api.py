@@ -699,6 +699,9 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_drift_report": lambda s, d: similarity.embedding_drift_report(
         table(s, d, "embeddings")
     ),
+    "ann_index_balance_report": lambda s, d: similarity.ann_index_balance_report(
+        table(s, d, "embeddings")
+    ),
 }
 
 
@@ -739,6 +742,7 @@ _PRIORITY = [
     "view_purchase_streamed",
     "views_without_purchase_streamed",
     "embedding_drift_report",
+    "ann_index_balance_report",
     # -- risk re-verifies: BM25 scoring refactored for WAND in r8 --
     "bm25_topk",
     "bm25_dfcap_topk",
@@ -786,7 +790,6 @@ _PRIORITY = [
     "asof_pandas_last_view",
     "clean_documents_keep_best",
     "cms_token_counts",
-    "customer_rfm_segments",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

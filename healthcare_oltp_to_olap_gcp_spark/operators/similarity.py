@@ -2592,3 +2592,61 @@ def embedding_drift_report(embeddings: DataFrame) -> DataFrame:
             ).alias("var_ratio"),
         )
     )
+
+
+IVF_IMBALANCE_RETRAIN = 1.5  # FAISS-style imbalance factor threshold
+
+
+def ann_index_balance_report(
+    embeddings: DataFrame, n_centroids: int = 16
+) -> DataFrame:
+    """IVF index-health dashboard (r8) — the retrain trigger that pairs
+    with ``ann_index_incremental``: incremental inserts drift the cell
+    sizes away from the trained balance, probe latency tracks the
+    LARGEST probed cell, and the standard operational answer (FAISS
+    guidance) is to watch the imbalance factor  C·Σ s_c²/n²  (1.0 =
+    perfectly balanced; expected probe work scales with it) and
+    retrain centroids past a threshold.
+
+    One row: n_vectors, n_cells (configured C), n_nonempty_cells,
+    min/max cell size, top_cell_share (max/n), imbalance_factor, and
+    ``needs_retrain`` (imbalance > 1.5 — the knob a deployment tunes).
+
+    Uses the SAME hash-seeded centroid draw and per-row argmax
+    assignment as ``ivf_flat_ann_topk`` (one corpus scan against the
+    one-row broadcast centroid array, no n·C frame), so the report
+    describes exactly the index the registered ANN queries probe.
+    All-integer counts + two exact ratios ⇒ full value-hash oracle."""
+    corpus = _corpus(embeddings)
+    cent = (
+        corpus.orderBy(F.md5(F.col("neighbor_id").cast("string")), "neighbor_id")
+        .limit(n_centroids)
+        .select(F.col("neighbor_id").alias("cent_id"), F.col("cv").alias("centroid"))
+    )
+    sizes = (
+        _ivf_assign(corpus, cent)
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("sz"))
+    )
+    n = F.sum("sz").cast("long")
+    sum_sq = F.sum(F.col("sz") * F.col("sz")).cast("long")
+    # double arithmetic for the ratios: n² overflows BIGINT at real
+    # corpus sizes (the counts themselves stay exact integers)
+    imb = F.round(
+        F.lit(n_centroids)
+        * sum_sq.cast("double")
+        / (n.cast("double") * n.cast("double")),
+        6,
+    )
+    return sizes.agg(
+        n.alias("n_vectors"),
+        F.lit(n_centroids).cast("long").alias("n_cells"),
+        F.count("*").cast("long").alias("n_nonempty_cells"),
+        F.min("sz").alias("min_cell"),
+        F.max("sz").alias("max_cell"),
+        F.round(F.max("sz").cast("double") / n.cast("double"), 6).alias(
+            "top_cell_share"
+        ),
+        imb.alias("imbalance_factor"),
+        (imb > F.lit(IVF_IMBALANCE_RETRAIN)).alias("needs_retrain"),
+    )

@@ -4872,6 +4872,47 @@ FROM d
 """
 
 
+# IVF index-balance dashboard
+# (operators/similarity.ann_index_balance_report): the same centroid
+# draw + argmax assignment CTEs as the IVF oracle, reduced to integer
+# cell sizes and two exact ratios.
+ORACLE_SQL["ann_index_balance_report"] = f"""
+WITH {_NORM_CTE},
+cent AS (
+  SELECT vec_id AS cent_id, nv AS centroid
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+assign0 AS (
+  SELECT e.vec_id, cent.cent_id,
+         ROUND(list_dot_product(e.nv, cent.centroid), 6) AS cdot
+  FROM e CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cdot DESC, cent_id) AS rn
+    FROM assign0
+  ) WHERE rn = 1
+),
+sizes AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM assigned GROUP BY 1)
+SELECT CAST(SUM(sz) AS BIGINT) AS n_vectors,
+  CAST(16 AS BIGINT) AS n_cells,
+  CAST(COUNT(*) AS BIGINT) AS n_nonempty_cells,
+  MIN(sz) AS min_cell,
+  MAX(sz) AS max_cell,
+  ROUND(CAST(MAX(sz) AS DOUBLE) / CAST(SUM(sz) AS DOUBLE), 6)
+    AS top_cell_share,
+  ROUND(16 * CAST(SUM(sz * sz) AS DOUBLE)
+        / (CAST(SUM(sz) AS DOUBLE) * CAST(SUM(sz) AS DOUBLE)), 6)
+    AS imbalance_factor,
+  ROUND(16 * CAST(SUM(sz * sz) AS DOUBLE)
+        / (CAST(SUM(sz) AS DOUBLE) * CAST(SUM(sz) AS DOUBLE)), 6) > 1.5
+    AS needs_retrain
+FROM sizes
+"""
+
+
 # Streamed drift monitor (streaming/pipeline.events_drift_streamed):
 # the availableNow drain converges to the batch computation (the
 # sentinel closes every real daily window), so the oracle scores the

@@ -1009,3 +1009,26 @@ def test_embedding_drift_report_bounds_on_corpus(spark):
     # unit vectors: per-dim shift can't exceed the L2 shift
     assert r.max_dim_mean_shift <= r.centroid_shift + 1e-9
     assert r.var_ratio is not None and r.var_ratio > 0.0
+
+
+def test_ann_index_balance_report_degenerate_and_corpus(spark):
+    """A fully collapsed corpus (identical vectors → identical
+    centroids → every row lands in the lowest-id cell) must read as
+    maximal imbalance (factor = C) and trigger the retrain flag; the
+    real corpus must be near-balanced under the hash-seeded draw."""
+    same = spark.createDataFrame(
+        [(i, [3.0, 4.0], 0) for i in range(40)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = similarity.ann_index_balance_report(same).collect()[0]
+    assert r.n_vectors == 40 and r.n_nonempty_cells == 1
+    assert r.max_cell == 40 and r.top_cell_share == 1.0
+    assert r.imbalance_factor == 16.0 and bool(r.needs_retrain)
+
+    r = similarity.ann_index_balance_report(
+        table(spark, SF001, "embeddings")
+    ).collect()[0]
+    assert r.n_vectors == 500
+    assert r.min_cell >= 1 and r.max_cell <= r.n_vectors
+    assert r.imbalance_factor >= 1.0  # Cauchy-Schwarz lower bound
+    assert not r.needs_retrain  # the seeded draw is near-balanced here

@@ -351,6 +351,9 @@ _BNLJ_ALLOWED = {
     # r8 reviewed: two one-row split-stats crosses onto the one-row
     # geometry aggregate — the isotropy-report shape
     "embedding_drift_report",
+    # r8 reviewed: one-row centroid-struct-array cross for the per-row
+    # argmax assignment — ivf_flat_ann_topk's shape
+    "ann_index_balance_report",
     # r7 reviewed: one-row (n, norm_sum) corpus-stats cross onto the
     # d-row per-dimension frame — tfidf's count-cross shape
     "embedding_isotropy_report",
