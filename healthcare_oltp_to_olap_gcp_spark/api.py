@@ -702,6 +702,9 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_index_balance_report": lambda s, d: similarity.ann_index_balance_report(
         table(s, d, "embeddings")
     ),
+    "split_assignments_grouped": lambda s, d: dedup.split_assignments_grouped(
+        table(s, d, "documents")
+    ),
 }
 
 
@@ -743,6 +746,7 @@ _PRIORITY = [
     "views_without_purchase_streamed",
     "embedding_drift_report",
     "ann_index_balance_report",
+    "split_assignments_grouped",
     # -- risk re-verifies: BM25 scoring refactored for WAND in r8 --
     "bm25_topk",
     "bm25_dfcap_topk",
@@ -789,7 +793,6 @@ _PRIORITY = [
     "asof_last_view_before_purchase",
     "asof_pandas_last_view",
     "clean_documents_keep_best",
-    "cms_token_counts",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -786,17 +786,64 @@ def split_assignments(
     (never rand()), content-stable as the corpus grows, and pure
     column math (zero shuffle). The thresholds are exact integers, so
     the DuckDB oracle is bit-identical."""
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    return docs.select(
+        "doc_id", _split_expr(F.col("doc_id"), val_pct, test_pct)
+    )
+
+
+def _split_expr(key: F.Column, val_pct: int, test_pct: int) -> F.Column:
+    """md5(key) → [0, 2^32) → exact-integer split thresholds — shared
+    by the per-doc and the group-aware split so both carve the same
+    boundaries (and the DuckDB oracles mirror one formula)."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
     t_test = _SPLIT_SCALE * test_pct // 100
     t_val = _SPLIT_SCALE * (test_pct + val_pct) // 100
-    return docs.select(
-        "doc_id",
+    return (
         F.when(h < t_test, F.lit("test"))
         .when(h < t_val, F.lit("val"))
         .otherwise(F.lit("train"))
-        .alias("split"),
+        .alias("split")
+    )
+
+
+def split_assignments_grouped(
+    docs: DataFrame,
+    val_pct: int = VAL_PCT,
+    test_pct: int = TEST_PCT,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Group-aware train/val/test split (r8) — the leakage FIX for what
+    ``split_leakage_report`` measures: hashing per doc_id puts the two
+    ends of a near-duplicate pair in different splits with probability
+    2·p·(1−p), silently inflating eval; the standard pipeline fix
+    (GPT/C4-era decontamination practice) is to split by DUPLICATE
+    CLUSTER so a whole near-dup component lands on one side. Every doc
+    is keyed by its ``dedup_components`` label (the smallest doc_id
+    reachable through verified near-dup pairs; docs outside the dup
+    graph key by themselves), and the split hash runs on that GROUP
+    key through the same exact-integer thresholds as
+    ``split_assignments`` — so singleton docs get the identical
+    assignment the per-doc split gives them, and zero cross-split
+    near-dup pairs exist BY CONSTRUCTION (asserted through the leakage
+    report in tests).
+
+    Scale shape: components is the bounded min-label/pointer-jumping
+    propagation (edges from banded LSH, never doc×doc); everything
+    after is one left join + pure column math. Oracle: the recursive-
+    CTE components oracle composed with the split formula — fully
+    value-hash-checked."""
+    comp = dedup_components(docs, threshold)
+    key = F.coalesce(F.col("component"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            key.cast("long").alias("group_key"),
+            _split_expr(key, val_pct, test_pct),
+        )
     )
 
 
@@ -1525,7 +1572,9 @@ def dup_source_matrix(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     )
 
 
-def split_leakage_report(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+def split_leakage_report(
+    docs: DataFrame, threshold: float = 0.8, split: DataFrame | None = None
+) -> DataFrame:
     """Train/val/test contamination audit: verified near-dup pairs
     crosstabbed by the SPLIT of each endpoint — the leakage check every
     training pipeline must run after splitting (a val/test doc with a
@@ -1542,9 +1591,12 @@ def split_leakage_report(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     dup-density-bounded pair list. The production fix for a leaky
     report is upstream (content-hash splitting or cross-split dedup —
     ``dedup_incremental``'s shape with the train side as the index);
-    this op is the measurement."""
+    this op is the measurement. ``split`` injects an alternative
+    (doc_id, split) assignment — the group-aware
+    ``split_assignments_grouped`` audits to zero leaky rows through
+    this parameter (r8)."""
     pairs = minhash_lsh_dup_pairs(docs, threshold)
-    sp = split_assignments(docs)
+    sp = split_assignments(docs) if split is None else split
     labeled = (
         pairs.join(
             sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("_pa")),

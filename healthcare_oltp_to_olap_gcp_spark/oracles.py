@@ -1715,6 +1715,51 @@ FROM h
 ORACLE_SQL["split_assignments"] = _split_oracle()
 
 
+def _split_grouped_oracle() -> str:
+    """Group-aware split (operators/dedup.split_assignments_grouped):
+    the recursive-CTE near-dup components (threshold 0.8, identical to
+    the dedup_components oracle) keyed through the same md5 thresholds
+    as the per-doc split — singleton docs hash by their own id."""
+    from .operators.dedup import _SPLIT_SCALE, TEST_PCT, VAL_PCT
+
+    t_test = _SPLIT_SCALE * TEST_PCT // 100
+    t_val = _SPLIT_SCALE * (TEST_PCT + VAL_PCT) // 100
+    return f"""
+WITH RECURSIVE {SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    ROUND(len(list_intersect(a.s, b.s)) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+  FROM shf a JOIN shf b ON a.doc_id < b.doc_id
+),
+dup AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.8),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM dup UNION SELECT doc_b, doc_a FROM dup),
+nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src),
+g AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_key
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+h AS (
+  SELECT doc_id, group_key,
+    ('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 8))::UBIGINT AS hv
+  FROM g
+)
+SELECT doc_id, CAST(group_key AS BIGINT) AS group_key,
+  CASE WHEN hv < {t_test} THEN 'test'
+       WHEN hv < {t_val} THEN 'val'
+       ELSE 'train' END AS split
+FROM h
+"""
+
+
+ORACLE_SQL["split_assignments_grouped"] = _split_grouped_oracle()
+
+
 def _pack_oracle() -> str:
     """Recursive-CTE replay of the greedy first-fit scan in
     operators/dedup.pack_documents."""

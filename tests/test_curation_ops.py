@@ -1590,3 +1590,27 @@ def test_hybrid_rrf_dense_parameterization_is_identity(spark):
     for r in ivf:
         assert (r.lex_rank > 0) == ((r.query_id, r.doc_id) in lex)
         assert (r.dense_rank > 0) == ((r.query_id, r.doc_id) in dense)
+
+
+def test_grouped_split_eliminates_leakage_and_matches_singletons(spark):
+    """The group-aware split's whole contract: (1) ZERO cross-split
+    near-dup pairs — every leakage-report row under the injected
+    grouped assignment is non-leaky; (2) docs outside the dup graph
+    (singleton group = own id) get EXACTLY the per-doc split's
+    assignment; (3) every dup component lands on one split."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import dedup
+
+    docs = table(spark, SF001, "documents")
+    grouped = dedup.split_assignments_grouped(docs)
+    rows = dedup.split_leakage_report(
+        docs, split=grouped.select("doc_id", "split")
+    ).collect()
+    assert rows  # the corpus has verified near-dup pairs
+    assert all(not r.leaky for r in rows)
+    plain = {r.doc_id: r.split for r in dedup.split_assignments(docs).collect()}
+    comp_split: dict[int, set] = {}
+    for r in grouped.collect():
+        comp_split.setdefault(r.group_key, set()).add(r.split)
+        if r.group_key == r.doc_id:
+            assert r.split == plain[r.doc_id]
+    assert all(len(s) == 1 for s in comp_split.values())

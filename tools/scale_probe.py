@@ -149,6 +149,7 @@ PROBES = {
     "views_without_purchase_streamed": {"events": ["event_id", "user_id"]},
     "embedding_drift_report": {"embeddings": ["vec_id"]},
     "ann_index_balance_report": {"embeddings": ["vec_id"]},
+    "split_assignments_grouped": {"documents": ["doc_id"]},
 }
 
 # Grown-C probe variants (VERDICT r5 item 1, r6 item 1). The
