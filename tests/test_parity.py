@@ -159,6 +159,18 @@ SF01_KEYS = [
     "prototypicality_prune_bucketed",
     "multimodal_phash_pairs",
     "dataset_card_report",
+    # round-8 additions: pruning thresholds, capped-vocab expansion,
+    # fused rank lists, streamed join drains, dup-component splits and
+    # index balance are all data-dependent — keep them standing at the
+    # driver's own SF (each was also pre-verified there in-session)
+    "bm25_wand_topk",
+    "rm3_dfcap_expansion_topk",
+    "hybrid_rrf_ivf_topk",
+    "view_purchase_streamed",
+    "views_without_purchase_streamed",
+    "embedding_drift_report",
+    "ann_index_balance_report",
+    "split_assignments_grouped",
 ]
 
 
