@@ -705,6 +705,9 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_assignments_grouped": lambda s, d: dedup.split_assignments_grouped(
         table(s, d, "documents")
     ),
+    "events_hourly_streamed": lambda s, d: _streaming_pipeline().events_hourly_streamed(
+        s, d
+    ),
 }
 
 
@@ -747,6 +750,7 @@ _PRIORITY = [
     "embedding_drift_report",
     "ann_index_balance_report",
     "split_assignments_grouped",
+    "events_hourly_streamed",
     # -- risk re-verifies: BM25 scoring refactored for WAND in r8 --
     "bm25_topk",
     "bm25_dfcap_topk",
@@ -792,7 +796,6 @@ _PRIORITY = [
     "asof_generic_last_view",
     "asof_last_view_before_purchase",
     "asof_pandas_last_view",
-    "clean_documents_keep_best",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -4716,6 +4716,12 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
  AND p.ts <= v.ts + INTERVAL 1 HOUR
 """
 
+# Streamed hourly aggregate (streaming/pipeline.events_hourly_streamed):
+# tumbling windows + the exact-decimal value sum are deterministic and
+# the sentinel finalizes every real window, so the drain SHARES the
+# batch events_hourly oracle verbatim.
+ORACLE_SQL["events_hourly_streamed"] = ORACLE_SQL["events_hourly"]
+
 # Left-outer interval join, unmatched side
 # (streaming/pipeline.views_without_purchase_streamed): outer rows are
 # emitted at state eviction, and the sentinel-advanced watermark evicts

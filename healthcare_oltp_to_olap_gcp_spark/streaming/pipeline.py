@@ -785,6 +785,51 @@ def user_totals_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORIGINAL reference-parity streaming pipeline (ingest →
+    watermarked dedup → tumbling hourly aggregate, ``hourly_agg_stream``)
+    as a driver-gated registry query — until r8 it was plumbing-only
+    (equals-batch test) while every other stateful shape had a
+    CORRECTNESS row. Standard staging convention: the events table as
+    a multi-file stream plus a sentinel 30 days past max(ts) whose
+    watermark advance finalizes every real hourly window under
+    availableNow (the sentinel's own still-open window is never
+    emitted — no later event closes it). Tumbling windows and the
+    exact-decimal value sum are deterministic, so the drain equals the
+    batch ``events_hourly`` and SHARES its DuckDB oracle verbatim (the
+    sessions_streamed convention)."""
+    import tempfile
+
+    from ..catalog import table
+
+    events = table(spark, sf_dir, "events")
+    b = events.agg(F.max("ts").alias("mx")).collect()[0]
+    if b.mx is None:
+        return spark.createDataFrame(
+            [],
+            "hour timestamp, event_type string, n_events long,"
+            " sum_value double",
+        )
+    src = tempfile.mkdtemp(prefix="hc_stream_hourly_") + "/src"
+    events.select(*EVENTS_SCHEMA.fieldNames()).repartition(7).write.mode(
+        "overwrite"
+    ).parquet(src)
+    sentinel = spark.createDataFrame(
+        [(-1, None, -1, "zz_watermark_sentinel", 0.0, "{}")], EVENTS_SCHEMA
+    ).withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.unix_micros(F.lit(b.mx)) + F.lit(30 * 24 * 3600 * 1_000_000)
+        ),
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+    out = run_available_now_append(
+        hourly_agg_stream(read_events_stream(spark, src)),
+        "events_hourly_streamed_sink",
+    )
+    return out.filter(F.col("event_type") != "zz_watermark_sentinel")
+
+
 def view_purchase_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAM-STREAM INTERVAL JOIN as an oracle-checkable registry
     query (VERDICT r7 item 5 — the last stateful streaming shape

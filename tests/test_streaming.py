@@ -663,3 +663,21 @@ def test_views_without_purchase_streamed_equals_batch_anti_join(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_events_hourly_streamed_equals_batch(spark):
+    """The registry-gated form of the original pipeline: the drained
+    hourly aggregate must equal the batch events_hourly row-for-row
+    (sentinel finalizes every real window; its own open window never
+    emits)."""
+    from healthcare_oltp_to_olap_gcp_spark.plans import analytics
+
+    got = {
+        tuple(r)
+        for r in pipeline.events_hourly_streamed(spark, SF001).collect()
+    }
+    want = {
+        tuple(r)
+        for r in analytics.events_hourly(table(spark, SF001, "events")).collect()
+    }
+    assert got == want and got

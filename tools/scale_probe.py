@@ -150,6 +150,7 @@ PROBES = {
     "embedding_drift_report": {"embeddings": ["vec_id"]},
     "ann_index_balance_report": {"embeddings": ["vec_id"]},
     "split_assignments_grouped": {"documents": ["doc_id"]},
+    "events_hourly_streamed": {"events": ["event_id", "user_id"]},
 }
 
 # Grown-C probe variants (VERDICT r5 item 1, r6 item 1). The
