@@ -718,84 +718,74 @@ def _streaming_pipeline():
 
 
 # The driver's correctness gate checks the FIRST 50 entries of QUERIES in
-# insertion order (confirmed rounds 1-7). Window composition for round 8
-# (VERDICT r7 item 1 — the staleness gate binds hard this round):
-#   head  operators new in r8 (no driver row can exist yet);
-#   next  risk-ranked re-verifies: bm25_topk / bm25_dfcap_topk — their
-#         scoring pipeline was refactored into the shared helper the
-#         new WAND pruning path uses (outputs plan-asserted identical,
-#         but changed code earns fresh driver rows, r7 convention);
-#   then  the MANDATORY staleness cohort, oldest first: the 7 keys
-#         whose last driver row is r2 (age 6 the moment the driver
-#         wrote CORRECTNESS_r07 — the red-gate cohort VERDICT r7
-#         item 1 names) and ALL 29 r3-checked keys (age 5 now; every
-#         one would cross the age-6 line when CORRECTNESS_r08 lands,
-#         so deferring any of them just recreates this round's red
-#         gate in r9);
-#   tail  r4-checked fill, oldest-first alphabetical, displaced
-#         one-for-one as new operators land (the remaining ~30 r4
-#         keys are age 4 after this round and lead the r9 rotation).
+# insertion order (confirmed rounds 1-8). Window composition for round 9
+# (VERDICT r8 item 1 — the full r4-checked cohort crosses the staleness
+# line the moment CORRECTNESS_r09 lands):
+#   head  operators new in r9 (no driver row can exist yet);
+#   then  the MANDATORY staleness cohort: ALL 35 keys whose last driver
+#         row is r4 (age 6 once r9's row lands — deferring any of them
+#         recreates r7's red gate in r10), oldest-first alphabetical;
+#   tail  r5-checked fill, oldest-first alphabetical, displaced
+#         one-for-one as new operators land (the remaining r5 keys are
+#         age 4 after this round and lead the r10 rotation).
 # Everything not in the window keeps identical coverage through
 # tests/test_parity.py at sf0.001 + sf0.01, and tools/window_check.py
 # (wired into the test suite) fails CI if ANY registered query has
 # never been driver-checked or has gone >= 6 rounds without a fresh
 # row while outside the current window.
 _PRIORITY = [
-    # -- new in round 8 --
-    "rm3_dfcap_expansion_topk",
-    "hybrid_rrf_ivf_topk",
-    "bm25_wand_topk",
-    "view_purchase_streamed",
-    "views_without_purchase_streamed",
-    "embedding_drift_report",
-    "ann_index_balance_report",
-    "split_assignments_grouped",
-    "events_hourly_streamed",
-    # -- risk re-verifies: BM25 scoring refactored for WAND in r8 --
-    "bm25_topk",
-    "bm25_dfcap_topk",
-    # -- mandatory: last driver row r2 (age 6 — the red-gate cohort) --
-    "chunk_documents",
-    "docs_token_stats",
-    "orders_daily_cumulative",
-    "sample_documents",
-    "stratified_sample_by_lang",
-    "token_entropy",
-    "token_freq",
-    # -- mandatory: last driver row r3 (age 6 once r8's row lands) --
-    "docs_quality_filter",
-    "docs_quality_model",
-    "docs_rare_token_ratio",
-    "docs_source_kl",
-    "docs_source_stats",
-    "events_grouping_sets",
-    "events_hourly_anomalies",
-    "events_hourly_gapfill",
-    "hist_daily_merge_percentiles",
-    "hist_value_percentiles",
-    "join_size_estimate",
-    "kmv_daily_merge_distinct_users",
-    "kmv_distinct_users",
-    "kmv_type_overlap_matrix",
-    "kmv_view_not_purchase",
-    "kmv_view_purchase_overlap",
-    "label_centroids",
-    "lineitem_column_stats",
-    "nearest_centroid_assign",
-    "orders_revenue_7d_ma",
-    "pack_documents",
-    "prefix_suffix_overlap_pairs",
-    "sampled_daily_merge_percentiles",
-    "sampled_value_percentiles",
-    "split_assignments",
-    "token_bigram_rates",
-    "token_zipf_fit",
-    "value_percentiles_2pass",
-    "weighted_sample_documents",
-    # -- fill: last driver row r4, oldest-first alphabetical --
-    "asof_generic_last_view",
-    "asof_last_view_before_purchase",
-    "asof_pandas_last_view",
+    # -- mandatory: last driver row r4 (age 6 once r9's row lands) --
+    "clean_documents_keep_best",
+    "cms_token_counts",
+    "curated_documents",
+    "customer_rfm_segments",
+    "docs_bigram_perplexity",
+    "docs_dedup_report",
+    "docs_length_histogram",
+    "docs_remove_dup_spans",
+    "dup_span_stats",
+    "embedding_neardup_lsh_pairs",
+    "events_cusum_changepoints",
+    "events_daily_rollup_incremental",
+    "events_debounce",
+    "events_hourly_robust_anomalies",
+    "events_snapshot_diff",
+    "fact_events_streamed",
+    "langid_confusion",
+    "ngram_containment_pairs",
+    "ngram_dup_pairs",
+    "orders_revenue_concentration",
+    "part_copurchase_lift",
+    "part_pagerank",
+    "part_triangles",
+    "q21_waiting_suppliers",
+    "session_window_agg",
+    "sessionize",
+    "temperature_sample_documents",
+    "theta_anotb_segment_users",
+    "theta_daily_merge_events",
+    "theta_intersect_segment_users",
+    "theta_segment_users",
+    "theta_union_segment_users",
+    "token_typo_pairs",
+    "view_purchase_attribution",
+    "vocab_coverage",
+    # -- fill: last driver row r5, oldest-first alphabetical --
+    "ann_gemm_topk",
+    "ann_lsh_topk",
+    "ann_recall_report",
+    "ann_recall_report_trained",
+    "ann_topk",
+    "bpe_encode_documents",
+    "bpe_merges",
+    "bq_ann_topk",
+    "centroid_auc_report",
+    "clean_documents",
+    "dedup_components",
+    "dedup_incremental",
+    "dedup_segments",
+    "docs_ccnet_buckets",
+    "docs_contamination_bloom",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
