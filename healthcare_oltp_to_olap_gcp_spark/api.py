@@ -708,6 +708,16 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly_streamed": lambda s, d: _streaming_pipeline().events_hourly_streamed(
         s, d
     ),
+    # -- round 9: fixed workload, chunk-level MaxP retrieval, retrain --
+    "bm25_workload_topk": lambda s, d: retrieval.bm25_workload_topk(
+        table(s, d, "documents")
+    ),
+    "bm25_chunk_maxp_topk": lambda s, d: retrieval.bm25_chunk_maxp_topk(
+        table(s, d, "documents")
+    ),
+    "ann_index_retrain": lambda s, d: similarity.ann_index_retrain(
+        table(s, d, "embeddings")
+    ),
 }
 
 
@@ -734,6 +744,10 @@ def _streaming_pipeline():
 # never been driver-checked or has gone >= 6 rounds without a fresh
 # row while outside the current window.
 _PRIORITY = [
+    # -- new in round 9 --
+    "bm25_workload_topk",
+    "bm25_chunk_maxp_topk",
+    "ann_index_retrain",
     # -- mandatory: last driver row r4 (age 6 once r9's row lands) --
     "clean_documents_keep_best",
     "cms_token_counts",
@@ -783,9 +797,6 @@ _PRIORITY = [
     "clean_documents",
     "dedup_components",
     "dedup_incremental",
-    "dedup_segments",
-    "docs_ccnet_buckets",
-    "docs_contamination_bloom",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -3498,7 +3498,17 @@ _BM25_DF_CAPPED = """(
 )"""
 
 
-def _bm25_oracle(df_cte: str, k: int = _BM_K_) -> str:
+def _bm25_oracle(df_cte: str, k: int = _BM_K_, workload: int | None = None) -> str:
+    # ``workload``: restrict the query side to the N smallest
+    # query-slice doc ids (bm25_workload_topk's fixed deployment
+    # workload); None keeps the default corpus-slice query set.
+    wl = (
+        f" AND doc_id IN (SELECT doc_id FROM ("
+        f"SELECT DISTINCT doc_id FROM tf WHERE doc_id % {_BM_QM_} = 0"
+        f" ORDER BY doc_id LIMIT {workload}))"
+        if workload is not None
+        else ""
+    )
     return f"""
 WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
 tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
@@ -3508,7 +3518,7 @@ df AS {df_cte},
 stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
                  (SELECT COUNT(*) FROM tok) AS total_tokens),
 qt AS (SELECT doc_id AS query_id, term FROM tf
-       WHERE doc_id % {_BM_QM_} = 0),
+       WHERE doc_id % {_BM_QM_} = 0{wl}),
 contrib AS (
   SELECT qt.query_id, tf.doc_id,
     CAST(ROUND(
@@ -4926,13 +4936,17 @@ FROM d
 # IVF index-balance dashboard
 # (operators/similarity.ann_index_balance_report): the same centroid
 # draw + argmax assignment CTEs as the IVF oracle, reduced to integer
-# cell sizes and two exact ratios.
+# cell sizes and two exact ratios. n_cells / the imbalance formula use
+# the ACTUAL drawn centroid count (ADVICE r8: the LIMIT-bounded draw
+# yields < 16 cells on a corpus smaller than C) — identical output to
+# the literal-16 form whenever the corpus has >= 16 vectors.
 ORACLE_SQL["ann_index_balance_report"] = f"""
 WITH {_NORM_CTE},
 cent AS (
   SELECT vec_id AS cent_id, nv AS centroid
   FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
 ),
+cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM cent),
 assign0 AS (
   SELECT e.vec_id, cent.cent_id,
          ROUND(list_dot_product(e.nv, cent.centroid), 6) AS cdot
@@ -4948,19 +4962,20 @@ assigned AS (
 sizes AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS sz
           FROM assigned GROUP BY 1)
 SELECT CAST(SUM(sz) AS BIGINT) AS n_vectors,
-  CAST(16 AS BIGINT) AS n_cells,
+  cc.c AS n_cells,
   CAST(COUNT(*) AS BIGINT) AS n_nonempty_cells,
   MIN(sz) AS min_cell,
   MAX(sz) AS max_cell,
   ROUND(CAST(MAX(sz) AS DOUBLE) / CAST(SUM(sz) AS DOUBLE), 6)
     AS top_cell_share,
-  ROUND(16 * CAST(SUM(sz * sz) AS DOUBLE)
+  ROUND(cc.c * CAST(SUM(sz * sz) AS DOUBLE)
         / (CAST(SUM(sz) AS DOUBLE) * CAST(SUM(sz) AS DOUBLE)), 6)
     AS imbalance_factor,
-  ROUND(16 * CAST(SUM(sz * sz) AS DOUBLE)
+  ROUND(cc.c * CAST(SUM(sz * sz) AS DOUBLE)
         / (CAST(SUM(sz) AS DOUBLE) * CAST(SUM(sz) AS DOUBLE)), 6) > 1.5
     AS needs_retrain
-FROM sizes
+FROM sizes, cc
+GROUP BY cc.c
 """
 
 
@@ -5070,4 +5085,182 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS total_events,
   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
     AS total_value
 FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 9 additions
+# ---------------------------------------------------------------------------
+
+# Fixed-workload BM25 (operators/retrieval.bm25_workload_topk):
+# bm25_topk's probe with the query side restricted to the 20 smallest
+# query-slice doc ids — the deployment workload whose size does not
+# grow with the corpus (VERDICT r8 item 3).
+from .operators.retrieval import WORKLOAD_Q as _WL_Q_  # noqa: E402
+
+ORACLE_SQL["bm25_workload_topk"] = _bm25_oracle(
+    "(SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)",
+    workload=_WL_Q_,
+)
+
+# Chunk-level BM25 with max-passage document scoring
+# (operators/retrieval.bm25_chunk_maxp_topk): chunking mirrored via
+# list_slice over the same whitespace tokens (chunk tokens ARE the
+# sliced elements — tokens are whitespace-free and lowercase, so
+# Spark's re-tokenize of the joined chunk text is the identity);
+# chunk-level tf/df/length/avgdl feed the shared Okapi arithmetic,
+# MaxP = (score DESC, chunk_idx) argmax per (query, doc).
+from .operators.textquality import (  # noqa: E402
+    CHUNK_OVERLAP as _CHK_OV_,
+    CHUNK_TOKENS as _CHK_T_,
+)
+
+_CHK_STRIDE_ = _CHK_T_ - _CHK_OV_
+
+ORACLE_SQL["bm25_chunk_maxp_topk"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+chunks AS (
+  SELECT doc_id, CAST(i / {_CHK_STRIDE_} AS BIGINT) AS chunk_idx,
+         list_slice(t, i + 1, i + {_CHK_T_}) AS ct
+  FROM base, LATERAL unnest(range(0, n, {_CHK_STRIDE_})) AS u(i)
+),
+ctok AS (SELECT doc_id, chunk_idx, unnest(ct) AS term FROM chunks),
+tf AS (SELECT doc_id, chunk_idx, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM ctok GROUP BY 1, 2, 3),
+dl AS (SELECT doc_id, chunk_idx, CAST(SUM(tf) AS BIGINT) AS dl
+       FROM tf GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+stats AS (SELECT (SELECT COUNT(*) FROM chunks) AS n_docs,
+                 (SELECT COUNT(*) FROM ctok) AS total_tokens),
+qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tf
+       WHERE doc_id % {_BM_QM_} = 0),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id, tf.chunk_idx,
+    CAST(ROUND(
+      ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+      * ((tf.tf * {_BM_K1_ + 1.0}) /
+         (tf.tf + {_BM_K1_} * ({1.0 - _BM_B_} + {_BM_B_} *
+           (dl.dl / (CAST(stats.total_tokens AS DOUBLE) / stats.n_docs))))),
+      6) AS DECIMAL(18,6)) AS c
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id, chunk_idx)
+  JOIN qt USING (term), stats
+  WHERE tf.doc_id <> qt.query_id
+),
+cs AS (SELECT query_id, doc_id, chunk_idx, SUM(c) AS s
+       FROM contrib GROUP BY 1, 2, 3),
+best AS (
+  SELECT query_id, doc_id, chunk_idx AS best_chunk_idx, s FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id, doc_id ORDER BY s DESC, chunk_idx) AS rn
+    FROM cs
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY s DESC, doc_id) AS rn
+  FROM best
+)
+SELECT query_id, doc_id, CAST(best_chunk_idx AS BIGINT) AS best_chunk_idx,
+  CAST(s AS DOUBLE) AS score, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {_BM_K_}
+"""
+
+
+# IVF index retrain (operators/similarity.ann_index_retrain): the
+# action paired with ann_index_balance_report — stale (established-
+# slice-drawn, the ann_index_incremental fixed-centroid index) vs
+# retrained (full-corpus-drawn) centroids, each with the balance
+# metrics over the WHOLE current corpus and recall@k of the probed
+# IVF top-k vs the exact brute truth. Same centroid-draw / argmax /
+# probe / rerank CTEs as the IVF oracle, twice with different draw
+# sources.
+def _retrain_state_ctes(tag: str, cent_where: str) -> str:
+    return f"""
+cent_{tag} AS (
+  SELECT vec_id AS cent_id, nv AS centroid
+  FROM e {cent_where}
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+cc_{tag} AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM cent_{tag}),
+a0_{tag} AS (
+  SELECT e.vec_id AS neighbor_id, e.nv AS cv, cent_{tag}.cent_id,
+         ROUND(list_dot_product(e.nv, cent_{tag}.centroid), 6) AS cdot
+  FROM e CROSS JOIN cent_{tag}
+),
+asg_{tag} AS (
+  SELECT neighbor_id, cv, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY neighbor_id ORDER BY cdot DESC, cent_id) AS rn
+    FROM a0_{tag}
+  ) WHERE rn = 1
+),
+sizes_{tag} AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS sz
+                FROM asg_{tag} GROUP BY 1),
+bal_{tag} AS (
+  SELECT CAST(SUM(sz) AS BIGINT) AS n_vectors,
+    (SELECT c FROM cc_{tag}) AS n_cells,
+    CAST(COUNT(*) AS BIGINT) AS n_nonempty_cells,
+    MIN(sz) AS min_cell,
+    MAX(sz) AS max_cell,
+    ROUND(CAST(MAX(sz) AS DOUBLE) / CAST(SUM(sz) AS DOUBLE), 6)
+      AS top_cell_share,
+    ROUND((SELECT c FROM cc_{tag}) * CAST(SUM(sz * sz) AS DOUBLE)
+          / (CAST(SUM(sz) AS DOUBLE) * CAST(SUM(sz) AS DOUBLE)), 6)
+      AS imbalance_factor
+  FROM sizes_{tag}
+),
+q0_{tag} AS (
+  SELECT q.vec_id AS query_id, q.nv AS qv, cent_{tag}.cent_id,
+         ROUND(list_dot_product(q.nv, cent_{tag}.centroid), 6) AS qdot
+  FROM e q CROSS JOIN cent_{tag} WHERE q.vec_id % 50 = 0
+),
+probed_{tag} AS (
+  SELECT query_id, qv, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY qdot DESC, cent_id) AS rn
+    FROM q0_{tag}
+  ) WHERE rn <= 4
+),
+s_{tag} AS (
+  SELECT p.query_id, a.neighbor_id,
+         ROUND(list_dot_product(p.qv, a.cv), 6) AS sim
+  FROM asg_{tag} a JOIN probed_{tag} p USING (cell)
+  WHERE a.neighbor_id <> p.query_id
+),
+topk_{tag} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+    FROM s_{tag}
+  ) WHERE rn <= 10
+),
+hit_{tag} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+              FROM topk_{tag} JOIN brute USING (query_id, neighbor_id))
+"""
+
+
+def _retrain_state_row(state: str, tag: str) -> str:
+    return f"""
+SELECT '{state}' AS index_state,
+  bal_{tag}.n_vectors, bal_{tag}.n_cells, bal_{tag}.n_nonempty_cells,
+  bal_{tag}.min_cell, bal_{tag}.max_cell, bal_{tag}.top_cell_share,
+  bal_{tag}.imbalance_factor, hit_{tag}.n_hit, tot.n_total,
+  CASE WHEN tot.n_total > 0
+       THEN ROUND(hit_{tag}.n_hit / CAST(tot.n_total AS DOUBLE), 6)
+  END AS recall
+FROM bal_{tag}, hit_{tag}, tot"""
+
+
+ORACLE_SQL["ann_index_retrain"] = f"""
+WITH {_NORM_CTE},
+brute AS (SELECT query_id, neighbor_id FROM ({ORACLE_SQL["ann_topk"]})),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM brute),
+{_retrain_state_ctes("st", "WHERE vec_id % 3 <> 0")},
+{_retrain_state_ctes("rt", "")}
+{_retrain_state_row("stale", "st")}
+UNION ALL
+{_retrain_state_row("retrained", "rt")}
 """

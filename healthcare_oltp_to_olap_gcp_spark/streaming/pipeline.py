@@ -152,6 +152,62 @@ def session_agg_stream(
     )
 
 
+def _stage_stream_src(
+    spark: SparkSession,
+    frame: DataFrame,
+    prefix: str,
+    sentinel: DataFrame | None = None,
+) -> str:
+    """Stage a batch frame as a multi-file stream source (7 part files
+    → several availableNow micro-batches under maxFilesPerTrigger=4),
+    optionally appending a watermark-sentinel file whose processing
+    order is ENFORCED, not assumed (ADVICE r8): FileStreamSource
+    batches files in modification-time order, and if the sentinel ever
+    sorted into an EARLIER micro-batch than a real-event file, the
+    watermark would advance past those real rows and silently drop
+    them as late (worst for the left-outer interval join, which would
+    also emit wrong unmatched views). Same-millisecond writes make
+    that ordering a race on a fast local FS — so after appending the
+    sentinel this helper explicitly sets the new file's mtime to
+    max(real-file mtimes) + 2 s via the Hadoop FS API, making the
+    sentinel provably the last file of the drain."""
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix=prefix) + "/src"
+    frame.write.mode("overwrite").parquet(src)
+    if sentinel is not None:
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(src)
+        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+
+        def _parts():
+            return {
+                st.getPath().getName(): st
+                for st in fs.listStatus(hpath)
+                if st.getPath().getName().startswith("part-")
+            }
+
+        before = _parts()
+        latest = max(st.getModificationTime() for st in before.values())
+        sentinel.coalesce(1).write.mode("append").parquet(src)
+        for name, st in _parts().items():
+            if name not in before:
+                fs.setTimes(st.getPath(), latest + 2_000, -1)
+    return src
+
+
+def _drop_staging(src: str) -> None:
+    """Remove a drained staging tree (the mkdtemp base holding ``src``).
+    Safe once the drain's awaitTermination returned: every streamed
+    registry query drains into a MEMORY sink, whose rows live in the
+    driver — without this, repeated driver/bench sweeps at sf1
+    accumulate gigabytes of orphaned event copies (ADVICE r8)."""
+    import os
+    import shutil
+
+    shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+
+
 def run_available_now_append(df: DataFrame, query_name: str) -> DataFrame:
     """Drain to a memory sink in append mode (stream-stream joins and
     watermark-finalized aggregations emit append-only)."""
@@ -348,6 +404,9 @@ def fact_events_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = incremental_fact_sink(stream, store)
     q.awaitTermination()
+    # the returned frame lazily READS the store snapshot — only the
+    # consumed src staging is removable here (ADVICE r8 cleanup)
+    shutil.rmtree(src, ignore_errors=True)
     return read_fact_store(spark, store)
 
 
@@ -506,8 +565,6 @@ def ann_index_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic argmax is order- and batch-boundary-independent, so
     the same DuckDB oracle value-hashes a result that was computed
     through availableNow micro-batches."""
-    import tempfile
-
     from ..catalog import table
     from ..operators.similarity import ANN_INCR_MOD, _corpus, _ivf_index
 
@@ -524,10 +581,10 @@ def ann_index_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "vec_id long, cell long, cent_sim double, is_new boolean"
         )
-    src = tempfile.mkdtemp(prefix="hc_stream_emb_") + "/src"
-    emb.repartition(7).write.mode("overwrite").parquet(src)
+    src = _stage_stream_src(spark, emb.repartition(7), "hc_stream_emb_")
     assigned = index_assign_stream(read_embeddings_stream(spark, src), cent)
     out = run_available_now_append(assigned, "ann_index_streamed")
+    _drop_staging(src)
     return out.select(
         "vec_id",
         "cell",
@@ -606,8 +663,6 @@ def events_drift_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     PSI terms reuse the batch operator's exact arithmetic (Laplace
     +0.5 smoothing, 10-dp rounding, DECIMAL sum, 6-dp final), so the
     DuckDB oracle mirrors the whole chain."""
-    import tempfile
-
     from ..catalog import table
     from ..plans.analytics import DRIFT_BINS
 
@@ -625,19 +680,20 @@ def events_drift_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("vmin"), F.max("value").alias("vmax")
     )
     # stage the current half as files + the watermark sentinel
-    src = tempfile.mkdtemp(prefix="hc_stream_drift_") + "/src"
     cur = ev.filter(F.col("us") > mid).select(*EVENTS_SCHEMA.fieldNames())
-    cur.repartition(7).write.mode("overwrite").parquet(src)
     sentinel = spark.createDataFrame(
         [(-1, None, -1, "zz_watermark_sentinel", 0.0, "{}")], EVENTS_SCHEMA
     ).withColumn(
         "ts", F.timestamp_micros(F.lit(b.mx + 30 * 24 * 3600 * 1_000_000))
     )
-    sentinel.coalesce(1).write.mode("append").parquet(src)
+    src = _stage_stream_src(
+        spark, cur.repartition(7), "hc_stream_drift_", sentinel
+    )
     counts = run_available_now_append(
         drift_bin_counts_stream(read_events_stream(spark, src), edges),
         "events_drift_streamed_counts",
     )
+    _drop_staging(src)
     # batch scoring of the drained histogram series vs the reference.
     # Grid completion starts from the REFERENCE side (independent
     # lineage) crossed with the per-window totals, whose aggregate
@@ -728,8 +784,6 @@ def sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``session_window_agg``'s DuckDB oracle verbatim — the registry's
     third stateful streaming shape (windowed agg: events_drift_streamed;
     MERGE sink: fact_events_streamed; session windows: this)."""
-    import tempfile
-
     from ..catalog import table
 
     events = table(spark, sf_dir, "events")
@@ -740,8 +794,6 @@ def sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id long, session_start timestamp, session_end timestamp,"
             " n_events long, session_value double",
         )
-    src = tempfile.mkdtemp(prefix="hc_stream_sess_") + "/src"
-    events.repartition(7).write.mode("overwrite").parquet(src)
     sentinel = spark.createDataFrame(
         [(-1, None, -1, "zz_watermark_sentinel", 0.0, "{}")], EVENTS_SCHEMA
     ).withColumn(
@@ -750,11 +802,14 @@ def sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.lit(b.mx)) + F.lit(30 * 24 * 3600 * 1_000_000)
         ),
     )
-    sentinel.coalesce(1).write.mode("append").parquet(src)
+    src = _stage_stream_src(
+        spark, events.repartition(7), "hc_stream_sess_", sentinel
+    )
     out = run_available_now_append(
         session_agg_stream(read_events_stream(spark, src)),
         "sessions_streamed_sink",
     )
+    _drop_staging(src)
     return out.filter(F.col("user_id") >= 0)
 
 
@@ -768,17 +823,15 @@ def user_totals_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     order- and batch-boundary-independent, it equals the batch
     aggregate exactly: full value-hash oracle over a path that
     previously had only tolerance-based test coverage."""
-    import tempfile
-
     from ..catalog import table
 
     events = table(spark, sf_dir, "events")
-    src = tempfile.mkdtemp(prefix="hc_stream_totals_") + "/src"
-    events.repartition(7).write.mode("overwrite").parquet(src)
+    src = _stage_stream_src(spark, events.repartition(7), "hc_stream_totals_")
     out = run_available_now_update(
         running_user_totals(read_events_stream(spark, src)),
         "user_totals_streamed_sink",
     )
+    _drop_staging(src)
     return out.groupBy("user_id").agg(
         F.max("total_events").cast("long").alias("total_events"),
         F.max("total_value").alias("total_value"),
@@ -798,8 +851,6 @@ def events_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-decimal value sum are deterministic, so the drain equals the
     batch ``events_hourly`` and SHARES its DuckDB oracle verbatim (the
     sessions_streamed convention)."""
-    import tempfile
-
     from ..catalog import table
 
     events = table(spark, sf_dir, "events")
@@ -810,10 +861,6 @@ def events_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hour timestamp, event_type string, n_events long,"
             " sum_value double",
         )
-    src = tempfile.mkdtemp(prefix="hc_stream_hourly_") + "/src"
-    events.select(*EVENTS_SCHEMA.fieldNames()).repartition(7).write.mode(
-        "overwrite"
-    ).parquet(src)
     sentinel = spark.createDataFrame(
         [(-1, None, -1, "zz_watermark_sentinel", 0.0, "{}")], EVENTS_SCHEMA
     ).withColumn(
@@ -822,11 +869,17 @@ def events_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.lit(b.mx)) + F.lit(30 * 24 * 3600 * 1_000_000)
         ),
     )
-    sentinel.coalesce(1).write.mode("append").parquet(src)
+    src = _stage_stream_src(
+        spark,
+        events.select(*EVENTS_SCHEMA.fieldNames()).repartition(7),
+        "hc_stream_hourly_",
+        sentinel,
+    )
     out = run_available_now_append(
         hourly_agg_stream(read_events_stream(spark, src)),
         "events_hourly_streamed_sink",
     )
+    _drop_staging(src)
     return out.filter(F.col("event_type") != "zz_watermark_sentinel")
 
 
@@ -847,8 +900,6 @@ def view_purchase_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     join row-for-row and the query carries a full value-hash oracle
     (timestamps and ids are exact; purchase_value is a pass-through
     column, never arithmetic)."""
-    import tempfile
-
     from ..catalog import table
 
     events = table(spark, sf_dir, "events")
@@ -860,10 +911,6 @@ def view_purchase_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             " view_ts timestamp, purchase_ts timestamp,"
             " purchase_value double",
         )
-    src = tempfile.mkdtemp(prefix="hc_stream_vp_") + "/src"
-    events.select(*EVENTS_SCHEMA.fieldNames()).repartition(7).write.mode(
-        "overwrite"
-    ).parquet(src)
     far = F.timestamp_micros(
         F.unix_micros(F.lit(b.mx)) + F.lit(30 * 24 * 3600 * 1_000_000)
     )
@@ -874,11 +921,17 @@ def view_purchase_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         EVENTS_SCHEMA,
     ).withColumn("ts", far)
-    sentinels.coalesce(1).write.mode("append").parquet(src)
+    src = _stage_stream_src(
+        spark,
+        events.select(*EVENTS_SCHEMA.fieldNames()).repartition(7),
+        "hc_stream_vp_",
+        sentinels,
+    )
     out = run_available_now_append(
         view_purchase_join_stream(read_events_stream(spark, src)),
         "view_purchase_streamed_sink",
     )
+    _drop_staging(src)
     return out.filter(F.col("user_id") >= 0)
 
 
@@ -901,8 +954,6 @@ def views_without_purchase_streamed(spark: SparkSession, sf_dir: str) -> DataFra
     row-for-row. The view-side sentinel itself is never emitted (the
     watermark never passes its own eviction bound) and is filtered
     defensively anyway. All-exact columns ⇒ full value-hash oracle."""
-    import tempfile
-
     from ..catalog import table
 
     events = table(spark, sf_dir, "events")
@@ -911,10 +962,6 @@ def views_without_purchase_streamed(spark: SparkSession, sf_dir: str) -> DataFra
         return spark.createDataFrame(
             [], "user_id long, view_id long, view_ts timestamp"
         )
-    src = tempfile.mkdtemp(prefix="hc_stream_vnp_") + "/src"
-    events.select(*EVENTS_SCHEMA.fieldNames()).repartition(7).write.mode(
-        "overwrite"
-    ).parquet(src)
     far = F.timestamp_micros(
         F.unix_micros(F.lit(b.mx)) + F.lit(30 * 24 * 3600 * 1_000_000)
     )
@@ -925,13 +972,19 @@ def views_without_purchase_streamed(spark: SparkSession, sf_dir: str) -> DataFra
         ],
         EVENTS_SCHEMA,
     ).withColumn("ts", far)
-    sentinels.coalesce(1).write.mode("append").parquet(src)
+    src = _stage_stream_src(
+        spark,
+        events.select(*EVENTS_SCHEMA.fieldNames()).repartition(7),
+        "hc_stream_vnp_",
+        sentinels,
+    )
     out = run_available_now_append(
         view_purchase_join_stream(
             read_events_stream(spark, src), join_type="left_outer"
         ),
         "views_without_purchase_streamed_sink",
     )
+    _drop_staging(src)
     return out.filter(
         F.col("purchase_id").isNull() & (F.col("user_id") >= 0)
     ).select("user_id", "view_id", "view_ts")

@@ -1614,3 +1614,122 @@ def test_grouped_split_eliminates_leakage_and_matches_singletons(spark):
         if r.group_key == r.doc_id:
             assert r.split == plain[r.doc_id]
     assert all(len(s) == 1 for s in comp_split.values())
+
+
+# ---------------------------------------------------------------------------
+# Round 9: fixed-workload BM25 + chunk-level MaxP retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_workload_is_bm25_restricted_to_the_fixed_query_set(spark):
+    """The fixed-workload form must be EXACTLY bm25_topk's result
+    restricted to the WORKLOAD_Q smallest query-slice doc ids — the
+    workload cut narrows the query side, never the scoring. On a
+    corpus with more query docs than the workload size the cut is
+    real; every query in the output is one of the 20 smallest."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import retrieval
+
+    # 30 query-slice docs (ids 0, 50, ..., 1450) + off-slice filler
+    texts = {}
+    for i in range(30):
+        texts[i * 50] = f"alpha beta w{i % 7} w{(i + 3) % 7}"
+    for i in range(40):
+        texts[i * 50 + 1] = f"alpha w{i % 7} z{i % 11} z{(i + 5) % 11}"
+    docs = spark.createDataFrame(
+        [(d, t, "en", "src", len(t)) for d, t in sorted(texts.items())],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = retrieval.bm25_workload_topk(docs).collect()
+    expected_qs = {i * 50 for i in range(retrieval.WORKLOAD_Q)}
+    assert {r.query_id for r in out} == expected_qs
+    full = [
+        tuple(r)
+        for r in retrieval.bm25_topk(docs).collect()
+        if r.query_id in expected_qs
+    ]
+    assert sorted(tuple(r) for r in out) == sorted(full)
+
+
+def test_bm25_workload_covers_the_whole_slice_when_small(spark):
+    """When the query slice is no larger than the workload size
+    (sf0.001 has 10 query docs < WORKLOAD_Q=20) the fixed workload IS
+    the slice, so the result equals plain bm25_topk verbatim."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import retrieval
+
+    docs = table(spark, SF001, "documents")
+    wl = sorted(tuple(r) for r in retrieval.bm25_workload_topk(docs).collect())
+    full = sorted(tuple(r) for r in retrieval.bm25_topk(docs).collect())
+    assert wl == full and wl
+
+
+def test_chunk_maxp_finds_the_drowned_passage(spark):
+    """The hand case VERDICT r8 item 4 names: a long document whose
+    one relevant chunk is drowned by whole-document length
+    normalization. Query 0 carries five needle terms; doc 1 is a
+    400-token decoy containing the full needle once; docs 2-6 are
+    3-token decoys with one needle term each. Whole-doc BM25 ranks a
+    short decoy first (its length normalization rewards dl=3); chunk
+    MaxP scores the needle CHUNK (all five terms at chunk-scale
+    normalization) and puts doc 1 first, reporting the passage
+    index — the chunk covering positions 96-223, the first of the two
+    overlapping windows that contain the full needle (tie on score →
+    min chunk_idx)."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import retrieval
+
+    needle = "needle alpha beta gamma delta"
+    long_doc = (
+        " ".join(f"j{i}" for i in range(200))
+        + f" {needle} "
+        + " ".join(f"k{i}" for i in range(200))
+    )
+    decoys = [
+        f"{term} z{i}a z{i}b"
+        for i, term in enumerate(["needle", "alpha", "beta", "gamma", "delta"])
+    ]
+    docs = _docs(spark, [needle, long_doc, *decoys])
+    whole = retrieval.bm25_topk(docs, k=1).collect()
+    assert len(whole) == 1 and whole[0].doc_id != 1  # drowned
+    maxp = retrieval.bm25_chunk_maxp_topk(docs, k=1).collect()
+    assert len(maxp) == 1
+    assert maxp[0].doc_id == 1
+    assert maxp[0].best_chunk_idx == 1
+
+
+def test_chunk_maxp_degenerates_to_bm25_on_single_chunk_docs(spark):
+    """When every document fits in one chunk the chunk index IS the
+    document index (chunk tf/df/length/avgdl all coincide with the
+    doc-level statistics), so MaxP must equal bm25_topk row-for-row
+    with best_chunk_idx 0 — pins that the chunk machinery adds no
+    arithmetic drift."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import retrieval
+
+    texts = [f"alpha w{i % 5} w{(i + 2) % 5} beta" for i in range(60)]
+    docs = _docs(spark, texts)
+    maxp = retrieval.bm25_chunk_maxp_topk(docs).collect()
+    assert maxp and all(r.best_chunk_idx == 0 for r in maxp)
+    got = sorted((r.query_id, r.doc_id, r.score, r.rank) for r in maxp)
+    want = sorted(tuple(r) for r in retrieval.bm25_topk(docs).collect())
+    assert got == want
+
+
+def test_chunk_maxp_ranking_invariants_on_corpus(spark):
+    """Corpus sanity: contiguous ranks, descending scores, and every
+    best_chunk_idx within the winning document's actual chunk count."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import retrieval
+    from healthcare_oltp_to_olap_gcp_spark.operators import textquality
+
+    docs = table(spark, SF001, "documents")
+    out = retrieval.bm25_chunk_maxp_topk(docs).collect()
+    n_chunks = {
+        (r.doc_id, r.chunk_idx)
+        for r in textquality.chunk_documents(docs).collect()
+    }
+    per_q: dict[int, list] = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+        assert (r.doc_id, r.best_chunk_idx) in n_chunks
+    for rows in per_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)

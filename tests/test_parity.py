@@ -171,6 +171,16 @@ SF01_KEYS = [
     "embedding_drift_report",
     "ann_index_balance_report",
     "split_assignments_grouped",
+    # ADVICE r8: events_hourly_streamed was registered in r8 but only
+    # its two interval-join siblings entered this list — keep all three
+    # streamed drains standing at the driver's own SF
+    "events_hourly_streamed",
+    # round-9 additions: the fixed-workload cut, chunk-level MaxP
+    # ranking and the stale/retrained recall comparison are all
+    # data-dependent — pre-verify at the driver's own SF
+    "bm25_workload_topk",
+    "bm25_chunk_maxp_topk",
+    "ann_index_retrain",
 ]
 
 

@@ -99,6 +99,18 @@ def main() -> int:
             flush=True,
         )
     pred = predicted_ratios()
+    # Flag-rule denominator fix (VERDICT r8 item 6): the old ratio
+    # t_sf1 / t_sf01 used the composed session's SINGLE cold 1x run as
+    # denominator — its JIT/session variance flagged rows whose sf1
+    # cost was exactly as predicted (2 of 23 in r8, both adjudicated
+    # as denominator noise). The flag basis is now the STEADY-STATE
+    # budget (tools/bench_budgets.json, min-of-runs with provenance)
+    # wherever one exists; the live 1x time is still recorded as
+    # ratio_live for transparency, and stays the denominator only for
+    # the unregistered @grownC deploy variants (no budget row).
+    budgets = json.load(
+        open(os.path.join(REPO, "tools", "bench_budgets.json"))
+    )["queries"]
     spark = get_spark("bench-sf1")
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[str, dict] = {}
@@ -131,7 +143,9 @@ def main() -> int:
             run_nx().write.format("noop").mode("overwrite").save()
             t10 = round(time.perf_counter() - t0, 3)
             spark.catalog.clearCache()
-            ratio = round(t10 / t1, 2)
+            ratio_live = round(t10 / t1, 2)
+            denom = budgets.get(name, t1)
+            ratio = round(t10 / denom, 2)
             p = pred.get(name)
             flagged = p is not None and ratio > 2 * p
             if flagged:
@@ -139,7 +153,9 @@ def main() -> int:
             results[name] = {
                 "t_sf01": t1,
                 "t_sf1": t10,
+                "denominator": denom,
                 "ratio": ratio,
+                "ratio_live": ratio_live,
                 "predicted": p,
                 "flagged": flagged,
             }
@@ -148,7 +164,13 @@ def main() -> int:
         "sf": 1.0,
         "amplified_from": f"{SF_DIR} x{FACTOR} id-shifted (scale_probe.amplify)",
         "run": "single composed pass, one session",
-        "flag_rule": "measured ratio > 2 x SCALING.md predicted ratio",
+        "flag_rule": (
+            "t_sf1 / steady-state budget (fallback: composed-session 1x "
+            "time for @grownC variants) > 2 x SCALING.md predicted ratio "
+            "— budget denominator pins the 1x baseline so composed-"
+            "session JIT variance stops flagging on-prediction rows "
+            "(VERDICT r8 item 6)"
+        ),
         "total_sf1_sec": round(sum(r["t_sf1"] for r in results.values()), 1),
         "queries": results,
         "flagged": flags,

@@ -151,6 +151,16 @@ PROBES = {
     "ann_index_balance_report": {"embeddings": ["vec_id"]},
     "split_assignments_grouped": {"documents": ["doc_id"]},
     "events_hourly_streamed": {"events": ["event_id", "user_id"]},
+    # round-9 additions. bm25_workload_topk is THE fixed-|Q| probe
+    # (VERDICT r8 item 3): the id-shifted amplification keeps copy-0's
+    # doc ids the smallest, so the 20-query workload is IDENTICAL at 1x
+    # and Nx while the corpus (and every posting list) grows Nx — an
+    # observed ~Nx ratio is the direct measurement of "per-query cost
+    # bounded by the query terms' posting lists" that the corpus-slice
+    # workloads can only argue.
+    "bm25_workload_topk": {"documents": ["doc_id"]},
+    "bm25_chunk_maxp_topk": {"documents": ["doc_id"]},
+    "ann_index_retrain": {"embeddings": ["vec_id"]},
 }
 
 # Grown-C probe variants (VERDICT r5 item 1, r6 item 1). The
