@@ -718,6 +718,9 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_index_retrain": lambda s, d: similarity.ann_index_retrain(
         table(s, d, "embeddings")
     ),
+    "ivf_flat_workload_topk": lambda s, d: similarity.ivf_flat_workload_topk(
+        table(s, d, "embeddings")
+    ),
 }
 
 
@@ -748,6 +751,7 @@ _PRIORITY = [
     "bm25_workload_topk",
     "bm25_chunk_maxp_topk",
     "ann_index_retrain",
+    "ivf_flat_workload_topk",
     # -- mandatory: last driver row r4 (age 6 once r9's row lands) --
     "clean_documents_keep_best",
     "cms_token_counts",
@@ -796,7 +800,6 @@ _PRIORITY = [
     "centroid_auc_report",
     "clean_documents",
     "dedup_components",
-    "dedup_incremental",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

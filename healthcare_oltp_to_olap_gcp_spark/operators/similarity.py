@@ -473,6 +473,38 @@ def _ivf_flat_body(
     )
 
 
+ANN_WORKLOAD_Q = 20  # fixed deployment-workload size (|Q| held constant)
+
+
+def ivf_flat_workload_topk(
+    embeddings: DataFrame,
+    k: int = DEFAULT_K,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_queries: int = ANN_WORKLOAD_Q,
+) -> DataFrame:
+    """Fixed-workload IVF-Flat ANN — the DENSE-side sibling of
+    ``bm25_workload_topk`` (VERDICT r8 item 3 covers both retrieval
+    stacks): the query set is pinned to the ``n_queries`` smallest
+    query-slice vec_ids instead of the whole corpus slice, so the 10x
+    probe holds |Q| fixed while the corpus grows — measuring the IVF
+    deployment claim (per-query work ≈ n_probe/C of the corpus, C ∝
+    √n) directly instead of through the |Q|-grows-with-corpus
+    amplification artifact every slice-workload ANN probe carries.
+    Same ``_ivf_flat_body`` plan as the oracle-checked seeded twin;
+    workload selection is one TakeOrdered over the (tiny) query-slice
+    frame. Separately value-hash-oracled (the cut changes the result
+    set, not the arithmetic)."""
+    corpus = _corpus(embeddings)
+    cent = (
+        corpus.orderBy(F.md5(F.col("neighbor_id").cast("string")), "neighbor_id")
+        .limit(n_centroids)
+        .select(F.col("neighbor_id").alias("cent_id"), F.col("cv").alias("centroid"))
+    )
+    qs = _queries(embeddings).orderBy("query_id").limit(n_queries)
+    return _ivf_flat_body(corpus, qs, cent, k, n_probe)
+
+
 IVF_FIT_SAMPLE = 4096
 IVF_FIT_ROUNDS = 10
 

@@ -834,7 +834,17 @@ ORACLE_SQL["simhash_dup_pairs"] = _simhash_oracle()
 # template per width.
 
 
-def _ivf_flat_sql(n_probe: int, k: int = 10) -> str:
+def _ivf_flat_sql(n_probe: int, k: int = 10, workload: int | None = None) -> str:
+    # ``workload``: restrict the query side to the N smallest
+    # query-slice vec_ids (ivf_flat_workload_topk's fixed deployment
+    # workload); None keeps the default corpus-slice query set.
+    wl = (
+        f" AND q.vec_id IN (SELECT vec_id FROM ("
+        f"SELECT vec_id FROM e WHERE vec_id % 50 = 0"
+        f" ORDER BY vec_id LIMIT {workload}))"
+        if workload is not None
+        else ""
+    )
     return f"""
 WITH {_NORM_CTE},
 cent AS (
@@ -855,7 +865,7 @@ assigned AS (
 q0 AS (
   SELECT q.vec_id AS query_id, q.nv AS qv, cent.cent_id,
          ROUND(list_dot_product(q.nv, cent.centroid), 6) AS qdot
-  FROM e q CROSS JOIN cent WHERE q.vec_id % 50 = 0
+  FROM e q CROSS JOIN cent WHERE q.vec_id % 50 = 0{wl}
 ),
 probed AS (
   SELECT query_id, qv, cent_id AS cell FROM (
@@ -5264,3 +5274,12 @@ tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM brute),
 UNION ALL
 {_retrain_state_row("retrained", "rt")}
 """
+
+
+# Fixed-workload IVF-Flat ANN (operators/similarity.
+# ivf_flat_workload_topk): the dense-side sibling of
+# bm25_workload_topk — the IVF oracle template with the query side
+# pinned to the 20 smallest query-slice vec_ids.
+from .operators.similarity import ANN_WORKLOAD_Q as _ANN_WL_Q_  # noqa: E402
+
+ORACLE_SQL["ivf_flat_workload_topk"] = _ivf_flat_sql(4, workload=_ANN_WL_Q_)

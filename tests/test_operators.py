@@ -1112,3 +1112,36 @@ def test_ann_index_retrain_corpus_sanity(spark):
         assert 0.0 <= r.recall <= 1.0
         assert r.min_cell >= 1 and r.max_cell <= r.n_vectors
         assert r.imbalance_factor >= 1.0  # Cauchy-Schwarz lower bound
+
+
+def test_ivf_flat_workload_is_ivf_restricted_to_the_fixed_query_set(spark):
+    """The dense fixed-workload form must be EXACTLY ivf_flat_ann_topk
+    restricted to the ANN_WORKLOAD_Q smallest query-slice vec_ids —
+    the workload cut narrows the probe side, never the index or the
+    ranking. sf0.001 has 10 query vectors < 20, so there the workload
+    IS the slice and the result equals the plain form verbatim; a
+    wider synthetic corpus exercises the real cut."""
+    emb = table(spark, SF001, "embeddings")
+    wl = sorted(tuple(r) for r in similarity.ivf_flat_workload_topk(emb).collect())
+    full = sorted(tuple(r) for r in similarity.ivf_flat_ann_topk(emb).collect())
+    assert wl == full and wl
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    wide = spark.createDataFrame(
+        [
+            (i, [float(x) for x in rng.randn(similarity.DIM)], 0)
+            for i in range(0, 1500)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    expected_qs = {i * 50 for i in range(similarity.ANN_WORKLOAD_Q)}
+    out = similarity.ivf_flat_workload_topk(wide).collect()
+    assert {r.query_id for r in out} == expected_qs
+    full_cut = [
+        tuple(r)
+        for r in similarity.ivf_flat_ann_topk(wide).collect()
+        if r.query_id in expected_qs
+    ]
+    assert sorted(tuple(r) for r in out) == sorted(full_cut)

@@ -181,6 +181,7 @@ SF01_KEYS = [
     "bm25_workload_topk",
     "bm25_chunk_maxp_topk",
     "ann_index_retrain",
+    "ivf_flat_workload_topk",
 ]
 
 
