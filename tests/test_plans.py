@@ -357,6 +357,20 @@ _BNLJ_ALLOWED = {
     # r7 reviewed: one-row (n, norm_sum) corpus-stats cross onto the
     # d-row per-dimension frame — tfidf's count-cross shape
     "embedding_isotropy_report",
+    # r9 reviewed: inherits bm25_topk's one-row corpus-stats cross; the
+    # workload restriction is a broadcast semi-join on a 20-row frame
+    "bm25_workload_topk",
+    # r9 reviewed: one-row chunk-corpus-stats cross onto the scored
+    # chunk postings — bm25_topk's stats-cross shape at chunk grain
+    "bm25_chunk_maxp_topk",
+    # r9 reviewed: per-state one-row centroid-struct-array crosses
+    # (ivf_flat's shape), one-row drawn-centroid-count cross in the
+    # balance row, and one-row hit × total crosses (the recall-report
+    # dashboard shape)
+    "ann_index_retrain",
+    # r9 reviewed: inherits ivf_flat_ann_topk's one-row centroid-array
+    # cross; the workload cut is a 20-row TakeOrdered query frame
+    "ivf_flat_workload_topk",
 }
 # These run eager work (KMeans fit / query collect / stream drain) at
 # plan-build time; their plan shape is asserted in their own tests.
