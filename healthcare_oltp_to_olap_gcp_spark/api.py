@@ -721,6 +721,9 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_flat_workload_topk": lambda s, d: similarity.ivf_flat_workload_topk(
         table(s, d, "embeddings")
     ),
+    "bm25_index_stats_report": lambda s, d: retrieval.bm25_index_stats_report(
+        table(s, d, "documents")
+    ),
 }
 
 
@@ -752,6 +755,7 @@ _PRIORITY = [
     "bm25_chunk_maxp_topk",
     "ann_index_retrain",
     "ivf_flat_workload_topk",
+    "bm25_index_stats_report",
     # -- mandatory: last driver row r4 (age 6 once r9's row lands) --
     "clean_documents_keep_best",
     "cms_token_counts",
@@ -799,7 +803,6 @@ _PRIORITY = [
     "bq_ann_topk",
     "centroid_auc_report",
     "clean_documents",
-    "dedup_components",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -393,6 +393,85 @@ def bm25_chunk_maxp_topk(
     )
 
 
+def bm25_index_stats_report(docs: DataFrame) -> DataFrame:
+    """Lexical index-health dashboard (r9) — the BM25 sibling of
+    ``similarity.ann_index_balance_report``: one row of the inverted-
+    index shape quantities that decide when the posting-list cuts this
+    module ships (df-cap, WAND) pay for themselves. A crawl refresh
+    skews the vocabulary (boilerplate terms' posting lists grow
+    super-linearly on mirror-heavy crawls) exactly the way inserts
+    skew IVF cells — and probe cost tracks the LONGEST posting lists
+    the same way probe latency tracks the largest cell.
+
+    Columns: n_docs / vocab_size / n_postings / total_tokens / avgdl;
+    df_max + top_term_share (the worst list's reach — df_max/n_docs);
+    df_median — the exact ⌈V/2⌉-th-smallest df, WHICH IS the df-cap's
+    registered θ, so the report shows the operator's own knob; and
+    capped_postings_share — the exact fraction of posting rows the
+    df-cap twin drops (terms with df > θ), i.e. the probe work a
+    deployment saves by switching `bm25_topk` → `bm25_dfcap_topk`.
+
+    Scale shape: the postings build is the shared ``_bm25_frames``
+    tokenize + map-side-combined aggs (corpus-linear); everything
+    after runs on the vocab-sized df table; output is one row.
+    All-integer counts + three rounded ratios ⇒ full value-hash
+    oracle."""
+    tf, df, dl, stats, _qt = _bm25_frames(docs, False)
+    w_df = Window.orderBy("df", "term")
+    vc = df.agg(F.count("*").cast("long").alias("vocab_size"))
+    theta = (
+        df.withColumn("_rn", F.row_number().over(w_df))
+        .crossJoin(F.broadcast(vc))
+        .filter(F.col("_rn") * 2 <= F.col("vocab_size") + 1)
+        .agg(F.max("df").cast("long").alias("df_median"))
+    )
+    post = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(theta))
+        .agg(
+            F.count("*").cast("long").alias("n_postings"),
+            F.sum(
+                F.when(F.col("df") > F.col("df_median"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("_capped_postings"),
+        )
+    )
+    dfa = df.agg(F.max("df").cast("long").alias("df_max"))
+    return (
+        stats.crossJoin(F.broadcast(vc))
+        .crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(dfa))
+        .crossJoin(F.broadcast(post))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "vocab_size",
+            "n_postings",
+            "total_tokens",
+            F.when(
+                F.col("n_docs") > 0,
+                F.round(
+                    F.col("total_tokens") / F.col("n_docs").cast("double"), 6
+                ),
+            ).alias("avgdl"),
+            "df_median",
+            "df_max",
+            F.when(
+                F.col("n_docs") > 0,
+                F.round(F.col("df_max") / F.col("n_docs").cast("double"), 6),
+            ).alias("top_term_share"),
+            F.when(
+                F.col("n_postings") > 0,
+                F.round(
+                    F.col("_capped_postings")
+                    / F.col("n_postings").cast("double"),
+                    6,
+                ),
+            ).alias("capped_postings_share"),
+        )
+    )
+
+
 def _score_pairs(tf, df, dl, stats, qt, cand: DataFrame) -> DataFrame:
     """Exact BM25 scores for an explicit candidate (query_id, doc_id)
     pair set: restrict the postings to the candidate docs FIRST (join

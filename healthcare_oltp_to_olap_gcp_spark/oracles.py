@@ -5283,3 +5283,43 @@ UNION ALL
 from .operators.similarity import ANN_WORKLOAD_Q as _ANN_WL_Q_  # noqa: E402
 
 ORACLE_SQL["ivf_flat_workload_topk"] = _ivf_flat_sql(4, workload=_ANN_WL_Q_)
+
+
+# Lexical index-health dashboard (operators/retrieval.
+# bm25_index_stats_report): postings from the same whitespace tokens;
+# df_median = the exact ceil(V/2)-th-smallest df (the df-cap's theta
+# rank rule); capped_postings_share = fraction of posting rows in
+# terms above that median — all integers + three rounded ratios.
+ORACLE_SQL["bm25_index_stats_report"] = f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+vc AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size FROM df),
+th AS (
+  SELECT CAST(MAX(df) AS BIGINT) AS df_median FROM (
+    SELECT df, row_number() OVER (ORDER BY df, term) AS rn,
+           (SELECT vocab_size FROM vc) AS v
+    FROM df)
+  WHERE rn * 2 <= v + 1),
+dfa AS (SELECT CAST(MAX(df) AS BIGINT) AS df_max FROM df),
+post AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_postings,
+         CAST(SUM(CASE WHEN df.df > th.df_median THEN 1 ELSE 0 END)
+              AS BIGINT) AS capped_postings
+  FROM tf JOIN df USING (term), th),
+stats AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+                 CAST((SELECT COUNT(*) FROM tok) AS BIGINT) AS total_tokens)
+SELECT stats.n_docs, vc.vocab_size, post.n_postings, stats.total_tokens,
+  CASE WHEN stats.n_docs > 0
+       THEN ROUND(stats.total_tokens / CAST(stats.n_docs AS DOUBLE), 6)
+  END AS avgdl,
+  th.df_median, dfa.df_max,
+  CASE WHEN stats.n_docs > 0
+       THEN ROUND(dfa.df_max / CAST(stats.n_docs AS DOUBLE), 6)
+  END AS top_term_share,
+  CASE WHEN post.n_postings > 0
+       THEN ROUND(post.capped_postings / CAST(post.n_postings AS DOUBLE), 6)
+  END AS capped_postings_share
+FROM stats, vc, th, dfa, post
+"""

@@ -1733,3 +1733,34 @@ def test_chunk_maxp_ranking_invariants_on_corpus(spark):
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
         scores = [r.score for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_index_stats_report_hand_case_and_corpus(spark):
+    """Hand case: 4 docs sharing the stopword 'the' (df 4) plus one
+    rare term each (df 1). Vocabulary = 5 terms, df-sorted ranks give
+    theta = the 3rd-smallest df = 1, so exactly the stopword's 4
+    posting rows are above the cap: capped share 4/8, top_term_share
+    4/4 = 1.0. On the corpus, the report's theta must equal the
+    df-cap twin's registered cut: every bm25_dfcap posting survives
+    iff its term's df <= df_median (cross-checked via the capped
+    candidate-work proxy being strictly smaller)."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import retrieval
+
+    docs = _docs(spark, ["the a", "the b", "the c", "the d"])
+    r = retrieval.bm25_index_stats_report(docs).collect()[0]
+    assert r.n_docs == 4 and r.vocab_size == 5
+    assert r.n_postings == 8 and r.total_tokens == 8
+    assert r.avgdl == 2.0
+    assert r.df_median == 1 and r.df_max == 4
+    assert r.top_term_share == 1.0
+    assert r.capped_postings_share == 0.5
+
+    corpus = table(spark, SF001, "documents")
+    c = retrieval.bm25_index_stats_report(corpus).collect()[0]
+    assert c.n_docs == 500 and c.vocab_size > 0
+    assert 0.0 <= c.capped_postings_share <= 1.0
+    assert c.df_median <= c.df_max <= c.n_docs
+    # the share the report prices is exactly the work the df-cap cuts
+    full = retrieval.bm25_candidate_rows(corpus)
+    capped = retrieval.bm25_candidate_rows(corpus, df_cap=True)
+    assert capped < full

@@ -182,6 +182,7 @@ SF01_KEYS = [
     "bm25_chunk_maxp_topk",
     "ann_index_retrain",
     "ivf_flat_workload_topk",
+    "bm25_index_stats_report",
 ]
 
 

@@ -371,6 +371,10 @@ _BNLJ_ALLOWED = {
     # r9 reviewed: inherits ivf_flat_ann_topk's one-row centroid-array
     # cross; the workload cut is a 20-row TakeOrdered query frame
     "ivf_flat_workload_topk",
+    # r9 reviewed: one-row vocab-count/theta/df-max/postings-rollup
+    # crosses onto the one-row corpus-stats frame — the dashboard
+    # shape (everything after the postings build is vocab-sized)
+    "bm25_index_stats_report",
 }
 # These run eager work (KMeans fit / query collect / stream drain) at
 # plan-build time; their plan shape is asserted in their own tests.

@@ -162,6 +162,7 @@ PROBES = {
     "bm25_chunk_maxp_topk": {"documents": ["doc_id"]},
     "ann_index_retrain": {"embeddings": ["vec_id"]},
     "ivf_flat_workload_topk": {"embeddings": ["vec_id"]},
+    "bm25_index_stats_report": {"documents": ["doc_id"]},
 }
 
 # Grown-C probe variants (VERDICT r5 item 1, r6 item 1). The
