@@ -724,6 +724,23 @@ _DEFS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_index_stats_report": lambda s, d: retrieval.bm25_index_stats_report(
         table(s, d, "documents")
     ),
+    # -- round 9 batch 2: the second classical lexical ranker, doc-to-
+    # doc similarity, filtered + two-stage vector search --
+    "lm_dirichlet_topk": lambda s, d: retrieval.lm_dirichlet_topk(
+        table(s, d, "documents")
+    ),
+    "tfidf_doc_similarity_topk": lambda s, d: retrieval.tfidf_doc_similarity_topk(
+        table(s, d, "documents")
+    ),
+    "ann_filtered_topk": lambda s, d: similarity.ann_filtered_topk(
+        table(s, d, "embeddings")
+    ),
+    "ann_filtered_ivf_topk": lambda s, d: similarity.ann_filtered_ivf_topk(
+        table(s, d, "embeddings")
+    ),
+    "ann_twostage_truncated_topk": lambda s, d: similarity.ann_twostage_truncated_topk(
+        table(s, d, "embeddings")
+    ),
 }
 
 
@@ -743,7 +760,9 @@ def _streaming_pipeline():
 #         recreates r7's red gate in r10), oldest-first alphabetical;
 #   tail  r5-checked fill, oldest-first alphabetical, displaced
 #         one-for-one as new operators land (the remaining r5 keys are
-#         age 4 after this round and lead the r10 rotation).
+#         age 4 after this round and lead the r10 rotation; batch 2's
+#         five operators displaced bpe_encode_documents..clean_documents
+#         back into that r10 cohort).
 # Everything not in the window keeps identical coverage through
 # tests/test_parity.py at sf0.001 + sf0.01, and tools/window_check.py
 # (wired into the test suite) fails CI if ANY registered query has
@@ -756,6 +775,11 @@ _PRIORITY = [
     "ann_index_retrain",
     "ivf_flat_workload_topk",
     "bm25_index_stats_report",
+    "lm_dirichlet_topk",
+    "tfidf_doc_similarity_topk",
+    "ann_filtered_topk",
+    "ann_filtered_ivf_topk",
+    "ann_twostage_truncated_topk",
     # -- mandatory: last driver row r4 (age 6 once r9's row lands) --
     "clean_documents_keep_best",
     "cms_token_counts",
@@ -798,11 +822,6 @@ _PRIORITY = [
     "ann_recall_report",
     "ann_recall_report_trained",
     "ann_topk",
-    "bpe_encode_documents",
-    "bpe_merges",
-    "bq_ann_topk",
-    "centroid_auc_report",
-    "clean_documents",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

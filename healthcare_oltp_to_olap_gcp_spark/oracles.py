@@ -5323,3 +5323,215 @@ SELECT stats.n_docs, vc.vocab_size, post.n_postings, stats.total_tokens,
   END AS capped_postings_share
 FROM stats, vc, th, dfa, post
 """
+
+# Query-likelihood retrieval with Dirichlet smoothing (operators/
+# retrieval.lm_dirichlet_topk): the rank-equivalent decomposition —
+# matched-term contributions qtf·ln(1 + tf/(μ·cf/T)) plus the
+# per-(query, doc) length normalizer |q|·ln(μ/(|d|+μ)) — written in
+# the SAME IEEE association order as the Spark expressions, rounded
+# 6 dp per row and DECIMAL-summed, so scores and the
+# (score DESC, doc_id) ranking value-hash match.
+from .operators.retrieval import LM_MU as _LM_MU_  # noqa: E402
+
+ORACLE_SQL["lm_dirichlet_topk"] = f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+stats AS (SELECT (SELECT COUNT(*) FROM tok) AS total_tokens),
+qt AS (SELECT doc_id AS query_id, term, tf AS qtf FROM tf
+       WHERE doc_id % {_BM_QM_} = 0),
+qlen AS (SELECT doc_id AS query_id, dl AS qlen FROM dl
+         WHERE doc_id % {_BM_QM_} = 0),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id,
+    CAST(ROUND(qt.qtf * ln(1.0 + tf.tf /
+      ({_LM_MU_} * (cf.cf / CAST(stats.total_tokens AS DOUBLE)))), 6)
+      AS DECIMAL(18,6)) AS c
+  FROM tf JOIN qt USING (term) JOIN cf USING (term), stats
+  WHERE tf.doc_id <> qt.query_id
+),
+pairs AS (SELECT query_id, doc_id, SUM(c) AS ts FROM contrib GROUP BY 1, 2),
+scored AS (
+  SELECT p.query_id, p.doc_id,
+    p.ts + CAST(ROUND(q.qlen * ln({_LM_MU_} / (dl.dl + {_LM_MU_})), 6)
+                AS DECIMAL(18,6)) AS s
+  FROM pairs p JOIN dl ON dl.doc_id = p.doc_id JOIN qlen q USING (query_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY s DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT query_id, doc_id, CAST(s AS DOUBLE) AS score,
+  CAST(rn AS BIGINT) AS rank FROM ranked WHERE rn <= {_BM_K_}
+"""
+
+# TF-IDF more-like-this (operators/retrieval.tfidf_doc_similarity_topk):
+# ltc weights rounded 6 dp, sparse dot and squared norms DECIMAL-summed
+# over rounded per-term products, cosine = exact dot / (double norm
+# product) rounded 6 dp; zero-vector docs excluded both sides by the
+# identical nrm > 0 guard.
+ORACLE_SQL["tfidf_doc_similarity_topk"] = f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs),
+w AS (
+  SELECT tf.doc_id, tf.term,
+    ROUND((1.0 + ln(tf.tf)) * ln(stats.n_docs / CAST(df.df AS DOUBLE)), 6)
+      AS w
+  FROM tf JOIN df USING (term), stats
+),
+norm AS (
+  SELECT doc_id,
+    sqrt(CAST(SUM(CAST(ROUND(w * w, 6) AS DECIMAL(18,6))) AS DOUBLE)) AS nrm
+  FROM w GROUP BY 1
+),
+normk AS (SELECT doc_id, nrm FROM norm WHERE nrm > 0),
+qw AS (SELECT doc_id AS query_id, term, w AS qw FROM w
+       WHERE doc_id % {_BM_QM_} = 0),
+qnorm AS (SELECT doc_id AS query_id, nrm AS qnrm FROM normk
+          WHERE doc_id % {_BM_QM_} = 0),
+dots AS (
+  SELECT qw.query_id, w.doc_id,
+    SUM(CAST(ROUND(qw.qw * w.w, 6) AS DECIMAL(18,6))) AS dot
+  FROM w JOIN qw USING (term)
+  WHERE w.doc_id <> qw.query_id GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.doc_id,
+    ROUND(CAST(d.dot AS DOUBLE) / (q.qnrm * n.nrm), 6) AS s
+  FROM dots d JOIN normk n ON n.doc_id = d.doc_id
+  JOIN qnorm q USING (query_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY s DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT query_id, doc_id, CAST(s AS DOUBLE) AS score,
+  CAST(rn AS BIGINT) AS rank FROM ranked WHERE rn <= {_BM_K_}
+"""
+
+# Metadata-filtered vector search (operators/similarity.
+# ann_filtered_topk exact + ann_filtered_ivf_topk shared-index IVF):
+# the predicate filters the corpus side only (queries are the standard
+# slice); the IVF twin draws centroids and assigns cells over the FULL
+# corpus (identical to ivf_flat_ann_topk's md5-seeded template) and
+# intersects the probed inverted lists with the filter id set before
+# scoring — both mirrored exactly.
+from .operators.similarity import (  # noqa: E402
+    ANN_FILTER_PRED as _ANN_FP_,
+    TRUNC_DIM as _TS_DIM_,
+    TWOSTAGE_M as _TS_M_,
+)
+
+ORACLE_SQL["ann_filtered_topk"] = f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+            FROM embeddings),
+e AS (SELECT vec_id,
+        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv,
+        label
+      FROM e0),
+q AS (SELECT vec_id, nv FROM e WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id, nv FROM e WHERE {_ANN_FP_}),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.nv, c.nv), 6) AS sim
+  FROM q JOIN c ON c.vec_id <> q.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+  FROM s
+)
+SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= 10
+"""
+
+ORACLE_SQL["ann_filtered_ivf_topk"] = f"""
+WITH {_NORM_CTE},
+lab AS (SELECT vec_id FROM embeddings WHERE {_ANN_FP_}),
+cent AS (
+  SELECT vec_id AS cent_id, nv AS centroid
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+assign0 AS (
+  SELECT e.vec_id AS neighbor_id, e.nv AS cv, cent.cent_id,
+         ROUND(list_dot_product(e.nv, cent.centroid), 6) AS cdot
+  FROM e CROSS JOIN cent
+),
+assigned AS (
+  SELECT neighbor_id, cv, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY neighbor_id ORDER BY cdot DESC, cent_id) AS rn
+    FROM assign0
+  ) WHERE rn = 1
+),
+kept AS (SELECT a.* FROM assigned a JOIN lab ON lab.vec_id = a.neighbor_id),
+q0 AS (
+  SELECT q.vec_id AS query_id, q.nv AS qv, cent.cent_id,
+         ROUND(list_dot_product(q.nv, cent.centroid), 6) AS qdot
+  FROM e q CROSS JOIN cent WHERE q.vec_id % 50 = 0
+),
+probed AS (
+  SELECT query_id, qv, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY qdot DESC, cent_id) AS rn
+    FROM q0
+  ) WHERE rn <= 4
+),
+s AS (
+  SELECT p.query_id, a.neighbor_id,
+         ROUND(list_dot_product(p.qv, a.cv), 6) AS sim
+  FROM kept a JOIN probed p USING (cell)
+  WHERE a.neighbor_id <> p.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+  FROM s
+)
+SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= 10
+"""
+
+# Two-stage truncated ANN (operators/similarity.
+# ann_twostage_truncated_topk): stage-1 prefix dot = the identical
+# left-to-right fold over the first TRUNC_DIM normalized dims (DuckDB
+# list slice is 1-based inclusive), rounded 6 dp with neighbor_id
+# tie-breaks at both stages — the funnel is its own definition, fully
+# mirrored.
+ORACLE_SQL["ann_twostage_truncated_topk"] = f"""
+WITH {_NORM_CTE},
+q AS (SELECT vec_id, nv FROM e WHERE vec_id % 50 = 0),
+s1 AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.nv[1:{_TS_DIM_}], e.nv[1:{_TS_DIM_}]), 6)
+           AS tdot
+  FROM q JOIN e ON e.vec_id <> q.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY tdot DESC, neighbor_id) AS rn
+    FROM s1
+  ) WHERE rn <= {_TS_M_}
+),
+s2 AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND(list_dot_product(q.nv, e.nv), 6) AS sim
+  FROM cand c JOIN e ON e.vec_id = c.neighbor_id
+  JOIN q ON q.vec_id = c.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+  FROM s2
+)
+SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= 10
+"""

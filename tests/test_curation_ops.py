@@ -1764,3 +1764,177 @@ def test_bm25_index_stats_report_hand_case_and_corpus(spark):
     full = retrieval.bm25_candidate_rows(corpus)
     capped = retrieval.bm25_candidate_rows(corpus, df_cap=True)
     assert capped < full
+
+
+# ---------------------------------------------------------------
+# round-9 batch 2: query-likelihood LM, tf-idf more-like-this,
+# filtered + two-stage vector search
+# ---------------------------------------------------------------
+
+
+def test_lm_dirichlet_rare_term_wins_and_length_penalizes(spark):
+    """The two defining behaviors of the Dirichlet QL model on a hand
+    corpus: (a) a match on a RARE query term outranks a match on a
+    collection-common one (the smoothing denominator μ·p(t|C) is
+    smaller, so the matched-term gain is larger); (b) padding a doc
+    with non-query terms strictly lowers its score (the |q|·ln(μ/(|d|+μ))
+    length normalizer); and (c) docs sharing NO query term never
+    appear (the matched-candidate rule)."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import retrieval
+
+    filler = " ".join(["common"] * 30)
+    rows = [
+        "rare common",                      # doc 0 = the query (0 % 50 == 0)
+        f"rare {filler}",                   # doc 1: rare hit + common hits
+        f"common {filler}",                 # doc 2: only common hits
+        f"rare {filler} " + " ".join(f"pad{i}" for i in range(40)),  # doc 3: doc-1 matches + padding
+        "zzz yyy",                          # doc 4: disjoint — no candidate row
+    ]
+    out = retrieval.lm_dirichlet_topk(_docs(spark, rows)).collect()
+    assert all(r.query_id == 0 for r in out)
+    scores = {r.doc_id: r.score for r in out}
+    assert 4 not in scores
+    # doc 1 has everything doc 2 has plus the rare term: strictly better
+    assert scores[1] > scores[2]
+    # doc 3 = doc 1's matches diluted by padding: strictly worse
+    assert scores[1] > scores[3]
+    ranks = {r.doc_id: r.rank for r in out}
+    assert ranks[1] == 1
+
+
+def test_lm_dirichlet_total_order_and_k_bound_on_corpus(spark):
+    from healthcare_oltp_to_olap_gcp_spark.operators import retrieval
+
+    out = retrieval.lm_dirichlet_topk(table(spark, SF001, "documents")).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert len(rs) <= 10 and [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert (a.score, -a.doc_id) >= (b.score, -b.doc_id)
+            assert a.score > b.score or a.doc_id < b.doc_id
+
+
+def test_tfidf_doc_similarity_exact_copy_ranks_first(spark):
+    """An exact duplicate of the query doc has the identical tf-idf
+    vector, so its cosine is 1 (up to 6-dp rounding) and it must hold
+    rank 1; a partial overlap ranks below it; a disjoint doc never
+    appears (no shared term ⇒ no candidate row)."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import retrieval
+
+    rows = [
+        "apple banana cherry",   # doc 0 = query
+        "apple banana cherry",   # doc 1: exact copy
+        "apple banana zebra",    # doc 2: partial overlap
+        "dog elephant fox",      # doc 3: disjoint
+    ]
+    out = retrieval.tfidf_doc_similarity_topk(_docs(spark, rows)).collect()
+    assert all(r.query_id == 0 for r in out)
+    by_rank = {r.rank: r for r in out}
+    assert by_rank[1].doc_id == 1 and by_rank[1].score > 0.999
+    scores = {r.doc_id: r.score for r in out}
+    assert 3 not in scores
+    assert scores[1] > scores[2]
+
+
+def test_tfidf_doc_similarity_zero_vector_docs_excluded(spark):
+    """A doc whose every term is corpus-ubiquitous (df = N) has a zero
+    tf-idf vector and undefined cosine — the nrm > 0 guard drops it
+    from BOTH sides instead of emitting NaN rows."""
+    from healthcare_oltp_to_olap_gcp_spark.operators import retrieval
+
+    rows = [
+        "everywhere",                 # doc 0 = query, zero vector
+        "everywhere unique1",         # doc 1
+        "everywhere unique2",         # doc 2
+    ]
+    out = retrieval.tfidf_doc_similarity_topk(_docs(spark, rows)).collect()
+    # the only query (doc 0) is a zero vector → excluded → empty result
+    assert out == []
+
+
+def _rng_embeddings(spark, n=60, dim=64, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], int(i % 10)) for i in range(n)]
+    return (
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ),
+        vecs,
+    )
+
+
+def test_ann_filtered_topk_matches_numpy_filtered_truth(spark):
+    """Exact filtered search vs an independent numpy oracle: top-k
+    cosine among ONLY even-label vectors, ties broken on neighbor_id."""
+    import numpy as np
+
+    emb, vecs = _rng_embeddings(spark)
+    out = similarity.ann_filtered_topk(emb, k=5).collect()
+    v64 = vecs.astype(np.float64)  # the engine normalizes in doubles
+    nv = v64 / np.linalg.norm(v64, axis=1, keepdims=True)
+    kept = [i for i in range(len(vecs)) if (i % 10) % 2 == 0]
+    got = {}
+    for r in out:
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    for q in range(0, len(vecs), 50):
+        sims = [
+            (round(float(nv[q] @ nv[j]), 6), -j) for j in kept if j != q
+        ]
+        want = [
+            -negj
+            for _, negj in sorted(sims, key=lambda t: (-t[0], -t[1]))[:5]
+        ]
+        assert [nid for _, nid in sorted(got[q])] == want
+
+
+def test_ann_filtered_ivf_subset_of_predicate_and_recall(spark):
+    """The shared-index filtered IVF: every returned neighbor satisfies
+    the predicate, per-query results are a ≤k prefix of a total order,
+    and recall vs the exact filtered truth stays useful at the default
+    probe width."""
+    emb = table(spark, SF001, "embeddings")
+    ivf = similarity.ann_filtered_ivf_topk(emb).collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert ivf and all(labels[r.neighbor_id] % 2 == 0 for r in ivf)
+    exact = similarity.ann_filtered_topk(emb).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hit = sum(1 for r in ivf if r.neighbor_id in truth.get(r.query_id, set()))
+    total = sum(len(v) for v in truth.values())
+    assert hit / total >= 0.5  # 4/16 cells probed on ~half the corpus
+
+
+def test_ann_twostage_equals_brute_when_m_covers_corpus(spark):
+    """Exactness envelope: with the stage-1 candidate depth m ≥ n−1 the
+    funnel degenerates to the exact brute scan — same rows, same
+    ranks, same rounded sims (the rerank IS the brute scorer)."""
+    emb, _ = _rng_embeddings(spark)
+    two = similarity.ann_twostage_truncated_topk(emb, m=1000)
+    brute = similarity.ann_brute_topk(emb)
+    assert sorted(map(tuple, two.collect())) == sorted(map(tuple, brute.collect()))
+
+
+def test_ann_twostage_recall_on_corpus(spark):
+    """At the default depth (m = 50) the half-width first pass keeps
+    enough true neighbors for a high-recall exact rerank."""
+    emb = table(spark, SF001, "embeddings")
+    two = similarity.ann_twostage_truncated_topk(emb).collect()
+    brute = similarity.ann_brute_topk(emb).collect()
+    truth = {}
+    for r in brute:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hit = sum(1 for r in two if r.neighbor_id in truth.get(r.query_id, set()))
+    total = sum(len(v) for v in truth.values())
+    assert hit / total >= 0.6
+    # per-query output is a ≤k dense rank prefix
+    per_q = {}
+    for r in two:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())

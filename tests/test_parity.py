@@ -183,6 +183,13 @@ SF01_KEYS = [
     "ann_index_retrain",
     "ivf_flat_workload_topk",
     "bm25_index_stats_report",
+    # round-9 batch 2: every entry is a top-k cut whose candidate sets
+    # and tie-breaks shift with data — pre-verify at the driver's SF
+    "lm_dirichlet_topk",
+    "tfidf_doc_similarity_topk",
+    "ann_filtered_topk",
+    "ann_filtered_ivf_topk",
+    "ann_twostage_truncated_topk",
 ]
 
 

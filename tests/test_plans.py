@@ -375,6 +375,27 @@ _BNLJ_ALLOWED = {
     # crosses onto the one-row corpus-stats frame — the dashboard
     # shape (everything after the postings build is vocab-sized)
     "bm25_index_stats_report",
+    # r9 batch-2 reviewed: inherits bm25_topk's one-row corpus-stats
+    # cross (the cf-smoothing denominator needs total_tokens); the
+    # probe and length-normalizer joins are broadcast/shuffle hash
+    "lm_dirichlet_topk",
+    # r9 batch-2 reviewed: one-row n_docs corpus-stats cross onto the
+    # weighted postings — tfidf_top_terms' count-cross shape; the
+    # sparse dot and norm joins are hash joins on term/doc keys
+    "tfidf_doc_similarity_topk",
+    # r9 batch-2 reviewed: the EXACT filtered truth — ann_topk's
+    # labeled brute broadcast-inequality scan over the predicate-kept
+    # half of the corpus (the baseline the IVF twin is measured
+    # against; the scan is the definition, not an accident)
+    "ann_filtered_topk",
+    # r9 batch-2 reviewed: inherits ivf_flat_ann_topk's one-row
+    # centroid-struct-array cross; the filter is a broadcast semi-join
+    # of id keys into the inverted-list probe
+    "ann_filtered_ivf_topk",
+    # r9 batch-2 reviewed: stage 1 is the half-width brute scan
+    # (broadcast-inequality by definition — the funnel's coarse pass);
+    # stage 2 re-joins m·|Q| candidate ids as proper hash joins
+    "ann_twostage_truncated_topk",
 }
 # These run eager work (KMeans fit / query collect / stream drain) at
 # plan-build time; their plan shape is asserted in their own tests.
