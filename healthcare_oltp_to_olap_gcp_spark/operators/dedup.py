@@ -1647,7 +1647,12 @@ def docs_ngram_novelty(docs: DataFrame) -> DataFrame:
     ``dedup_incremental``'s band index. Gram identity uses the
     package's 64-bit shingle hashes (collision odds as documented on
     ``doc_shingle_hashes``)."""
-    sh = doc_shingle_hashes(docs)
+    # r9 (guide §5 caching rule): ``sh`` feeds BOTH the per-doc
+    # denominator and the exploded gram stream; unpersisted, the
+    # tokenize+shingle+hash pass ran twice per execution. The hash-array
+    # form is the documented cheap-to-cache representation
+    # (doc_shingle_hashes docstring).
+    sh = scoped_persist(doc_shingle_hashes(docs))
     base = sh.select("doc_id", F.size("hs").cast("long").alias("n_grams"))
     ex = sh.select("doc_id", F.explode("hs").alias("g"))
     first = ex.groupBy("g").agg(F.min("doc_id").alias("doc_id"))

@@ -75,21 +75,37 @@ def _bm25_frames(docs: DataFrame, df_cap: bool, shared: dict | None = None):
     ``shared`` lets a multi-method caller (retrieval_quality_report's
     four retrievers) tokenize and persist the postings ONCE — the tf
     persist then CHAINS into the caller's scope instead of evicting
-    its other cached frames (the truth table), r7."""
+    its other cached frames (the truth table), r7.
+
+    r9 OPTIMIZATION (guide §2.4 — remove shuffles outright): the
+    postings are hash-partitioned by ``doc_id`` (not round-robin), so
+    the (doc_id, term) aggregation needs NO second exchange (subset
+    rule) and every later doc-keyed consumer — the candidate joins in
+    ``_score_pairs``, the exchange-free ``dl`` re-derivation below —
+    reuses the persisted partitioning. The per-doc length ``dl`` is
+    attached to every posting row as a partition-local window sum —
+    the length norm stored next to each posting at index-build time,
+    exactly Lucene's per-doc norms — which deletes the doc-keyed
+    dl-join (an exchange of every candidate row) from every scorer."""
     if shared is not None and shared.get("tf") is not None:
         tf = shared["tf"]
     else:
         par = docs.sparkSession.sparkContext.defaultParallelism
-        tok = docs.repartition(par).select(
+        tok = docs.repartition(par, "doc_id").select(
             "doc_id", F.explode(tokens("text")).alias("term")
         )
-        # postings (doc, term, tf) feed tf/df/dl — one tokenize, three aggs
+        # postings (doc, term, tf, dl): one tokenize, one exchange; dl
+        # rides every posting row (index-time norms)
         tf = scoped_persist(
-            tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")),
+            tok.groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+            .withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id"))),
             chain=shared is not None,
         )
         if shared is not None:
             shared["tf"] = tf
+    # compat frame for callers that want one row per doc; derived
+    # WITHOUT an exchange (tf is doc_id-partitioned)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     if df_cap:
@@ -224,14 +240,17 @@ def bm25_topk(
         qt = qt.join(F.broadcast(workload), "query_id", "left_semi")
     idf, weight = _okapi_exprs()
     # probe FIRST: the broadcast qt cut shrinks the postings to the
-    # query terms' lists BEFORE the df/dl joins, so the vocab-keyed and
-    # doc-keyed shuffles carry only candidate rows, not the whole
-    # postings table (measured 3x on the bench corpus).
+    # query terms' lists BEFORE anything else. r9: df is FOLDED INTO
+    # the broadcast query side (qtd = df ⋈ qt — |qt| rows, bounded by
+    # the workload like qt itself) and dl rides the posting rows, so
+    # the candidate rows flow through ONE broadcast hash join straight
+    # into the aggregation — the per-candidate df/dl shuffle joins are
+    # gone (guide §2.3/§2.4; plan: 2 Exchanges after the postings
+    # build, down from 4 + two agg builds).
+    qtd = df.join(F.broadcast(qt), "term").select("query_id", "term", "df")
     contrib = (
-        tf.join(F.broadcast(qt), "term")
+        tf.join(F.broadcast(qtd), "term")
         .filter(F.col("doc_id") != F.col("query_id"))
-        .join(df, "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "query_id",
@@ -323,6 +342,12 @@ def bm25_chunk_maxp_topk(
     from ..session import scoped_persist
     from .textquality import chunk_documents
 
+    # r9 (guide §2.4, the _bm25_frames restructure applied chunk-level):
+    # the chunk postings are hash-partitioned by doc_id (the chunk-key
+    # aggregation needs no second exchange — subset rule) and the
+    # chunk length rides every posting row as a partition-local window
+    # sum; df folds into the broadcast query side. The per-candidate
+    # df/dl shuffle joins are gone.
     chunks = chunk_documents(docs)
     ctf = scoped_persist(
         chunks.select(
@@ -330,8 +355,11 @@ def bm25_chunk_maxp_topk(
         )
         .groupBy("doc_id", "chunk_idx", "term")
         .agg(F.count("*").alias("tf"))
+        .withColumn(
+            "dl",
+            F.sum("tf").over(Window.partitionBy("doc_id", "chunk_idx")),
+        )
     )
-    dl = ctf.groupBy("doc_id", "chunk_idx").agg(F.sum("tf").alias("dl"))
     df = ctf.groupBy("term").agg(
         F.count("*").cast("long").alias("df")
     )  # chunk-level df: number of CHUNKS containing the term
@@ -344,11 +372,10 @@ def bm25_chunk_maxp_topk(
         .distinct()
     )
     idf, weight = _okapi_exprs()
+    qtd = df.join(F.broadcast(qt), "term").select("query_id", "term", "df")
     contrib = (
-        ctf.join(F.broadcast(qt), "term")
+        ctf.join(F.broadcast(qtd), "term")
         .filter(F.col("doc_id") != F.col("query_id"))
-        .join(df, "term")
-        .join(dl, ["doc_id", "chunk_idx"])
         .crossJoin(F.broadcast(stats))
         .select(
             "query_id",
@@ -425,13 +452,17 @@ def bm25_index_stats_report(docs: DataFrame) -> DataFrame:
         .filter(F.col("_rn") * 2 <= F.col("vocab_size") + 1)
         .agg(F.max("df").cast("long").alias("df_median"))
     )
+    # r9 (guide §2.3 — don't shuffle what you can count on the proxy):
+    # both posting counts are vocab-level sums (n_postings = Σ_t df_t;
+    # capped rows = Σ_{df_t > θ} df_t), so the postings⋈df join and its
+    # corpus-sized scan are replaced by one agg over the vocab table —
+    # identical integers.
     post = (
-        tf.join(df, "term")
-        .crossJoin(F.broadcast(theta))
+        df.crossJoin(F.broadcast(theta))
         .agg(
-            F.count("*").cast("long").alias("n_postings"),
+            F.sum("df").cast("long").alias("n_postings"),
             F.sum(
-                F.when(F.col("df") > F.col("df_median"), 1).otherwise(0)
+                F.when(F.col("df") > F.col("df_median"), F.col("df")).otherwise(0)
             )
             .cast("long")
             .alias("_capped_postings"),
@@ -478,14 +509,17 @@ def _score_pairs(tf, df, dl, stats, qt, cand: DataFrame) -> DataFrame:
     on doc_id — work ∝ Σ candidate doc lengths, the DAAT-with-skips
     bound), keep the terms the query actually contains, then apply the
     shared Okapi expressions. Produces exactly ``bm25_topk``'s
-    contribution rows for the pairs in ``cand``."""
+    contribution rows for the pairs in ``cand``. r9: the candidate
+    join lands on the postings' persisted doc_id partitioning (tf side
+    exchange-free), df folds into the broadcast (query, term) side,
+    and dl rides the posting rows — no per-candidate metadata
+    shuffles (guide §2.4)."""
     idf, weight = _okapi_exprs()
+    qtd = df.join(F.broadcast(qt), "term").select("query_id", "term", "df")
     contrib = (
         tf.join(cand, "doc_id")
-        .join(qt, ["query_id", "term"])
+        .join(F.broadcast(qtd), ["query_id", "term"])
         .filter(F.col("doc_id") != F.col("query_id"))
-        .join(df, "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "query_id",
@@ -505,11 +539,14 @@ def _term_bounds(tf, df, dl, stats, qt) -> DataFrame:
     amortized across the whole query workload, never per query); at
     deployment it is index metadata with zero query-time cost."""
     idf, weight = _okapi_exprs()
-    qterms = qt.select("term").distinct()
+    # r9: one broadcast join restricts the postings to the query terms
+    # AND attaches df (dl rides the posting rows) — no doc-/term-keyed
+    # shuffles of the scanned lists (guide §2.4)
+    dfq = df.join(
+        F.broadcast(qt.select("term").distinct()), "term", "left_semi"
+    )
     return (
-        tf.join(F.broadcast(qterms), "term", "left_semi")
-        .join(df, "term")
-        .join(dl, "doc_id")
+        tf.join(F.broadcast(dfq), "term")
         .crossJoin(F.broadcast(stats))
         .select(
             "term",
@@ -740,8 +777,11 @@ def bm25_index_incremental(docs: DataFrame) -> DataFrame:
     ⇒ trivially exact value-hash oracle."""
     par = docs.sparkSession.sparkContext.defaultParallelism
     is_new = F.col("doc_id") % BM25_INCR_MOD == 0
+    # r9: hash-partition by doc_id — the (doc_id, term) aggregation
+    # then needs no second exchange (subset rule, guide §2.4) and the
+    # round-robin sort-before-repartition cost is gone.
     tf = scoped_persist(
-        docs.repartition(par)
+        docs.repartition(par, "doc_id")
         .select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
@@ -1126,9 +1166,9 @@ def rm3_expansion_topk(
         else tf
     )
     # relevance model: rm(q,t) = Σ_{d ∈ FB(q)} round(tf_td/|d|, 8)
+    # (r9: |d| rides the posting rows — no dl join, guide §2.4)
     rm = (
-        rm_tf.join(dl, "doc_id")
-        .join(F.broadcast(fb), "doc_id")
+        rm_tf.join(F.broadcast(fb), "doc_id")
         .select(
             "query_id",
             "term",
@@ -1140,12 +1180,15 @@ def rm3_expansion_topk(
         .agg(F.sum("c").alias("rm"))
     )
     # original query model: qtf-normalized terms of the query doc
+    # (r9: the query doc's length rides its own posting rows — the
+    # dl-rename join is gone, guide §2.4)
     orig = rm_tf.filter(F.col("doc_id") % QUERY_MOD == 0).select(
-        F.col("doc_id").alias("query_id"), "term", F.col("tf").alias("qtf")
+        F.col("doc_id").alias("query_id"),
+        "term",
+        F.col("tf").alias("qtf"),
+        "dl",
     )
-    w_orig = orig.join(
-        dl.withColumnRenamed("doc_id", "query_id"), "query_id"
-    ).select(
+    w_orig = orig.select(
         "query_id",
         "term",
         (
@@ -1177,11 +1220,15 @@ def rm3_expansion_topk(
         F.col("tf")
         + BM25_K1 * (1.0 - BM25_B + BM25_B * (F.col("dl") / avgdl))
     )
+    # r9: df folds into the broadcast expanded-query side and dl rides
+    # the posting rows — pass 2's candidate rows cross ONE broadcast
+    # join into the aggregation (guide §2.3/§2.4)
+    probed = df.join(F.broadcast(probe), "term").select(
+        "query_id", "term", "df", "w"
+    )
     contrib = (
-        tf.join(F.broadcast(probe), "term")
+        tf.join(F.broadcast(probed), "term")
         .filter(F.col("doc_id") != F.col("query_id"))
-        .join(df, "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "query_id",
@@ -1260,14 +1307,17 @@ def lm_dirichlet_topk(
         F.col("doc_id").alias("query_id"), F.col("dl").alias("qlen")
     )
     # probe first (the bm25_topk join order): broadcast qt cuts the
-    # postings to the query terms' lists before the cf/dl joins; dl and
-    # qlen attach HERE (per-term rows) and ride through the agg as
-    # first() — both are functionally dependent on the group key
+    # postings to the query terms' lists; dl rides the posting rows
+    # and cf FOLDS INTO the broadcast query side (r9, guide §2.4 — the
+    # per-candidate cf/dl shuffle joins are gone); dl and qlen ride
+    # through the agg as first() — both functionally dependent on the
+    # group key
+    qtc = cf.join(F.broadcast(qt), "term").select(
+        "query_id", "term", "qtf", "cf"
+    )
     contrib = (
-        tf.join(F.broadcast(qt), "term")
+        tf.join(F.broadcast(qtc), "term")
         .filter(F.col("doc_id") != F.col("query_id"))
-        .join(cf, "term")
-        .join(dl, "doc_id")
         .join(F.broadcast(qlen), "query_id")
         .crossJoin(F.broadcast(stats))
         .select(
@@ -1340,8 +1390,15 @@ def tfidf_doc_similarity_topk(
     undefined cosine and are excluded from both sides, in both
     engines, by the ``nrm > 0`` guard."""
     tf, df, _dl, stats, _qt = _bm25_frames(docs, False, shared)
-    w = (
-        tf.join(df, "term")
+    # r9 (guide §2.4): ONE persisted weighted-postings frame carries
+    # the ltc weight AND the per-doc norm (a partition-local window sum
+    # on the postings' doc_id partitioning — the norm stored next to
+    # each posting at index-build time, like bm25's dl); the df join is
+    # an explicit broadcast of the vocab-sized table. qw/qnorm/dots all
+    # read this one cache — the doc-keyed norm shuffle join and the
+    # three recomputations of the weight frame are gone.
+    w2 = scoped_persist(
+        tf.join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
@@ -1350,27 +1407,30 @@ def tfidf_doc_similarity_topk(
                 (1.0 + F.log("tf")) * F.log(F.col("n_docs") / F.col("df")), 6
             ).alias("w"),
         )
-    )
-    norm = (
-        w.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.round(F.col("w") * F.col("w"), 6).cast("decimal(18,6)")
-            ).alias("n2")
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("w") * F.col("w"), 6).cast("decimal(18,6)")
+                )
+                .over(Window.partitionBy("doc_id"))
+                .cast("double")
+            ),
         )
-        .select("doc_id", F.sqrt(F.col("n2").cast("double")).alias("nrm"))
-        .filter(F.col("nrm") > 0)
+        .filter(F.col("nrm") > 0),
+        chain=True,
     )
-    qw = w.filter(F.col("doc_id") % QUERY_MOD == 0).select(
+    qw = w2.filter(F.col("doc_id") % QUERY_MOD == 0).select(
         F.col("doc_id").alias("query_id"), "term", F.col("w").alias("qw")
     )
-    qnorm = norm.filter(F.col("doc_id") % QUERY_MOD == 0).select(
-        F.col("doc_id").alias("query_id"), F.col("nrm").alias("qnrm")
+    qnorm = (
+        w2.filter(F.col("doc_id") % QUERY_MOD == 0)
+        .select(F.col("doc_id").alias("query_id"), F.col("nrm").alias("qnrm"))
+        .distinct()
     )
     dots = (
-        w.join(F.broadcast(qw), "term")
+        w2.join(F.broadcast(qw), "term")
         .filter(F.col("doc_id") != F.col("query_id"))
-        .join(norm, "doc_id")
         .join(F.broadcast(qnorm), "query_id")
         .select(
             "query_id",

@@ -214,8 +214,13 @@ def chunk_documents(
     (possibly short) chunk; empty docs drop out."""
     stride = chunk_tokens - overlap
     toks = tokens("text")
+    # r9: hash-partition by doc_id instead of round-robin — same
+    # spreading (doc_id is unique), no sort-before-repartition cost
+    # (guide §2.5 note), and downstream chunk-keyed aggregations
+    # (bm25_chunk_maxp_topk's postings) reuse the partitioning with no
+    # further exchange (guide §2.4).
     base = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
     ).select("doc_id", toks.alias("_t"), F.size(toks).alias("_n"))
     starts = F.sequence(F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride))
     chunk = F.slice(F.col("_t"), F.col("start") + 1, chunk_tokens)

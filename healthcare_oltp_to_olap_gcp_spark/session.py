@@ -25,6 +25,22 @@ def get_spark(app_name: str = "hc-olap-spark", shuffle_partitions: int | None = 
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle))
+        # r9 (guide §3.1): raise the broadcast threshold from the 10 MB
+        # default so moderate build sides (e.g. part_triangles' 1.2M-row
+        # closing-edge list, ~19 MB) hash-join without shuffling the
+        # much larger probe side. Size-ADAPTIVE, not a force: a side
+        # whose (runtime, with AQE) size exceeds the threshold still
+        # sort-merge-joins, so the same code holds at cluster scale.
+        # Parameterized; size to executor memory in production (a few
+        # hundred MB is routine on 10s-of-GB executors, guide §3.1).
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"),
+        )
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"),
+        )
         # Arrow for the few Pandas-UDF operators (multimodal, winnowing).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic date/timestamp math across engines (DuckDB oracle
