@@ -19,6 +19,7 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.localframe import local_frame
 from ..functions.vectors import as_double, dot, normalized
 
 DEFAULT_K = 10
@@ -266,7 +267,8 @@ def ivf_ann_topk(
     ).fit(featurized)
     assigned = model.transform(featurized).select("neighbor_id", "cv", "cell")
 
-    centroids = featurized.sparkSession.createDataFrame(
+    centroids = local_frame(
+        featurized.sparkSession,
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, centroid array<double>",
     )
@@ -549,7 +551,8 @@ def _trained_centroids(
                 norm = float(np.sqrt((mu * mu).sum()))
                 if norm > 0.0:
                     centers[c] = mu / norm
-    cent = spark.createDataFrame(
+    cent = local_frame(
+        spark,
         [(int(i), [float(v) for v in c]) for i, c in enumerate(centers)],
         "cent_id long, centroid array<double>",
     )
@@ -1572,7 +1575,7 @@ def ivfpq_trained_ann_topk(
                 if len(members):
                     cb[c] = members.mean(0)
         rows += [(j, i, [float(v) for v in c]) for i, c in enumerate(cb)]
-    cw = spark.createDataFrame(rows, "j int, cid long, csub array<double>")
+    cw = local_frame(spark, rows, "j int, cid long, csub array<double>")
     return _ivfpq_body(
         corpus,
         _queries(embeddings, shared),
@@ -1761,8 +1764,8 @@ def pq_trained_ann_topk(
                 if len(members):
                     centers[c] = members.mean(0)
         rows += [(j, i, [float(v) for v in c]) for i, c in enumerate(centers)]
-    cw = embeddings.sparkSession.createDataFrame(
-        rows, "j int, cid long, csub array<double>"
+    cw = local_frame(
+        embeddings.sparkSession, rows, "j int, cid long, csub array<double>"
     )
     return _pq_adc_topk(corpus, _queries(embeddings, shared), cw, k, m, margin)
 
@@ -2265,7 +2268,8 @@ def kcenter_diversity_sample(
         nxt = int(d.argmax())  # np.argmax: first max wins = sample order
         chosen.append(nxt)
         d = np.minimum(d, 1.0 - x @ x[nxt])
-    centers = embeddings.sparkSession.createDataFrame(
+    centers = local_frame(
+        embeddings.sparkSession,
         [
             (int(rank), int(ids[i]), [float(v) for v in x[i]])
             for rank, i in enumerate(chosen)

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+from ..functions.localframe import local_frame
 from ..functions.text import (
     DE_STOP,
     EN_STOP,
@@ -1353,8 +1354,8 @@ def bpe_merges(
     # Observability for tests/benchmarks: driver round-trips this call
     # actually used (≈ n_merges/batch on natural text).
     bpe_merges.last_rounds = rounds
-    return spark.createDataFrame(
-        out, "merge_rank long, left string, right string, pair_count long"
+    return local_frame(
+        spark, out, "merge_rank long, left string, right string, pair_count long"
     )
 
 
@@ -2035,7 +2036,8 @@ def unigram_lm_vocab(
         }
     logp = _uni_logprobs(counts)
     rows = sorted(counts.items(), key=lambda t: (-t[1], t[0]))
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [
             (i, p, len(p), int(c), round(logp[p], 6))
             for i, (p, c) in enumerate(rows)

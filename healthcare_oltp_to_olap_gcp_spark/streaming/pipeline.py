@@ -196,6 +196,28 @@ def _stage_stream_src(
     return src
 
 
+def _sentinel_events(spark: SparkSession, rows) -> DataFrame:
+    """JVM-side literal events frame for watermark sentinels (r9,
+    guide §4 — eliminate the Python boundary): a Python-row
+    ``createDataFrame`` is RDD-backed, so EVERY action on it (the
+    staged sentinel write) pays a Python-worker roundtrip — measured
+    ~6 s per staged sentinel file at sf0.1 vs 0.2 s for this SQL
+    VALUES LocalRelation, which the JVM evaluates with no Python
+    involvement. ``rows`` are (event_id, user_id, event_type) — value
+    0.0, props '{}' and a NULL ts (always overwritten by the caller's
+    ``withColumn``) are fixed by the sentinel contract."""
+    vals = ", ".join(
+        f"(CAST({eid} AS BIGINT), CAST(NULL AS TIMESTAMP),"
+        f" CAST({uid} AS BIGINT), '{etype}', CAST(0.0 AS DOUBLE), '{{}}')"
+        for eid, uid, etype in rows
+    )
+    return spark.sql(
+        "SELECT * FROM VALUES "
+        + vals
+        + " AS t(event_id, ts, user_id, event_type, value, props)"
+    )
+
+
 def _drop_staging(src: str) -> None:
     """Remove a drained staging tree (the mkdtemp base holding ``src``).
     Safe once the drain's awaitTermination returned: every streamed
@@ -208,19 +230,44 @@ def _drop_staging(src: str) -> None:
     shutil.rmtree(os.path.dirname(src), ignore_errors=True)
 
 
+def _drain_memory_sink(df: DataFrame, query_name: str, mode: str) -> DataFrame:
+    """Shared availableNow drain into a memory sink (r9): the number of
+    STATE partitions a streaming query plans with is the session's
+    ``spark.sql.shuffle.partitions`` at first start, and every
+    micro-batch commits one state-store delta PER PARTITION PER
+    stateful operator — at 32 partitions the tiny bench streams spend
+    their drain in state-file churn, not data (measured 13.7 s → 7 s
+    on the stream-stream interval join at sf0.1 with 8 partitions).
+    ``SPARK_GRAFT_STREAM_SHUFFLE`` (default 8) sizes it; a production
+    deploy sizes state partitions to throughput/keyspace the same way
+    (this is the knob Spark itself offers for exactly this trade). Set
+    only for the stream's planning window and restored right after —
+    batch queries in the same session are untouched; results are
+    partition-count-independent (hash-partitioned keyed state)."""
+    import os
+
+    session = df.sparkSession
+    prev = session.conf.get("spark.sql.shuffle.partitions")
+    stream_shuffle = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    try:
+        session.conf.set("spark.sql.shuffle.partitions", stream_shuffle)
+        q = (
+            df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        session.conf.set("spark.sql.shuffle.partitions", prev)
+    return session.table(query_name)
+
+
 def run_available_now_append(df: DataFrame, query_name: str) -> DataFrame:
     """Drain to a memory sink in append mode (stream-stream joins and
     watermark-finalized aggregations emit append-only)."""
-    session = df.sparkSession
-    q = (
-        df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return session.table(query_name)
+    return _drain_memory_sink(df, query_name, "append")
 
 
 RUNNING_OUTPUT_SCHEMA = "user_id long, total_events long, total_value double"
@@ -274,31 +321,13 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
 def run_available_now_update(df: DataFrame, query_name: str) -> DataFrame:
     """Drain to a memory sink in update mode (required for stateful
     operators); returns every emitted update row."""
-    session = df.sparkSession
-    q = (
-        df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return session.table(query_name)
+    return _drain_memory_sink(df, query_name, "update")
 
 
 def run_available_now(agg: DataFrame, query_name: str = "hourly_agg") -> DataFrame:
     """Drain everything currently available into a memory sink and
     return the result as a batch DataFrame (test/verification mode)."""
-    session = agg.sparkSession
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return session.table(query_name)
+    return _drain_memory_sink(agg, query_name, "complete")
 
 
 def incremental_fact_sink(stream: DataFrame, store_dir: str, store=None):
@@ -681,8 +710,8 @@ def events_drift_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # stage the current half as files + the watermark sentinel
     cur = ev.filter(F.col("us") > mid).select(*EVENTS_SCHEMA.fieldNames())
-    sentinel = spark.createDataFrame(
-        [(-1, None, -1, "zz_watermark_sentinel", 0.0, "{}")], EVENTS_SCHEMA
+    sentinel = _sentinel_events(
+        spark, [(-1, -1, "zz_watermark_sentinel")]
     ).withColumn(
         "ts", F.timestamp_micros(F.lit(b.mx + 30 * 24 * 3600 * 1_000_000))
     )
@@ -794,8 +823,8 @@ def sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id long, session_start timestamp, session_end timestamp,"
             " n_events long, session_value double",
         )
-    sentinel = spark.createDataFrame(
-        [(-1, None, -1, "zz_watermark_sentinel", 0.0, "{}")], EVENTS_SCHEMA
+    sentinel = _sentinel_events(
+        spark, [(-1, -1, "zz_watermark_sentinel")]
     ).withColumn(
         "ts",
         F.timestamp_micros(
@@ -861,8 +890,8 @@ def events_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hour timestamp, event_type string, n_events long,"
             " sum_value double",
         )
-    sentinel = spark.createDataFrame(
-        [(-1, None, -1, "zz_watermark_sentinel", 0.0, "{}")], EVENTS_SCHEMA
+    sentinel = _sentinel_events(
+        spark, [(-1, -1, "zz_watermark_sentinel")]
     ).withColumn(
         "ts",
         F.timestamp_micros(
@@ -914,12 +943,8 @@ def view_purchase_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     far = F.timestamp_micros(
         F.unix_micros(F.lit(b.mx)) + F.lit(30 * 24 * 3600 * 1_000_000)
     )
-    sentinels = spark.createDataFrame(
-        [
-            (-1, None, -1, "view", 0.0, "{}"),
-            (-2, None, -2, "purchase", 0.0, "{}"),
-        ],
-        EVENTS_SCHEMA,
+    sentinels = _sentinel_events(
+        spark, [(-1, -1, "view"), (-2, -2, "purchase")]
     ).withColumn("ts", far)
     src = _stage_stream_src(
         spark,
@@ -965,12 +990,8 @@ def views_without_purchase_streamed(spark: SparkSession, sf_dir: str) -> DataFra
     far = F.timestamp_micros(
         F.unix_micros(F.lit(b.mx)) + F.lit(30 * 24 * 3600 * 1_000_000)
     )
-    sentinels = spark.createDataFrame(
-        [
-            (-1, None, -1, "view", 0.0, "{}"),
-            (-2, None, -2, "purchase", 0.0, "{}"),
-        ],
-        EVENTS_SCHEMA,
+    sentinels = _sentinel_events(
+        spark, [(-1, -1, "view"), (-2, -2, "purchase")]
     ).withColumn("ts", far)
     src = _stage_stream_src(
         spark,
