@@ -345,6 +345,11 @@ def dedup_components(
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
     for _ in range(max_iters):
+        # r9 note: unlike part_pagerank's lazy loop, each round here is
+        # EXECUTED eagerly (localCheckpoint + the convergence collect),
+        # so the planner's broadcast choice for the label side is a
+        # per-round win, not a nested-build pile-up — A/B measured
+        # broadcast 5.4s vs pinned-SMJ 8.2s at sf0.1. Left adaptive.
         neighbor_min = (
             edges.join(
                 labels.select(

@@ -107,6 +107,14 @@ def _bm25_frames(docs: DataFrame, df_cap: bool, shared: dict | None = None):
     # compat frame for callers that want one row per doc; derived
     # WITHOUT an exchange (tf is doc_id-partitioned)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # r9: a multi-probe caller (rm3's two passes + cap semi-joins,
+    # retrieval_quality_report's six retrievers) references the
+    # vocab-sized df (and under the cap, its θ-window) several times
+    # per execution — stash the tiny frames in ``shared`` so the agg
+    # and the cap window run once per caller scope.
+    dfk = "df_cap" if df_cap else "df"
+    if shared is not None and shared.get(dfk) is not None:
+        return tf, shared[dfk], dl, shared["stats"], shared[dfk + "_qt"]
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     if df_cap:
         # θ = ⌈V/2⌉-th smallest df: rank the vocab by (df, term), take
@@ -142,6 +150,12 @@ def _bm25_frames(docs: DataFrame, df_cap: bool, shared: dict | None = None):
         # just a scoring filter (the inner df join below would already
         # make the RESULT identical)
         qt = qt.join(df.select("term"), "term", "left_semi")
+    if shared is not None:
+        df = scoped_persist(df, chain=True)
+        if shared.get("stats") is None:
+            shared["stats"] = scoped_persist(stats, chain=True)
+        stats = shared["stats"]
+        shared[dfk], shared[dfk + "_qt"] = df, qt
     return tf, df, dl, stats, qt
 
 

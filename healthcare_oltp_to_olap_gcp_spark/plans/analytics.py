@@ -2229,8 +2229,18 @@ def part_pagerank(
         # materialization is value-identical to the lazy plan.
         if checkpoint_every and i and i % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
+        # r9: PIN the per-round joins to sort-merge (guide §3.1 — pick
+        # the strategy deliberately). Under the raised broadcast
+        # threshold the planner broadcasts the rank/deg sides, and each
+        # iteration's broadcast build is a SEPARATE sequential job —
+        # the nested builds serialize the whole loop (measured 21.3s
+        # vs 9.7s at sf0.1). SMJ keeps every round inside one
+        # pipeline-scheduled job with stable co-partitioning — and at
+        # 100 TB the rank/deg sides are corpus-sized, where SMJ is the
+        # only correct choice anyway.
         contrib = edges.join(
-            ranks.select(F.col("node").alias("src"), "deg", "r"), "src"
+            ranks.select(F.col("node").alias("src"), "deg", "r").hint("merge"),
+            "src",
         ).select(
             F.col("dst").alias("node"),
             F.round(F.col("r") / F.col("deg"), PAGERANK_SCALE)
@@ -2240,7 +2250,7 @@ def part_pagerank(
         ranks = (
             contrib.groupBy("node")
             .agg(F.sum("c").alias("_s"))
-            .join(deg, "node")
+            .join(deg.hint("merge"), "node")
             .crossJoin(F.broadcast(n_total))
             .select(
                 "node",
