@@ -59,9 +59,11 @@ def doc_shingles(docs: DataFrame, n: int = SHINGLE_WORDS) -> DataFrame:
     # computation into the single-task scan stage.
     par = docs.sparkSession.sparkContext.defaultParallelism
     toks = tokens("text")
+    # r9: hash by doc_id instead of round-robin — same spreading
+    # (doc_id unique), no sort-before-repartition (guide §2.5 note)
     return (
         docs.filter(F.size(toks) >= n)
-        .repartition(par)
+        .repartition(par, "doc_id")
         .select("doc_id", word_shingles(toks, n).alias("shingles"))
     )
 
@@ -695,7 +697,9 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     string; any uniform hash works for SimHash quality, and the hash is
     one-per-token, not per-bit, so the cost difference is noise."""
     par = docs.sparkSession.sparkContext.defaultParallelism
-    tok = docs.repartition(par).select("doc_id", F.explode(tokens("text")).alias("tok"))
+    # r9: hash by doc_id — the per-doc bit-vote aggregation then
+    # needs no exchange (guide §2.4)
+    tok = docs.repartition(par, "doc_id").select("doc_id", F.explode(tokens("text")).alias("tok"))
     hx = F.md5("tok")
     tok = tok.withColumn(
         "hi", F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")

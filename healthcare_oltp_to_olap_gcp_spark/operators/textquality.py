@@ -247,7 +247,9 @@ def token_entropy(docs: DataFrame) -> DataFrame:
     remaining float ops (one divide, one subtract) happen once per
     output row."""
     par = docs.sparkSession.sparkContext.defaultParallelism
-    tok = docs.repartition(par).select(
+    # r9: hash by doc_id — the (doc_id, term) count and the per-doc
+    # rollup then need no further exchange (subset rule, guide §2.4)
+    tok = docs.repartition(par, "doc_id").select(
         "doc_id", F.explode(tokens("text")).alias("term")
     )
     cnt = tok.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
@@ -274,7 +276,9 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     from pyspark.sql import Window
 
     par = docs.sparkSession.sparkContext.defaultParallelism
-    tok = docs.repartition(par).select(
+    # r9: hash by doc_id — the (doc_id, term) tf, the distinct, and
+    # the per-doc window all reuse the layout (guide §2.4)
+    tok = docs.repartition(par, "doc_id").select(
         "doc_id", F.explode(tokens("text")).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -478,8 +482,10 @@ def rare_token_ratio(docs: DataFrame, df_max: int = RARE_DF_MAX) -> DataFrame:
     with map-side partial aggregation; no window, no driver collect.
     All outputs are exact integers + one rounded double division."""
     par = docs.sparkSession.sparkContext.defaultParallelism
+    # r9: hash by doc_id — the (doc_id, term) distinct needs no
+    # second exchange (subset rule, guide §2.4)
     tok = (
-        docs.repartition(par)
+        docs.repartition(par, "doc_id")
         .select("doc_id", F.explode(tokens("text")).alias("term"))
         .distinct()
     )
@@ -706,7 +712,9 @@ def docs_perplexity(docs: DataFrame) -> DataFrame:
     from ..session import scoped_persist
 
     par = docs.sparkSession.sparkContext.defaultParallelism
-    tok = docs.repartition(par).select(
+    # r9: hash by doc_id — the persisted (doc_id, term) counts build
+    # with one exchange and the per-doc rollup reuses the layout
+    tok = docs.repartition(par, "doc_id").select(
         "doc_id", F.explode(tokens("text")).alias("term")
     )
     dt = scoped_persist(tok.groupBy("doc_id", "term").agg(F.count("*").alias("c_dt")))
@@ -1010,7 +1018,7 @@ def docs_bigram_perplexity(docs: DataFrame) -> DataFrame:
         lambda s: s.isNotNull(),
     )
     bi = (
-        docs.repartition(par)
+        docs.repartition(par, "doc_id")
         .select("doc_id", F.explode(pairs).alias("b"))
         .select("doc_id", F.col("b.x").alias("x"), F.col("b.y").alias("y"))
     )
