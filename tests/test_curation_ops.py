@@ -140,6 +140,7 @@ def test_bpe_merges_matches_reference_on_corpus(spark):
     assert got == want
 
 
+@pytest.mark.fullsweep
 def test_bpe_batched_equals_sequential(spark):
     """batch>1 must be a pure round-count optimization: the learned
     merge table (every rank, pair, and count) is identical to the
@@ -370,6 +371,7 @@ def test_grouping_sets_rowcount_is_sum_of_sets(spark):
     assert out.count() == n_dt + n_t + 1
 
 
+@pytest.mark.fullsweep
 def test_keep_best_keeps_one_survivor_per_component(spark):
     docs = table(spark, SF001, "documents")
     best = dedup.clean_documents_keep_best(docs)
@@ -380,6 +382,7 @@ def test_keep_best_keeps_one_survivor_per_component(spark):
     assert best.join(docs, "doc_id", "left_anti").count() == 0
 
 
+@pytest.mark.fullsweep
 def test_recall_report_has_all_methods_with_bounded_recall(spark):
     emb = table(spark, SF001, "embeddings")
     rows = {r.method: r for r in similarity.ann_recall_report(emb).collect()}
@@ -1220,6 +1223,7 @@ def _rq_tables(spark):
     return docs_df, emb_df
 
 
+@pytest.mark.fullsweep
 def test_retrieval_quality_rerank_provably_lifts_ndcg(spark):
     """VERDICT r6 item 4's hand case: raw BM25 retrieves only the
     keyword-stuffed decoys (nDCG = MRR = 0); the cosine rerank of the
@@ -1239,6 +1243,7 @@ def test_retrieval_quality_rerank_provably_lifts_ndcg(spark):
     assert rows["bm25"].n_queries == 1
 
 
+@pytest.mark.fullsweep
 def test_retrieval_quality_report_bounds_and_lift_on_corpus(spark):
     from healthcare_oltp_to_olap_gcp_spark.operators import retrieval
 
@@ -1498,6 +1503,7 @@ def test_rm3_ranking_is_total_and_scores_descend_on_corpus(spark):
         assert scores == sorted(scores, reverse=True)
 
 
+@pytest.mark.fullsweep
 def test_bm25_wand_equals_exact_probe(spark):
     """WAND/MaxScore pruning must be recall-LOSSLESS: identical rows to
     the exact probe on the real corpus (where ties and short seed
@@ -1515,6 +1521,7 @@ def test_bm25_wand_equals_exact_probe(spark):
     assert wand1 == exact1 and exact1
 
 
+@pytest.mark.fullsweep
 def test_bm25_wand_prunes_zipfian_work_growth(spark):
     """The measured candidate-row cut VERDICT r7 item 4 asks for: on
     the Zipfian corpus every query's strongest (rarest) term seeds a
@@ -1557,6 +1564,7 @@ def test_rm3_dfcap_excludes_capped_vocabulary_everywhere(spark):
     assert capped == {1, 3}
 
 
+@pytest.mark.fullsweep
 def test_hybrid_rrf_dense_parameterization_is_identity(spark):
     """Injecting the default dense retriever explicitly must reproduce
     hybrid_rrf_topk exactly (the dense source is read only through its

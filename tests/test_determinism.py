@@ -15,6 +15,8 @@ from healthcare_oltp_to_olap_gcp_spark.catalog import TS_COLS, table
 from .conftest import SF001
 from .helpers import normalize
 
+pytestmark = pytest.mark.fullsweep
+
 # Queries whose aggregates would drift under float reordering if the
 # decimal/rounding discipline broke, plus deterministic top-k/sampling.
 SENSITIVE = [

@@ -3,6 +3,8 @@ session.get_spark confs) running entry() and a sample of queries()."""
 
 from __future__ import annotations
 
+import pytest
+
 import subprocess
 import sys
 
@@ -42,6 +44,7 @@ spark.stop()
 """
 
 
+@pytest.mark.fullsweep
 def test_plain_session_driver_contract():
     # 900s: the analysis sweep measured 461s at 234 queries on the
     # plain local[4] session (r9) — ~320s of it is the ~10 streaming

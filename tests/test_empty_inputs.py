@@ -29,6 +29,7 @@ def empty_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.fullsweep
 def test_all_queries_survive_empty_tables(spark, empty_dir):
     failures = {}
     for name, fn in entry.queries().items():

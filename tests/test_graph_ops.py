@@ -4,6 +4,8 @@ state (conservation laws, known-graph ground truth)."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -47,6 +49,7 @@ def test_pagerank_symmetry_on_regular_graph(spark):
     assert math.isclose(out[0].pagerank, 0.2, abs_tol=1e-6)
 
 
+@pytest.mark.fullsweep
 def test_pagerank_plan_depth_bounded(spark):
     """The rank lineage is localCheckpoint-ed every `checkpoint_every`
     rounds, so the logical plan must NOT grow linearly with iters: at

@@ -17,6 +17,7 @@ from .conftest import SF001, SF01
 from .helpers import normalize
 
 
+@pytest.mark.fullsweep
 def test_minhash_equals_exact_baseline(spark):
     docs = table(spark, SF001, "documents")
     exact = normalize(dedup.ngram_jaccard_pairs(docs).toPandas())
@@ -25,6 +26,7 @@ def test_minhash_equals_exact_baseline(spark):
     assert len(exact) > 0  # the generator plants near-dups; we must find them
 
 
+@pytest.mark.fullsweep
 def test_ann_lsh_subset_of_brute_with_exact_sims(spark):
     emb = table(spark, SF001, "embeddings")
     brute = {
@@ -92,6 +94,7 @@ def test_approx_distinct_within_error(spark):
         assert abs(approx[t] - n) <= max(2, 0.05 * n), (t, approx[t], n)
 
 
+@pytest.mark.fullsweep
 def test_ivf_recall_and_exact_rerank(spark):
     emb = table(spark, SF001, "embeddings")
     brute = {
@@ -122,6 +125,7 @@ def test_ivf_flat_recall_and_exact_rerank(spark):
     assert recall >= 0.3, f"IVF-Flat recall collapsed: {recall}"
 
 
+@pytest.mark.fullsweep
 def test_embedding_neardup_lsh_recall(spark):
     emb = table(spark, SF001, "embeddings")
     exact = {
@@ -630,6 +634,7 @@ def test_bq_recall_and_exact_rerank(spark):
     assert recall >= 0.3, f"BQ recall collapsed: {recall}"
 
 
+@pytest.mark.fullsweep
 def test_pq_trained_beats_seeded(spark):
     """The 'training raises recall' claim, measured per trained/seeded
     pair: KMeans codebooks (PQ), spherical-KMeans cells (IVF-Flat), and
@@ -963,6 +968,7 @@ def test_isotropy_report_bounds_on_corpus(spark):
     assert abs(r.avg_pairwise_cosine - est) < 1e-3
 
 
+@pytest.mark.fullsweep
 def test_embedding_drift_report_stable_and_rotated_hand_cases(spark):
     """Identical halves must read as zero drift (centroid_cos 1, shift
     0, var_ratio 1, equal norms); a 90-degree-rotated + rescaled

@@ -12,7 +12,81 @@ from .helpers import assert_parity
 
 ALL = sorted(ORACLE_SQL)
 
+# r10 (VERDICT r9 item 3): the driver's verify window is shorter than
+# the full 226-query sweep, so the DEFAULT tier runs a representative
+# SMOKE subset (one or more per operator family, plus every query an
+# optimization round touched) and the complete sweep moves behind the
+# ``fullsweep`` marker (`pytest -m fullsweep`, or `-m ""` for
+# everything). The smoke set is parity-checked at sf0.001 exactly like
+# the sweep — same assert, same oracle.
+SMOKE_KEYS = [
+    # TPC-H / star
+    "q1_pricing_summary",
+    "q21_waiting_suppliers",
+    "fact_events_star",
+    # windows / sessions / asof / CDC / sketches
+    "sessionize",
+    "asof_last_view_before_purchase",
+    "scd2_user_band",
+    "theta_segment_users",
+    # graph
+    "part_triangles",
+    "part_pagerank",
+    # retrieval family
+    "bm25_topk",
+    "bm25_dfcap_topk",
+    "bm25_wand_topk",
+    "bm25_chunk_maxp_topk",
+    "bm25_rerank_topk",
+    "hybrid_rrf_topk",
+    "rm3_expansion_topk",
+    "rm3_dfcap_expansion_topk",
+    "lm_dirichlet_topk",
+    "retrieval_quality_report",
+    # ANN / similarity family
+    "ann_topk",
+    "ann_lsh_topk",
+    "ivf_flat_ann_topk",
+    "sq8_ann_topk",
+    "pq_ann_topk",
+    "ivfpq_ann_topk",
+    "bq_ann_topk",
+    "ann_recall_report",
+    "ivf_probe_sweep",
+    "ann_filtered_topk",
+    "knn_graph_components",
+    "semdedup_embeddings",
+    # dedup / curation family
+    "ngram_dup_pairs",
+    "minhash_lsh_dup_pairs",
+    "simhash_dup_pairs",
+    "ngram_containment_pairs",
+    "neardup_recall_report",
+    "dedup_components",
+    "docs_contamination",
+    "curated_documents",
+    "docs_dedup_report",
+    "clean_documents_keep_best",
+    "docs_ngram_novelty",
+    # text quality / tokenizers / samplers
+    "docs_quality_filter",
+    "docs_bigram_perplexity",
+    "token_entropy",
+    "chunk_documents",
+    "weighted_sample_documents",
+    # streaming drains + multimodal
+    "fact_events_streamed",
+    "view_purchase_streamed",
+    "multimodal_frames",
+]
 
+
+@pytest.mark.parametrize("name", SMOKE_KEYS)
+def test_parity_smoke(spark, name):
+    assert_parity(spark, name, SF001)
+
+
+@pytest.mark.fullsweep
 @pytest.mark.parametrize("name", ALL)
 def test_parity_sf001(spark, name):
     assert_parity(spark, name, SF001)

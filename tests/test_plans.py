@@ -4,6 +4,8 @@ appear in the executed plan, not just in docstrings."""
 
 from __future__ import annotations
 
+import pytest
+
 from healthcare_oltp_to_olap_gcp_spark.api import QUERIES
 
 from .conftest import SF001
@@ -421,6 +423,7 @@ _EAGER_BUILD = {
 }
 
 
+@pytest.mark.fullsweep
 def test_registry_wide_no_accidental_cartesian(spark):
     """Engine-wide guard: CartesianProduct is banned in every
     registered query's physical plan, and BroadcastNestedLoopJoin is

@@ -3,6 +3,8 @@ plus crafted-edge-case tests the random test tables can't produce."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from hypothesis import HealthCheck, given, settings
@@ -87,6 +89,7 @@ def test_sessionize_partitions_events_correctly(spark, rows):
     seed=st.integers(0, 10_000),
 )
 @SETTINGS
+@pytest.mark.fullsweep
 def test_money_sum_is_order_and_partition_invariant(spark, vals, seed):
     import random
 
@@ -99,6 +102,7 @@ def test_money_sum_is_order_and_partition_invariant(spark, vals, seed):
     assert ra == rb  # bit-identical, not approximately equal
 
 
+@pytest.mark.fullsweep
 def test_dedup_components_transitive_chain(spark):
     # A~B and B~C are near-dups but A~C is below threshold — components
     # must still merge all three through transitivity.
@@ -147,6 +151,7 @@ def _docs_df(spark, rows):
 
 @SETTINGS
 @given(rows=DOC_ROWS)
+@pytest.mark.fullsweep
 def test_containment_bounds_and_symmetry_free(spark, rows):
     """Containment values sit in (0, 1]; pair keys are ordered; every
     pair's n_shared never exceeds the smaller shingle set."""
@@ -163,6 +168,7 @@ def test_containment_bounds_and_symmetry_free(spark, rows):
 
 @SETTINGS
 @given(rows=DOC_ROWS)
+@pytest.mark.fullsweep
 def test_curated_is_subset_and_deterministic(spark, rows):
     """The curated corpus is a subset of the input and stable across
     two evaluations (no RNG, no order dependence)."""
@@ -198,6 +204,7 @@ def test_weighted_sample_deterministic_and_ranked(spark, rows):
 
 @SETTINGS
 @given(rows=EVENT_ROWS)
+@pytest.mark.fullsweep
 def test_kmv_exact_below_k_and_merge_equal(spark, rows):
     """With far fewer than k distinct users the KMV sketch must report
     exact counts, and the daily merge must equal the direct sketch."""

@@ -6,6 +6,8 @@ row-group pruning work on either key."""
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 
 from pyspark.sql import functions as F
@@ -88,6 +90,7 @@ def test_zorder_write_tightens_second_key_spans(spark, tmp_path):
     assert sum(z_spans) < 0.8 * sum(lex_spans)
 
 
+@pytest.mark.fullsweep
 def test_zorder_multi_date_keeps_clustering(spark, tmp_path):
     """With several dates hashed into one write task, the z-clustering
     must still hold inside EVERY date directory — this is the case the
