@@ -1295,6 +1295,90 @@ def pq_ann_topk(
     return _pq_adc_topk(corpus, _queries(embeddings, shared), cw, k, m, margin)
 
 
+def _cw_row(cw: DataFrame) -> DataFrame:
+    """Collapse a (j, cid, csub) codebook frame to ONE row holding the
+    full codebook as a struct array — the ``_cents_row`` construction
+    for PQ codebooks (m·n_codes entries, KBs at any corpus size)."""
+    return cw.agg(F.collect_list(F.struct("j", "cid", "csub")).alias("_cw"))
+
+
+def _pq_code(vec_col: str, m: int, sub: int) -> F.Column:
+    """Per-row PQ encoding against the one-row broadcast codebook
+    ``_cw``: for each subspace j, the cid minimizing the rounded L2
+    distance of the row's j-th sub-vector to the codeword — the same
+    (d, cid) struct-min as the old per-(row, j) groupBy argmin
+    (array_min shares min(struct)'s total order, NaN last), returned
+    as an m-element cid array."""
+
+    def _dj(vsub, e):
+        return F.round(
+            dot(vsub, vsub)
+            + dot(e["csub"], e["csub"])
+            - F.lit(2.0) * dot(vsub, e["csub"]),
+            6,
+        )
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                F.filter(F.col("_cw"), lambda e: e["j"] == j),
+                lambda e: F.struct(
+                    _dj(F.slice(F.col(vec_col), j * sub + 1, sub), e).alias("d"),
+                    e["cid"].alias("cid"),
+                ),
+            )
+        )["cid"],
+    )
+
+
+def _pq_lut(vec_col: str, m: int, sub: int) -> F.Column:
+    """Per-row ADC lookup table against the one-row broadcast codebook:
+    an m-element array of cid→ld maps, ld = the rounded decimal dot of
+    the row's j-th sub-vector with each codeword — the same values the
+    old (query, j, cid) LUT frame carried."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.map_from_entries(
+            F.transform(
+                F.filter(F.col("_cw"), lambda e: e["j"] == j),
+                lambda e: F.struct(
+                    e["cid"].alias("cid"),
+                    F.round(
+                        dot(F.slice(F.col(vec_col), j * sub + 1, sub), e["csub"]),
+                        8,
+                    )
+                    .cast("decimal(18,8)")
+                    .alias("ld"),
+                ),
+            )
+        ),
+    )
+
+
+def _pq_adc_sum(m: int) -> F.Column:
+    """The in-row ADC score: Σ_j lut[j][code[j]] as an exact decimal
+    fold, reproducing SUM(ld)'s null semantics (non-null terms summed,
+    NULL iff every term is NULL — a NaN query's lds decimal-cast to
+    NULL)."""
+    lds = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.element_at(
+            F.element_at(F.col("_lut"), j + 1),
+            F.element_at(F.col("_code"), j + 1),
+        ),
+    )
+    nn = F.filter(lds, lambda x: x.isNotNull())
+    return F.when(
+        F.size(nn) > 0,
+        F.aggregate(
+            nn,
+            F.lit("0").cast("decimal(28,8)"),
+            lambda acc, x: (acc + x).cast("decimal(28,8)"),
+        ),
+    )
+
+
 def _pq_adc_topk(
     corpus: DataFrame,
     qs: DataFrame,
@@ -1307,40 +1391,31 @@ def _pq_adc_topk(
     csub), encode the corpus (per-subspace argmin-L2 assignment), score
     by ADC from a broadcast LUT, and exact-rerank the k+margin
     candidates. Codebook-agnostic — serves both the hash-seeded
-    (oracle-checked) and KMeans-trained variants."""
+    (oracle-checked) and KMeans-trained variants.
+
+    r10 (the r6 ``_rank_cells`` pattern applied to PQ, guide §2.4):
+    encode and ADC run PER ROW against a ONE-ROW broadcast codebook
+    struct array — the m-way posexplode + (neighbor, j) argmin groupBy
+    and the (q, d, j) lookup-join + (q, d) sum groupBy (two exchanges
+    over m·n and |Q|·n·m rows) collapse into in-row higher-order
+    expressions over m·n_codes-element arrays. Arithmetic is
+    expression-identical: same rounded sub-distances with the same
+    (d, cid) struct-min tie-break (array_min shares min(struct)'s
+    total order, NaN last), and the ADC decimal fold reproduces
+    SUM(ld)'s null semantics (non-null terms summed exactly, NULL iff
+    every term is NULL) — value-hash oracles carry unchanged."""
     sub = DIM // m
-    js = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j")
-    vs = corpus.select("neighbor_id", "cv", js).select(
-        "neighbor_id", "j", F.slice("cv", F.col("j") * sub + 1, sub).alias("vsub")
+    cwrow = _cw_row(cw)
+    codes = corpus.crossJoin(F.broadcast(cwrow)).select(
+        "neighbor_id", _pq_code("cv", m, sub).alias("_code")
     )
-    d = F.round(
-        dot(F.col("vsub"), F.col("vsub"))
-        + dot(F.col("csub"), F.col("csub"))
-        - F.lit(2.0) * dot(F.col("vsub"), F.col("csub")),
-        6,
-    )
-    codes = (
-        vs.join(F.broadcast(cw), "j")
-        .withColumn("d", d)
-        .groupBy("neighbor_id", "j")
-        .agg(F.min(F.struct(F.col("d"), F.col("cid"))).alias("_mc"))
-        .select("neighbor_id", "j", F.col("_mc.cid").alias("cid"))
-    )
-    lut = qs.select("query_id", "qv", js).join(F.broadcast(cw), "j").select(
-        "query_id",
-        "j",
-        "cid",
-        F.round(
-            dot(F.slice(F.col("qv"), F.col("j") * sub + 1, sub), F.col("csub")), 8
-        )
-        .cast("decimal(18,8)")
-        .alias("ld"),
+    qlut = qs.crossJoin(F.broadcast(cwrow)).select(
+        "query_id", _pq_lut("qv", m, sub).alias("_lut")
     )
     adc = (
-        codes.join(F.broadcast(lut), ["j", "cid"])
+        codes.join(F.broadcast(qlut))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("ld").alias("_adc"))
+        .select("query_id", "neighbor_id", _pq_adc_sum(m).alias("_adc"))
     )
     w_cand = Window.partitionBy("query_id").orderBy(
         F.col("_adc").desc(), F.col("neighbor_id")
@@ -1484,57 +1559,40 @@ def _ivfpq_body(
         "cell",
         F.zip_with("cv", "centroid", lambda a, b: a - b).alias("rv"),
     )
+    # r10 (the r6 ``_rank_cells`` pattern applied to PQ, guide §2.4 —
+    # see _pq_adc_topk): residual encoding and ADC run per row against
+    # the one-row broadcast codebook; the m-way posexplode + argmin
+    # groupBy and the LUT join + sum groupBy collapse into in-row
+    # expressions with identical rounded arithmetic and tie-breaks.
     cw = cw_fn(assigned)
-    js = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j")
-    vs = assigned.select("neighbor_id", "cell", "rv", js).select(
-        "neighbor_id", "cell", "j",
-        F.slice("rv", F.col("j") * sub + 1, sub).alias("vsub"),
-    )
-    d = F.round(
-        dot(F.col("vsub"), F.col("vsub"))
-        + dot(F.col("csub"), F.col("csub"))
-        - F.lit(2.0) * dot(F.col("vsub"), F.col("csub")),
-        6,
-    )
-    codes = (
-        vs.join(F.broadcast(cw), "j")
-        .withColumn("d", d)
-        .groupBy("neighbor_id", "cell", "j")
-        .agg(F.min(F.struct(F.col("d"), F.col("cid"))).alias("_mc"))
-        .select("neighbor_id", "cell", "j", F.col("_mc.cid").alias("cid"))
+    cwrow = _cw_row(cw)
+    codes = assigned.crossJoin(F.broadcast(cwrow)).select(
+        "neighbor_id", "cell", _pq_code("rv", m, sub).alias("_code")
     )
     probed = (
         qs.join(F.broadcast(_cents_row(cent)))
         .select(
             "query_id",
+            "qv",
             F.explode(F.slice(_rank_cells("qv"), 1, n_probe)).alias("_pc"),
         )
         .select(
             "query_id",
+            "qv",
             F.col("_pc.cent_id").alias("cell"),
             F.col("_pc.cdot").alias("qdot"),
         )
     )
-    lut = qs.select("query_id", "qv", js).join(F.broadcast(cw), "j").select(
-        "query_id",
-        "j",
-        "cid",
-        F.round(
-            dot(F.slice(F.col("qv"), F.col("j") * sub + 1, sub), F.col("csub")), 8
-        )
-        .cast("decimal(18,8)")
-        .alias("ld"),
+    qlut = probed.crossJoin(F.broadcast(cwrow)).select(
+        "query_id", "cell", "qdot", _pq_lut("qv", m, sub).alias("_lut")
     )
     adc = (
-        codes.join(F.broadcast(probed), "cell")  # IVF bound: probed cells only
+        codes.join(F.broadcast(qlut), "cell")  # IVF bound: probed cells only
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .join(F.broadcast(lut), ["query_id", "j", "cid"])
-        .groupBy("query_id", "neighbor_id", "qdot")
-        .agg(F.sum("ld").alias("_s"))
         .select(
             "query_id",
             "neighbor_id",
-            (F.col("qdot").cast("decimal(18,8)") + F.col("_s")).alias("_adc"),
+            (F.col("qdot").cast("decimal(18,8)") + _pq_adc_sum(m)).alias("_adc"),
         )
     )
     w_cand = Window.partitionBy("query_id").orderBy(
@@ -2817,8 +2875,16 @@ def ann_index_retrain(
     )
     total = brute.agg(F.count("*").cast("long").alias("n_total"))
     est = corpus.filter(F.col("neighbor_id") % ANN_INCR_MOD != 0)
-    rows = None
-    for state, src in (("stale", est), ("retrained", corpus)):
+    # r10 (the wave-1 report-fusion pattern, guide §2.3/§5): the two
+    # states' probed top-k lists union under the state tag into ONE
+    # hit-join + ONE per-state aggregation (a state-literal frame
+    # keeps zero-hit rows), instead of two sequential join+agg+cross
+    # pipelines; the per-state balance rows stay separate (different
+    # assignment frames by construction). Identical arithmetic.
+    states = (("stale", est), ("retrained", corpus))
+    tagged = None
+    balance = {}
+    for state, src in states:
         cent = (
             src.orderBy(F.md5(F.col("neighbor_id").cast("string")), "neighbor_id")
             .limit(n_centroids)
@@ -2827,35 +2893,42 @@ def ann_index_retrain(
             )
         )
         assigned = scoped_persist(_ivf_assign(corpus, cent), chain=True)
-        hits = (
-            _ivf_flat_body(corpus, qs, cent, k, n_probe, assigned=assigned)
-            .select("query_id", "neighbor_id")
-            .join(brute, ["query_id", "neighbor_id"])
-            .agg(F.count("*").cast("long").alias("n_hit"))
+        balance[state] = _balance_row(assigned, cent).withColumn(
+            "index_state", F.lit(state)
         )
-        row = (
-            _balance_row(assigned, cent)
-            .crossJoin(F.broadcast(hits))
-            .crossJoin(F.broadcast(total))
-            .select(
-                F.lit(state).alias("index_state"),
-                "n_vectors",
-                "n_cells",
-                "n_nonempty_cells",
-                "min_cell",
-                "max_cell",
-                "top_cell_share",
-                "imbalance_factor",
-                "n_hit",
-                "n_total",
-                F.when(
-                    F.col("n_total") > 0,
-                    F.round(F.col("n_hit") / F.col("n_total").cast("double"), 6),
-                ).alias("recall"),
-            )
+        t = _ivf_flat_body(corpus, qs, cent, k, n_probe, assigned=assigned).select(
+            F.lit(state).alias("index_state"), "query_id", "neighbor_id"
         )
-        rows = row if rows is None else rows.unionByName(row)
-    return rows
+        tagged = t if tagged is None else tagged.unionByName(t)
+    hits = (
+        tagged.join(brute, ["query_id", "neighbor_id"])
+        .groupBy("index_state")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    sframe = corpus.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(s) for s, _ in states])).alias("index_state")
+    )
+    rows = balance["stale"].unionByName(balance["retrained"])
+    return (
+        rows.join(sframe.join(hits, "index_state", "left"), "index_state")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "index_state",
+            "n_vectors",
+            "n_cells",
+            "n_nonempty_cells",
+            "min_cell",
+            "max_cell",
+            "top_cell_share",
+            "imbalance_factor",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            "n_total",
+            F.when(
+                F.col("n_total") > 0,
+                F.round(F.col("n_hit") / F.col("n_total").cast("double"), 6),
+            ).alias("recall"),
+        )
+    )
 
 
 # Metadata-filtered vector search: the predicate every production

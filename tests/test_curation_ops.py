@@ -20,6 +20,7 @@ def _docs(spark, rows):
     )
 
 
+@pytest.mark.fullsweep
 def test_dup_span_full_coverage_for_exact_dups(spark):
     base = " ".join(f"w{i}" for i in range(20))
     other = " ".join(f"x{i}" for i in range(20))
@@ -323,6 +324,7 @@ def test_source_kl_zero_for_identical_distributions(spark):
         assert r.kl_vs_corpus == 0.0
 
 
+@pytest.mark.fullsweep
 def test_hard_negative_labels_differ_and_brute_agrees_with_ivf(spark):
     emb = table(spark, SF001, "embeddings")
     labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
@@ -626,6 +628,7 @@ def test_unimax_water_filling_rates(spark):
     assert len(full) == 12 and all(r.accept_rate == 1.0 for r in full)
 
 
+@pytest.mark.fullsweep
 def test_neardup_report_verified_methods_have_perfect_precision(spark):
     """MinHash-LSH and containment verify candidates with exact
     set-overlap predicates derived from the same shingles as the truth
@@ -668,6 +671,7 @@ def _zipf_docs(spark, n):
     return _docs(spark, rows)
 
 
+@pytest.mark.fullsweep
 def test_bm25_dfcap_bounds_work_growth_on_zipfian_vocabulary(spark):
     """VERDICT r5 item 2: on the near-uniform synthetic vocabulary the
     median-df cap is only a constant-factor cut (SCALING.md documents
@@ -1387,6 +1391,7 @@ def test_bm25_index_incremental_corpus_invariants(spark):
             assert r.df == r.df_new > 0
 
 
+@pytest.mark.fullsweep
 def test_hybrid_rrf_fuses_a_dense_only_document(spark):
     """The fusion property that distinguishes RRF from the rerank
     cascade: a document with NO lexical overlap with the query (so it
@@ -1430,6 +1435,7 @@ def test_hybrid_rrf_fuses_a_dense_only_document(spark):
     assert rows[1].rank < rows[2].rank
 
 
+@pytest.mark.fullsweep
 def test_hybrid_rrf_rows_come_from_the_two_lists(spark):
     from healthcare_oltp_to_olap_gcp_spark.operators import retrieval
     from healthcare_oltp_to_olap_gcp_spark.operators import similarity
@@ -1543,6 +1549,7 @@ def test_bm25_wand_prunes_zipfian_work_growth(spark):
     assert w_b < un_b / 100  # 32 rows vs 10240 — the cut is a growth cut
 
 
+@pytest.mark.fullsweep
 def test_rm3_dfcap_excludes_capped_vocabulary_everywhere(spark):
     """Hand-case for the df-capped RM3 twin: 'the' is in every doc
     (above θ = median df), so the capped pipeline must never reach a
@@ -1600,6 +1607,7 @@ def test_hybrid_rrf_dense_parameterization_is_identity(spark):
         assert (r.dense_rank > 0) == ((r.query_id, r.doc_id) in dense)
 
 
+@pytest.mark.fullsweep
 def test_grouped_split_eliminates_leakage_and_matches_singletons(spark):
     """The group-aware split's whole contract: (1) ZERO cross-split
     near-dup pairs — every leakage-report row under the injected
@@ -1743,6 +1751,7 @@ def test_chunk_maxp_ranking_invariants_on_corpus(spark):
         assert scores == sorted(scores, reverse=True)
 
 
+@pytest.mark.fullsweep
 def test_bm25_index_stats_report_hand_case_and_corpus(spark):
     """Hand case: 4 docs sharing the stopword 'the' (df 4) plus one
     rare term each (df 1). Vocabulary = 5 terms, df-sorted ranks give
@@ -1919,6 +1928,7 @@ def test_ann_filtered_ivf_subset_of_predicate_and_recall(spark):
     assert hit / total >= 0.5  # 4/16 cells probed on ~half the corpus
 
 
+@pytest.mark.fullsweep
 def test_ann_twostage_equals_brute_when_m_covers_corpus(spark):
     """Exactness envelope: with the stage-1 candidate depth m ≥ n−1 the
     funnel degenerates to the exact brute scan — same rows, same
@@ -1929,6 +1939,7 @@ def test_ann_twostage_equals_brute_when_m_covers_corpus(spark):
     assert sorted(map(tuple, two.collect())) == sorted(map(tuple, brute.collect()))
 
 
+@pytest.mark.fullsweep
 def test_ann_twostage_recall_on_corpus(spark):
     """At the default depth (m = 50) the half-width first pass keeps
     enough true neighbors for a high-recall exact rerank."""

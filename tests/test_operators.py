@@ -308,6 +308,7 @@ def test_token_typo_pairs_blocking_complete(spark):
     }, got
 
 
+@pytest.mark.fullsweep
 def test_gemm_topk_blocked_queries_identical(spark):
     """Forcing the bounded-driver-memory path (query_block smaller than
     the query count → multiple collect+broadcast rounds) must produce
@@ -399,6 +400,7 @@ def test_knn_vote_matches_brute_neighbors(spark):
         assert got[q] == best, (q, got[q], best)
 
 
+@pytest.mark.fullsweep
 def test_knn_vote_default_source_agrees_with_brute(spark):
     """The composition must be exact under an exact source — the GEMM
     twin (hash-exact to brute) yields the identical vote — and the
@@ -592,6 +594,7 @@ def test_pq_recall_and_exact_rerank(spark):
     assert recall >= 0.5, f"PQ recall collapsed: {recall}"
 
 
+@pytest.mark.fullsweep
 def test_ivfpq_recall_and_exact_rerank(spark):
     """Two-level IVF-PQ: rerank sims exact, recall bounded below (the
     IVF probe bound dominates: n_probe/n_cells = 1/4 of cells scanned,
@@ -613,6 +616,7 @@ def test_ivfpq_recall_and_exact_rerank(spark):
     assert recall >= 0.25, f"IVFPQ recall collapsed: {recall}"
 
 
+@pytest.mark.fullsweep
 def test_bq_recall_and_exact_rerank(spark):
     """Binary (sign-bit) quantization: the Hamming candidate cut is
     exact-integer, rerank sims are exact cosine; recall bounded below
@@ -724,6 +728,7 @@ def test_centroid_auc_separable_labels(spark):
         assert r.auc > 0.95
 
 
+@pytest.mark.fullsweep
 def test_ivf_probe_sweep_recall_monotone(spark):
     """Probed cells at width p are a prefix of width p' > p, so recall
     must be non-decreasing in n_probe and hit 1.0-adjacent at the top
@@ -743,6 +748,7 @@ def test_ivf_probe_sweep_recall_monotone(spark):
 
 
 @pytest.mark.parametrize("n_centroids", [16, 64], ids=["fixed_C", "grown_C"])
+@pytest.mark.fullsweep
 def test_knn_graph_components_consistent_with_mutual_edges(spark, n_centroids):
     """Both endpoints of every mutual edge share a component; every
     component id is the min vec_id of its member set; vectors without
@@ -1062,6 +1068,7 @@ def test_ann_index_balance_report_uses_actual_drawn_centroid_count(spark):
     assert not r.needs_retrain
 
 
+@pytest.mark.fullsweep
 def test_ann_index_retrain_recovers_balance_and_recall_on_drift(spark):
     """The recovery assertion VERDICT r8 item 5 asks for, on a
     deliberately drifted corpus: the established cloud (vec_id % 3
@@ -1120,6 +1127,7 @@ def test_ann_index_retrain_corpus_sanity(spark):
         assert r.imbalance_factor >= 1.0  # Cauchy-Schwarz lower bound
 
 
+@pytest.mark.fullsweep
 def test_ivf_flat_workload_is_ivf_restricted_to_the_fixed_query_set(spark):
     """The dense fixed-workload form must be EXACTLY ivf_flat_ann_topk
     restricted to the ANN_WORKLOAD_Q smallest query-slice vec_ids —

@@ -185,6 +185,7 @@ def test_rfm_has_no_global_sort_or_window(spark):
     assert "TakeOrdered" in plan or "Sort [" not in plan, plan
 
 
+@pytest.mark.fullsweep
 def test_neardup_lsh_broadcasts_candidates(spark):
     """Banded-LSH near-dup: the candidate id-pair set is broadcast into
     the verify joins; no cartesian anywhere."""

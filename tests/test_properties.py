@@ -52,6 +52,7 @@ def _events_df(spark, rows):
 
 @given(rows=EVENT_ROWS)
 @SETTINGS
+@pytest.mark.fullsweep
 def test_merge_upsert_updates_win_and_keys_unique(spark, rows):
     existing = _events_df(spark, rows)
     updates = existing.filter(F.col("event_id") % 2 == 0).withColumn(
@@ -184,6 +185,7 @@ def test_curated_is_subset_and_deterministic(spark, rows):
 
 @SETTINGS
 @given(rows=DOC_ROWS)
+@pytest.mark.fullsweep
 def test_weighted_sample_deterministic_and_ranked(spark, rows):
     """Weighted sampling: deterministic, ranks contiguous from 1, and
     only positive-length docs are eligible."""

@@ -584,6 +584,7 @@ def test_user_totals_streamed_exact_final_state(spark):
     assert got == want
 
 
+@pytest.mark.fullsweep
 def test_view_purchase_streamed_equals_batch_interval_join(spark):
     """The registry-gated stream-stream interval join: the drained
     availableNow result must equal the batch interval join row-for-row
@@ -633,6 +634,7 @@ def test_view_purchase_streamed_equals_batch_interval_join(spark):
     assert got == want
 
 
+@pytest.mark.fullsweep
 def test_views_without_purchase_streamed_equals_batch_anti_join(spark):
     """LEFT-OUTER interval join semantics: unmatched views emit at
     state eviction, and the sentinel-advanced watermark evicts every

@@ -5,6 +5,8 @@ computation, not the estimator's quality)."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -29,6 +31,7 @@ def _sets_for(groups):
     return {name: F.col("g") == name for name in groups}
 
 
+@pytest.mark.fullsweep
 def test_exact_below_saturation(spark):
     """Sets smaller than k have theta = 1 and EXACT estimates, and the
     algebra degrades to exact set arithmetic."""

@@ -62,6 +62,7 @@ def _per_file_spans(spark, path, key):
     return spans
 
 
+@pytest.mark.fullsweep
 def test_zorder_write_tightens_second_key_spans(spark, tmp_path):
     star = _synthetic_star(spark)
     lex_path = str(tmp_path / "lex")
