@@ -732,12 +732,23 @@ def bm25_rerank_topk(
     if cand is None:
         cand = bm25_topk(docs, k=m, df_cap=df_cap, shared=shared)
     cand = cand.select("query_id", "doc_id", F.col("rank").alias("bm25_rank"))
-    emb = embeddings.select(
-        "vec_id", normalized(as_double("embedding")).alias("nv")
-    )
-    qv = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")
-    )
+    # r10 (guide §5 reuse): a shared-frame caller (the quality report,
+    # which runs BOTH cascade variants) already persists the normalized
+    # corpus and query frames — reuse them instead of re-normalizing
+    # the embedding table per cascade (same normalize expression, so
+    # values are identical); standalone calls keep the original plan.
+    if shared is not None and shared.get("corpus") is not None:
+        emb = shared["corpus"].select(
+            F.col("neighbor_id").alias("vec_id"), F.col("cv").alias("nv")
+        )
+        qv = shared["qs"]
+    else:
+        emb = embeddings.select(
+            "vec_id", normalized(as_double("embedding")).alias("nv")
+        )
+        qv = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")
+        )
     from ..functions.vectors import dot
 
     scored = (
